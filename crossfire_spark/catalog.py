@@ -1,0 +1,66 @@
+"""Catalog: register the driver testdata parquet files as temp views.
+
+Scan capability maps the reference's topology/storage enumeration
+(``CrossAZBlockPlacementPolicy.java:615-632,600-603`` — SURVEY §2.1
+S1/S2) onto Spark's vectorized Parquet source: column pruning and
+predicate pushdown reach the scan for free once tables are views.
+
+The one special case is ``events``: the driver writes its ``ts``
+column as Parquet ``timestamp[ns]`` which Spark 4 refuses to read
+natively. With ``spark.sql.legacy.parquet.nanosAsLong=true`` the
+column surfaces as a nanosecond LONG; the view exposes
+``ts = timestamp_micros(ts_ns / 1000)`` (µs truncation, invisible to
+hour-granularity aggregation) so downstream queries see a plain
+timestamp column, identical to what DuckDB reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTENSION_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing engine-specific quirks."""
+    # Defensive runtime confs: the driver may hand us a session built
+    # without the engine defaults. Both are runtime-settable SQL confs.
+    # UTC keeps timestamp rendering identical to the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # required to read timestamp[ns] parquet.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosecond parquet timestamp surfaced as long; convert to µs.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Register each testdata table as a temp view; return the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,481 @@
+"""Declared relational query surface — SURVEY §2.12 Q01–Q27.
+
+Each query is a DataFrame-API builder ``(spark, sf_dir) -> DataFrame``
+paired with the canonical ANSI-SQL string the DuckDB oracle runs on the
+same parquet. Conventions (SURVEY §2.12 header):
+
+- every query ends with ORDER BY over all output columns (hash is
+  order-invariant even under LIMIT — boundary ties are byte-identical),
+- LIMIT only after ORDER BY,
+- floating-point aggregates wrapped in ROUND(·, 2),
+- CEIL/FLOOR cast to BIGINT,
+- aliases identical between the DataFrame builder and the oracle SQL.
+
+These exercise every operator family the reference performs
+(projection/filter ``CrossAZBlockPlacementPolicy.java:117-130,162-203``,
+group-by aggregation ``:141-149,386-415``, semi/anti membership
+``:180-187``, ranking ``:150-156,518-585``, limit ``:216,656,720``,
+union ``:744-753``) plus the standard relational operators the engine
+adds via Catalyst built-ins (joins, windows, rollup/cube, set ops).
+All plans are declarative: Catalyst gets predicate pushdown, column
+pruning, join reordering and broadcast selection for free, and AQE
+picks shuffle partition counts / skew splits at runtime — this is what
+makes the same code survive a 100 TB input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# scan / filter / project / scalar functions
+# --------------------------------------------------------------------------
+
+
+def q01(spark, sf_dir):
+    """Scan+filter+project+limit (P1/P3/O1 analogs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_discount") > 0.05) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    )
+
+
+def q02(spark, sf_dir):
+    """LIKE / IN / BETWEEN predicates (P4/P5 analogs)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_type").like("%BRASS%")
+            | F.col("p_size").isin(1, 5, 9)
+            | F.col("p_retailprice").between(901, 1000)
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+def q03(spark, sf_dir):
+    """String functions (F1–F3 analogs: path slicing / formatting)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("u"),
+        F.length("c_name").alias("l"),
+        F.substring("c_name", 1, 10).alias("s"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("k"),
+    ).orderBy("c_custkey")
+
+
+def q04(spark, sf_dir):
+    """Math functions (F4/F5 analogs: allocation arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 2).alias("sq"),
+            (F.col("l_partkey") % 7).alias("m"),
+            F.ceil(F.col("l_discount") * 100).cast("bigint").alias("c"),
+            F.floor(F.col("l_tax") * 100).cast("bigint").alias("f"),
+            F.abs(F.col("l_quantity") - 25).alias("a"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "sq", "m", "c", "f", "a")
+    )
+
+
+def q05(spark, sf_dir):
+    """Date part extraction + group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("y", "m")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+def q06(spark, sf_dir):
+    """Multi-measure hash aggregate (TPC-H Q1 shape; A2/A3 analog —
+    the two-phase partial+final agg of
+    ``CrossAZBlockPlacementPolicy.java:386-415``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sd"),
+            F.round(F.avg("l_quantity"), 2).alias("aq"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q07(spark, sf_dir):
+    """Distinct aggregate + HAVING."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderstatus").alias("ds"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") > 3)
+        .orderBy("o_custkey")
+    )
+
+
+def q08(spark, sf_dir):
+    """ROLLUP — hierarchical aggregation, the declarative form of the
+    reference's per-level topology aggregation (A2, SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("l_quantity"), 2).alias("s"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q09(spark, sf_dir):
+    """GROUPING SETS."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) c FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def q10(spark, sf_dir):
+    """Inner equi-join + agg. ``customer`` is the smaller side; Catalyst
+    broadcast-joins it under the engine's 64 MB threshold (J3 analog:
+    FK deref ``CrossAZBlockPlacementPolicy.java:120,319``)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q11(spark, sf_dir):
+    """5-table join: fact-to-fact shuffle join (lineitem ⋈ orders) then
+    broadcast joins for the dimensions — the plan shape that holds at
+    100 TB (dims stay broadcast-size; only the fact join shuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "rev"
+            )
+        )
+        .orderBy("n_name")
+    )
+
+
+def q12(spark, sf_dir):
+    """Left outer join + count of non-null FK."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c"))
+        .orderBy("c_custkey")
+    )
+
+
+def q13(spark, sf_dir):
+    """Left-semi join (IN-subquery) — the reference's set-membership
+    pattern (J1, ``CrossAZBlockPlacementPolicy.java:180-182``)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.where(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+def q14(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — the reference's exclusion pattern
+    (J2, ``CrossAZBlockPlacementPolicy.java:184-187,618``)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q15(spark, sf_dir):
+    """Equi-join with range residual (theta): the equi key keeps it a
+    hash/sort-merge join; the range predicate is a post-join filter in
+    the join condition, never a nested-loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+# --------------------------------------------------------------------------
+# windows / ranking / top-k
+# --------------------------------------------------------------------------
+
+
+def q16(spark, sf_dir):
+    """Top-N per group via row_number — the declarative form of the
+    reference's per-group arg-max (W1,
+    ``CrossAZBlockPlacementPolicy.java:600-610``)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q17(spark, sf_dir):
+    """Window analytic with frame (ROWS BETWEEN) + LAG."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2).alias("mv"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).orderBy("user_id", "event_id")
+
+
+def q18(spark, sf_dir):
+    """Global sort + top-k (TakeOrderedAndProject — no full sort at
+    scale; each partition keeps k rows, the driver merges)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+def q19(spark, sf_dir):
+    """UNION DISTINCT (U2 analog: distinct rack-set union,
+    ``CrossAZBlockPlacementPolicy.java:117-130``)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("k"))
+        .union(s.select("s_nationkey"))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+def q20(spark, sf_dir):
+    """INTERSECT."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("k"))
+        .intersect(s.select("s_nationkey"))
+        .orderBy("k")
+    )
+
+
+def q21(spark, sf_dir):
+    """EXCEPT (distinct)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.select(F.col("n_nationkey").alias("k"))
+        .subtract(c.select("c_nationkey"))
+        .orderBy("k")
+    )
+
+
+def q22(spark, sf_dir):
+    """CASE / conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("big"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q23(spark, sf_dir):
+    """Cross join over small dims (both broadcast-size)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.select("r_name").crossJoin(n.select("n_name")).orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# extension tables (documents / events / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q24(spark, sf_dir):
+    """Text-table aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.avg("n_chars"), 2).alias("a"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q25(spark, sf_dir):
+    """Exact duplicate detection = hash group-by on the full text.
+    At 100 TB scale the groupBy key would be ``sha2(text, 256)`` to
+    shrink shuffle width; kept raw here to match the oracle exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .orderBy(F.col("c").desc(), "text")
+        .limit(20)
+    )
+
+
+def q26(spark, sf_dir):
+    """Batch tumbling window — semantics pin for the streaming path
+    (SURVEY §2.10); hour bucket = date_trunc."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+def q27(spark, sf_dir):
+    """Embeddings-table aggregation."""
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.groupBy("label").agg(F.count(F.lit(1)).alias("c")).orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (canonical, runs on DuckDB over the same parquet)
+# --------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q01": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
+    "q02": "SELECT p_partkey, p_name FROM part WHERE p_type LIKE '%BRASS%' OR p_size IN (1,5,9) OR p_retailprice BETWEEN 901 AND 1000 ORDER BY p_partkey",
+    "q03": "SELECT c_custkey, UPPER(c_name) u, LENGTH(c_name) l, SUBSTR(c_name, 1, 10) s, CONCAT(c_mktsegment, '#', c_name) k FROM customer ORDER BY c_custkey",
+    "q04": "SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_extendedprice), 2) sq, MOD(l_partkey, 7) m, CAST(CEIL(l_discount * 100) AS BIGINT) c, CAST(FLOOR(l_tax * 100) AS BIGINT) f, ABS(l_quantity - 25) a FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, sq, m, c, f, a",
+    "q05": "SELECT YEAR(l_shipdate) y, MONTH(l_shipdate) m, COUNT(*) c FROM lineitem GROUP BY YEAR(l_shipdate), MONTH(l_shipdate) ORDER BY y, m",
+    "q06": "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sq, ROUND(SUM(l_extendedprice),2) sp, ROUND(SUM(l_extendedprice*(1-l_discount)),2) sd, ROUND(AVG(l_quantity),2) aq, COUNT(*) c FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q07": "SELECT o_custkey, COUNT(DISTINCT o_orderstatus) ds, COUNT(*) c FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3 ORDER BY o_custkey",
+    "q08": "SELECT l_returnflag, l_linestatus, COUNT(*) c, ROUND(SUM(l_quantity),2) s FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q09": "SELECT l_returnflag, l_linestatus, COUNT(*) c FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q10": "SELECT c_mktsegment, COUNT(*) c, ROUND(SUM(o_totalprice),2) s FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q11": "SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) rev FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name",
+    "q12": "SELECT c_custkey, COUNT(o_orderkey) c FROM customer LEFT JOIN orders ON o_custkey=c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "q13": "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey",
+    "q14": "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "q15": "SELECT l_orderkey, l_linenumber FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate ORDER BY l_orderkey, l_linenumber LIMIT 500",
+    "q16": "SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey",
+    "q17": "SELECT user_id, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) mv, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events ORDER BY user_id, event_id",
+    "q18": "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q19": "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k",
+    "q20": "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "q21": "SELECT n_nationkey k FROM nation EXCEPT SELECT c_nationkey FROM customer ORDER BY k",
+    "q22": "SELECT o_orderstatus, SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) big, COUNT(*) c FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q23": "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q24": "SELECT lang, source, COUNT(*) c, ROUND(AVG(n_chars),2) a FROM documents GROUP BY lang, source ORDER BY lang, source",
+    "q25": "SELECT text, COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1 ORDER BY c DESC, text LIMIT 20",
+    "q26": "SELECT DATE_TRUNC('hour', ts) h, event_type, COUNT(*) c, ROUND(SUM(value),2) s FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type",
+    "q27": "SELECT label, COUNT(*) c FROM embeddings GROUP BY label ORDER BY label",
+}
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+RELATIONAL_QUERIES: dict[str, Builder] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:].isdigit() and callable(fn)
+}

@@ -1,0 +1,81 @@
+"""Central registry assembling every implemented query/operator into
+the driver contract: ``queries()`` and ``oracle_sql()``.
+
+Families:
+- relational Q01–Q27 (operators.relational)
+- crossfire placement domain Q28–Q31 (placement.queries)
+- LLM-pipeline extensions: dedup / text analysis / similarity
+  (functions.dedup, functions.text, functions.similarity)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, Builder]:
+    from crossfire_spark.operators.relational import RELATIONAL_QUERIES
+
+    out: dict[str, Builder] = dict(RELATIONAL_QUERIES)
+
+    try:
+        from crossfire_spark.placement.queries import PLACEMENT_QUERIES
+
+        out.update(PLACEMENT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.dedup import DEDUP_QUERIES
+
+        out.update(DEDUP_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.text import TEXT_QUERIES
+
+        out.update(TEXT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.similarity import SIMILARITY_QUERIES
+
+        out.update(SIMILARITY_QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    from crossfire_spark.operators.relational import ORACLE_SQL
+
+    out: dict[str, str] = dict(ORACLE_SQL)
+
+    try:
+        from crossfire_spark.placement.queries import PLACEMENT_ORACLE_SQL
+
+        out.update(PLACEMENT_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.dedup import DEDUP_ORACLE_SQL
+
+        out.update(DEDUP_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.text import TEXT_ORACLE_SQL
+
+        out.update(TEXT_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
+
+        out.update(SIMILARITY_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out
