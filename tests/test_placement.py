@@ -1,0 +1,130 @@
+"""Placement domain tests: Q28–Q31 vs DuckDB oracle, scenario golden
+labels (the reference's ASCII-topology cases re-encoded as data), and
+the metamorphic invariants carried over from the reference
+(``TestCrossAZBlockPlacementPolicy.java:377-398,245-265``):
+``verify(choose(k)) == satisfied`` and
+``verify(remaining after delete) == satisfied``."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.placement.api import (
+    choose_targets,
+    deletion_candidates,
+    verify_placement,
+)
+from crossfire_spark.placement.queries import (
+    PLACEMENT_ORACLE_SQL,
+    PLACEMENT_QUERIES,
+    load_fixture,
+)
+from crossfire_spark.plans import results_match
+
+
+@pytest.mark.parametrize("name", sorted(PLACEMENT_QUERIES))
+def test_placement_query_matches_oracle(name, spark, duck, sf_dir):
+    sdf = PLACEMENT_QUERIES[name](spark, sf_dir)
+    cur = duck.execute(PLACEMENT_ORACLE_SQL[name])
+    ok, reason = results_match(
+        sdf.columns,
+        [tuple(r) for r in sdf.collect()],
+        [d[0] for d in cur.description],
+        cur.fetchall(),
+    )
+    assert ok, f"{name}: {reason}"
+
+
+@pytest.fixture(scope="module")
+def topo(spark):
+    return {
+        n: load_fixture(spark, n)
+        for n in ("datanodes", "storages", "replicas", "placement_cases")
+    }
+
+
+def test_verify_matches_scenario_labels(spark, topo):
+    """verify_placement must reproduce every golden expect_satisfied
+    label across all 2000 scenario blocks."""
+    res = verify_placement(
+        topo["replicas"],
+        topo["datanodes"],
+        topo["placement_cases"].select("block_id", "required_replicas"),
+    )
+    joined = res.join(topo["placement_cases"], "block_id")
+    bad = joined.where(F.col("satisfied") != F.col("expect_satisfied"))
+    rows = bad.limit(10).collect()
+    assert not rows, f"{bad.count()} mismatches, e.g. {rows}"
+
+
+def test_choose_then_verify(spark, topo):
+    """Metamorphic: topping up under-replicated blocks to the required
+    count must make verification pass."""
+    cases = topo["placement_cases"].where(
+        F.col("scenario").isin("under_replicated", "empty")
+    )
+    current = topo["replicas"].groupBy("block_id").count()
+    blocks = (
+        cases.join(current, "block_id", "left")
+        .na.fill({"count": 0})
+        .select(
+            "block_id",
+            (F.col("required_replicas") - F.col("count"))
+            .cast("int")
+            .alias("additional"),
+        )
+    )
+    chosen = choose_targets(
+        blocks, topo["replicas"], topo["datanodes"], topo["storages"]
+    )
+    merged = topo["replicas"].select("block_id", "datanode_id", "storage_id").union(
+        chosen.select("block_id", "datanode_id", "storage_id")
+    )
+    res = verify_placement(
+        merged.join(cases.select("block_id"), "block_id", "left_semi"),
+        topo["datanodes"],
+        cases.select("block_id", "required_replicas"),
+    )
+    unsat = res.where(~F.col("satisfied"))
+    rows = unsat.limit(5).collect()
+    assert not rows, f"choose did not satisfy: {rows}"
+
+
+def test_delete_then_verify(spark, topo):
+    """Metamorphic: draining over-replicated blocks back to the
+    required count must leave a still-satisfied placement."""
+    cases = topo["placement_cases"].where(F.col("scenario") == "over_replicated_ok")
+    reps = topo["replicas"].join(cases.select("block_id"), "block_id", "left_semi")
+    deleted = deletion_candidates(
+        reps, topo["datanodes"], topo["storages"], keep=3
+    )
+    remaining = reps.join(
+        deleted.select("block_id", "storage_id"),
+        ["block_id", "storage_id"],
+        "left_anti",
+    )
+    res = verify_placement(
+        remaining, topo["datanodes"], cases.select("block_id", "required_replicas")
+    )
+    unsat = res.where(~F.col("satisfied"))
+    rows = unsat.limit(5).collect()
+    assert not rows, f"delete broke placement: {rows}"
+    # drained to exactly keep=3
+    counts = remaining.groupBy("block_id").count().where(F.col("count") != 3)
+    assert counts.limit(1).collect() == []
+
+
+def test_deletion_all_failed_safety(spark, topo):
+    """Reference safety rule (:356-362): if every replica of a block
+    sits on FAILED storage, delete nothing."""
+    s = topo["storages"]
+    failed = s.where(F.col("state") == "FAILED").limit(5)
+    reps = failed.select(
+        F.lit(999999).cast("long").alias("block_id"),
+        F.monotonically_increasing_id().cast("int").alias("replica_idx"),
+        "datanode_id",
+        "storage_id",
+    )
+    deleted = deletion_candidates(reps, topo["datanodes"], s, keep=3)
+    assert deleted.count() == 0
