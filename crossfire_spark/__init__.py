@@ -21,6 +21,18 @@ Everything is DataFrame-first: logical plans are declared through the
 DataFrame/SQL API and physical strategy is left to Catalyst + AQE.
 """
 
-from crossfire_spark.session import get_spark  # noqa: F401
+import os as _os
+
+# Executor Python workers inherit PYTHONPATH from the JVM environment,
+# not from the driver's sys.path — make sure any pickled-by-value
+# closure that still references this package can resolve it on workers.
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        f"{_repo_root}{_os.pathsep}{_pp}" if _pp else _repo_root
+    )
+
+from crossfire_spark.session import get_spark  # noqa: E402,F401
 
 __version__ = "0.1.0"

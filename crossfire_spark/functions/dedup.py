@@ -1,0 +1,283 @@
+"""Deduplication operators for LLM data pipelines.
+
+Four tiers, in increasing scale-friendliness:
+
+- **d01_dedup_bag** — exact/bag dedup: group documents by an
+  order-invariant bag-of-words md5 fingerprint; one shuffle on a
+  16-byte key regardless of document size (at 100 TB you shuffle
+  fingerprints, never text).
+- **d02_ngram_jaccard** — exact word-3-gram Jaccard over candidate
+  pairs that share at least one shingle. Quadratic in the worst case;
+  it is the *oracle* for the approximate tiers below and the declared
+  correctness surface.
+- **d03_minhash_lsh** — MinHash signatures (128 hashes) + banded LSH
+  (32 bands x 4 rows): candidates meet in a band bucket, then exact
+  Jaccard verifies. This is the 100 TB path: cost is
+  O(docs x shingles) for signatures + a shuffle on band keys; no
+  pairwise blowup. Entirely JVM-side (xxhash64 / explode / groupBy —
+  no Python UDFs).
+- **d04_simhash** — 64-bit SimHash over distinct words, near-dup =
+  Hamming distance <= 3, candidate generation by 4x16-bit band join.
+  At <= 3 the banding is *complete* (pigeonhole: a pair differing in
+  <= 3 bits must share one of the 4 chunks), so the output is exactly
+  "all pairs with Hamming <= 3" — deterministic given xxhash64.
+
+d01/d02 have identical-formula DuckDB oracles; d03/d04 depend on
+engine hash functions, so the driver records a rows-only check and
+``tests/test_dedup.py`` verifies recall against the exact d02 result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 128
+LSH_BANDS = 32  # rows per band = MINHASH_K // LSH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document — built-ins only:
+    split -> transform(sequence) -> explode. No Python on the path."""
+    words = F.split(F.lower(F.col("text")), " ")
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def d01_dedup_bag(spark, sf_dir):
+    """Bag-of-words dedup groups: documents whose distinct-word sets
+    are identical collapse to one fingerprint; keep the min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))))
+    )
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keep"))
+        .where(F.col("c") > 1)
+        .orderBy("fp", "c", "keep")
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    Shuffle pattern: explode shingles -> join on shingle (candidates)
+    -> group by pair. The shingle join is the scale hazard (a hot
+    shingle fans out quadratically) — that's exactly what d03's LSH
+    banding fixes; this exact form is the correctness oracle.
+    """
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        # filter on the RAW ratio (the oracle does too); round only the
+        # output — otherwise 0.495 would round into the result set.
+        .where(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 2).alias("j"))
+    )
+
+
+def d02_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(d).orderBy("doc_a", "doc_b", "j")
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, minhash) — k permutations approximated by
+    xxhash64(shingle, seed); min per seed. One explode (x k) + one
+    partial-aggregating groupBy; signatures are 128 longs per doc."""
+    sh = _shingles(docs)
+    return (
+        sh.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}),"
+                    " i -> struct(i as seed, xxhash64(shingle, i) as h))"
+                )
+            ).alias("sh"),
+        )
+        .groupBy("doc_id", F.col("sh.seed").alias("seed"))
+        .agg(F.min("sh.h").alias("minh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Band signature = md5 over the band's (seed, minhash) rows; equal
+    band signatures meet in a bucket (one shuffle on the 16-byte band
+    key). Candidates then get exact Jaccard — output is a *subset* of
+    ``exact_jaccard_pairs`` (identical rows, minus LSH misses)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minh"))),
+                )
+            ).alias("bsig")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = exact_jaccard_pairs(docs, threshold)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+def d03_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d).orderBy("doc_a", "doc_b", "j")
+
+
+def _i64(x: int) -> int:
+    """Wrap an unsigned 64-bit mask into Java signed-long range
+    (1 << 63 must become Long.MIN_VALUE, not overflow py4j)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document over distinct words: per bit,
+    majority vote of word hashes (+1/-1), reassembled JVM-side with
+    64 conditional aggregates (whole-stage codegen keeps this one
+    tight loop; no Python)."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(_i64(1 << b))) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(_i64(1 << b))).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    chunks (band join), then Hamming distance verifies. Scale shape:
+    4 x shuffle on a 16-bit key, never all-pairs."""
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def d04_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d).orderBy("doc_a", "doc_b", "hamming")
+
+
+DEDUP_ORACLE_SQL: dict[str, str] = {
+    "d01_dedup_bag": """
+        WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp, doc_id FROM documents)
+        SELECT fp, COUNT(*) c, MIN(doc_id) keep FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp, c, keep""",
+    "d02_ngram_jaccard": f"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, ROUND(i * 1.0 / (x.n + y.n - i), 2) j
+        FROM inter JOIN ns x ON doc_a = x.doc_id JOIN ns y ON doc_b = y.doc_id
+        WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b, j""",
+    # d03/d04 are hash-function-dependent (xxhash64): rows-only check
+    # by the driver; recall verified against d02 in tests/test_dedup.py.
+}
+
+DEDUP_QUERIES = {
+    "d01_dedup_bag": d01_dedup_bag,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash": d04_simhash,
+}

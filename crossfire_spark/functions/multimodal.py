@@ -1,0 +1,177 @@
+"""Multimodal column plumbing for LLM data pipelines.
+
+Images/audio/video ride through Spark as opaque ``binary`` columns
+with a typed metadata struct alongside. The decode / feature-extract
+kernels are STUBBED (the real codec libraries are not in this
+container — see ``decode_image``), but everything Spark-side is real
+and tested: schema, Arrow batch shape, ``mapInPandas`` signature,
+partition-size control.
+
+Scale notes baked into the design:
+- blobs never enter a shuffle key; metadata-only projections prune
+  the binary column at the parquet scan (columnar: reading metadata
+  costs nothing even when blobs are huge),
+- feature extraction is ``mapInPandas`` (Arrow batches, one Python
+  worker per partition, streaming iterator — bounded memory however
+  big the table is),
+- ``spark.sql.files.maxPartitionBytes`` + per-batch row caps keep a
+  batch of blobs inside executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crossfire_spark.catalog import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image(content: bytes) -> "object":
+    """REAL image decode — intentionally unimplemented.
+
+    The container has no PIL/opencv/ffmpeg; a production deployment
+    plugs the codec in here. The pipeline around it (batching, schema,
+    partitioning) is exercised via ``_fake_features`` instead.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library (PIL/opencv); "
+        "wire it in here — the Spark plumbing around this call is real"
+    )
+
+
+def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector:
+    byte-histogram moments. Replace with decode_image(...) output."""
+    if not content:
+        return [0.0] * dim
+    step = max(len(content) // dim, 1)
+    return [
+        float(sum(content[i : i + step]) % 997) / 997.0
+        for i in range(0, step * dim, step)
+    ][:dim]
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` (the
+    container ships no real blobs): content = utf-8 of the text,
+    metadata derived from doc fields. Real pipelines read parquet/
+    Iceberg with an actual binary column — same schema."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Feature extraction over binary content via ``mapInPandas``.
+
+    Iterator-of-batches signature: bounded memory no matter how many
+    blobs a partition holds; Arrow moves the bytes without pickling.
+    """
+
+    # NOTE: the closure must be fully self-contained (no references to
+    # crossfire_spark module globals): cloudpickle serializes module
+    # globals by reference, and executor Python workers do not have
+    # this repo on sys.path when the driver runs from elsewhere.
+    dim = FEATURE_DIM
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def feats(content: bytes) -> list[float]:
+            if not content:
+                return [0.0] * dim
+            step = max(len(content) // dim, 1)
+            return [
+                float(sum(content[i : i + step]) % 997) / 997.0
+                for i in range(0, step * dim, step)
+            ][:dim]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "n_bytes": chunk["content"].map(len).astype("int64"),
+                        "digest": chunk["content"].map(
+                            lambda b: hashlib.sha256(b).hexdigest()
+                        ),
+                        "feature": chunk["content"].map(feats),
+                    }
+                )
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
+
+
+def m01_media_features(spark, sf_dir):
+    """Declared pipeline: synth media -> mapInPandas features ->
+    metadata join. Driver records a rows-only check (the sha256/
+    histogram kernels are deterministic, so rows are stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    return (
+        feats.join(media.select("media_id", "kind", "meta.width", "meta.height"), "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "digest",
+            F.round(F.element_at("feature", 1), 4).alias("f0"),
+            "width",
+            "height",
+        )
+        .orderBy("media_id", "kind", "n_bytes", "digest", "f0", "width", "height")
+    )
+
+
+MULTIMODAL_QUERIES = {"m01_media_features": m01_media_features}
+# no oracle: mapInPandas kernel not SQL-expressible → rows-only check
+MULTIMODAL_ORACLE_SQL: dict[str, str] = {}

@@ -1,0 +1,257 @@
+"""Similarity search over the ``embeddings`` table
+(``vec_id, embedding array<float>, label``).
+
+- **s01_cosine_topk** — brute-force cosine top-k: query set is every
+  50th vector, candidates the whole corpus. The dot product runs
+  JVM-side (``zip_with`` + ``aggregate`` in double precision — no
+  Python); queries are broadcast so the plan is a single pass over the
+  corpus however big it is, followed by a per-query top-k window.
+  Ranking uses ROUND(sim, 4) with vec_id tiebreak so the oracle
+  (DuckDB ``list_cosine_similarity`` on DOUBLE lists) agrees bit-for-bit.
+- **s02_lsh_topk** — the 100 TB path: sign-random-projection LSH
+  (16-bit signatures from deterministic seeded hyperplanes), candidates
+  = same bucket in >=1 of 4 bands, exact cosine re-rank within
+  candidates. Hash-dependent → rows-only driver check; recall vs s01
+  is pinned in tests/test_similarity.py.
+- **d05_embed_neardup** — embedding near-duplicate pairs: all pairs
+  with cosine >= 0.4 (data max is ~0.51; threshold chosen to exercise
+  the operator on real rows). Same double-precision oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from crossfire_spark.catalog import load_table
+
+TOPK = 5
+QUERY_STRIDE = 50
+NEARDUP_THRESHOLD = 0.4
+LSH_BITS = 16
+LSH_BANDS = 4  # 4 bits per band
+LSH_SEED = 42
+EMBED_DIM = 64
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Double-precision dot product of two float-array columns,
+    entirely in Catalyst expressions (codegen'd, no UDF)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({col}, x -> cast(x as double) * cast(x as double)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is ``(qid, qe)``; it is broadcast, so the join is a
+    BroadcastNestedLoopJoin: one corpus scan regardless of corpus
+    size. Per-query top-k then runs as a window — AQE handles the
+    skew if one query partition grows hot.
+    """
+    corpus = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    q = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot("embedding", "qe") / (F.col("nrm") * F.col("qn")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def _query_set(embeddings: DataFrame) -> DataFrame:
+    return embeddings.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+
+def s01_cosine_topk(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
+def _hyperplanes(dim: int = EMBED_DIM, bits: int = LSH_BITS, seed: int = LSH_SEED):
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype(float)
+
+
+def lsh_signature(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Sign-random-projection signature: bit b = (v . h_b) >= 0.
+    The hyperplanes are literals baked into the plan (seeded, tiny),
+    so the whole signature is a codegen'd projection."""
+    planes = _hyperplanes()
+    sig = None
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return embeddings.withColumn("lsh_sig", sig)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """ANN top-k: candidates share >= 1 LSH band with the query, then
+    exact cosine re-ranks the candidates. At scale this replaces the
+    full corpus scan per query with |bucket| lookups — the corpus side
+    shuffles once on (band, value) and queries stay broadcast."""
+    bits_per_band = bits // bands
+
+    corpus = lsh_signature(embeddings).select("vec_id", "embedding", "lsh_sig")
+    qsig = lsh_signature(
+        queries.withColumnRenamed("qe", "embedding"), "embedding"
+    ).select(
+        F.col("qid"), F.col("embedding").alias("qe"), F.col("lsh_sig").alias("qsig")
+    )
+
+    c_b = corpus.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("lsh_sig", i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "embedding", "bv.band", "bv.val")
+    q_b = qsig.select(
+        "qid",
+        "qe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("qsig", i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("qid", "qe", "bv.band", "bv.val")
+
+    candidates = (
+        c_b.join(F.broadcast(q_b), ["band", "val"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = candidates.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def s02_lsh_topk(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
+def embed_neardup_pairs(
+    embeddings: DataFrame, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """All-pairs cosine >= threshold (doc_a < doc_b). The pairwise
+    join self-shuffles; at 100 TB this is what s02's banding replaces
+    — kept exact here as the declared/oracle form."""
+    a = embeddings.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    raw = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .where(raw >= threshold)
+        .select("va", "vb", F.round(raw, 4).alias("sim"))
+    )
+
+
+def d05_embed_neardup(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
+
+
+SIMILARITY_ORACLE_SQL: dict[str, str] = {
+    "s01_cosine_topk": f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        s AS (SELECT qid, vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+              FROM embeddings, q WHERE vec_id != qid),
+        r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM s)
+        SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim""",
+    "d05_embed_neardup": f"""
+        SELECT a.vec_id va, b.vec_id vb,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}
+        ORDER BY va, vb, sim""",
+    # s02 is hash-dependent (seeded hyperplanes) → rows-only driver
+    # check; recall vs s01 pinned in tests/test_similarity.py.
+}
+
+SIMILARITY_QUERIES = {
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_lsh_topk": s02_lsh_topk,
+    "d05_embed_neardup": d05_embed_neardup,
+}

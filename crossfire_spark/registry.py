@@ -46,6 +46,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(SIMILARITY_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.functions.multimodal import MULTIMODAL_QUERIES
+
+        out.update(MULTIMODAL_QUERIES)
+    except ImportError:
+        pass
     return out
 
 

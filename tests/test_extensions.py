@@ -1,0 +1,174 @@
+"""Extension-surface tests: text analysis / dedup / similarity vs the
+DuckDB oracle where SQL-expressible; recall-vs-exact and numpy oracles
+for the hash-dependent scale paths (SURVEY §2.12 'non-declared')."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.functions.dedup import (
+    DEDUP_ORACLE_SQL,
+    DEDUP_QUERIES,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from crossfire_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    m01_media_features,
+    synthesize_media,
+)
+from crossfire_spark.functions.similarity import (
+    SIMILARITY_ORACLE_SQL,
+    SIMILARITY_QUERIES,
+    cosine_topk,
+    lsh_topk,
+)
+from crossfire_spark.functions.text import TEXT_ORACLE_SQL, TEXT_QUERIES
+from crossfire_spark.plans import results_match
+
+ORACLED = {
+    **{n: (TEXT_QUERIES[n], TEXT_ORACLE_SQL[n]) for n in TEXT_ORACLE_SQL},
+    **{n: (DEDUP_QUERIES[n], DEDUP_ORACLE_SQL[n]) for n in DEDUP_ORACLE_SQL},
+    **{
+        n: (SIMILARITY_QUERIES[n], SIMILARITY_ORACLE_SQL[n])
+        for n in SIMILARITY_ORACLE_SQL
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLED))
+def test_extension_matches_oracle(name, spark, duck, sf_dir):
+    fn, sql = ORACLED[name]
+    sdf = fn(spark, sf_dir)
+    cur = duck.execute(sql)
+    ok, reason = results_match(
+        sdf.columns,
+        [tuple(r) for r in sdf.collect()],
+        [d[0] for d in cur.description],
+        cur.fetchall(),
+    )
+    assert ok, f"{name}: {reason}"
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH output must be a subset of exact Jaccard pairs with high
+    recall on the planted near-dups (j >= 0.9 pairs are essentially
+    guaranteed candidates at 32 bands x 4 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b) for r in exact_jaccard_pairs(docs).collect()
+    }
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert approx <= exact, "LSH produced a pair exact Jaccard rejects"
+    high = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    missed = high - approx
+    assert len(missed) <= max(1, len(high) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_identical_bags_collide(spark, sf_dir):
+    """Documents with identical distinct-word sets must have Hamming
+    distance 0 (SimHash is a deterministic function of the bag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=0)
+    # d01 found bag-duplicate groups; every in-group pair must appear.
+    bags = (
+        docs.select(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                )
+            ).alias("fp"),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for row in bags:
+        ids = sorted(row.ids)
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                assert (ids[i], ids[k]) in got, f"bag-dup pair {ids[i]},{ids[k]} missing"
+
+
+def test_cosine_topk_vs_numpy(spark, sf_dir):
+    """Brute-force top-k must agree with a numpy oracle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pdf = em.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+
+    queries = em.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = cosine_topk(em, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.sim))
+
+    for qid, hits in by_q.items():
+        qvec = mat[ids == qid][0]
+        sims = mat @ qvec / (norms * np.linalg.norm(qvec))
+        sims[ids == qid] = -np.inf
+        order = sorted(
+            range(len(ids)), key=lambda i: (-round(sims[i], 4), ids[i])
+        )[:5]
+        expect = [(int(ids[i]), round(float(sims[i]), 4)) for i in order]
+        assert sorted(hits) == sorted(expect), f"qid {qid}: {hits} vs {expect}"
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """ANN top-k recall vs exact top-k: sign-random-projection with
+    4x4-bit bands on this data keeps recall usefully high; pin the
+    floor so regressions surface."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(em, queries, k=5).collect()}
+    approx = {(r.qid, r.vec_id) for r in lsh_topk(em, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} below floor"
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    """Schema, batch shape and determinism of the media pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, batch_rows=64)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id",
+        "n_bytes",
+        "digest",
+        "feature",
+    ]
+    rows = feats.orderBy("media_id").limit(5).collect()
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(len(r.digest) == 64 for r in rows)
+    # deterministic across runs
+    again = feats.orderBy("media_id").limit(5).collect()
+    assert [r.digest for r in rows] == [r.digest for r in again]
+    # end-to-end declared query
+    out = m01_media_features(spark, sf_dir)
+    assert out.count() == docs.count()
+
+
+def test_decode_stub_raises():
+    from crossfire_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

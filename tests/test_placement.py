@@ -23,7 +23,7 @@ from crossfire_spark.placement.queries import (
 from crossfire_spark.plans import results_match
 
 
-@pytest.mark.parametrize("name", sorted(PLACEMENT_QUERIES))
+@pytest.mark.parametrize("name", sorted(PLACEMENT_ORACLE_SQL))
 def test_placement_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = PLACEMENT_QUERIES[name](spark, sf_dir)
     cur = duck.execute(PLACEMENT_ORACLE_SQL[name])
@@ -34,6 +34,14 @@ def test_placement_query_matches_oracle(name, spark, duck, sf_dir):
         cur.fetchall(),
     )
     assert ok, f"{name}: {reason}"
+
+
+@pytest.mark.parametrize("name", ["p02_deletion_drain", "p03_choose_targets"])
+def test_iterative_queries_run_and_are_deterministic(name, spark, sf_dir):
+    """No SQL oracle (iterative); assert non-empty + stable output."""
+    first = [tuple(r) for r in PLACEMENT_QUERIES[name](spark, sf_dir).collect()]
+    second = [tuple(r) for r in PLACEMENT_QUERIES[name](spark, sf_dir).collect()]
+    assert first and first == second
 
 
 @pytest.fixture(scope="module")
