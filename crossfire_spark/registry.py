@@ -52,6 +52,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(MULTIMODAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.streaming.jobs import STREAMING_QUERIES
+
+        out.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -82,6 +88,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
 
         out.update(SIMILARITY_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.streaming.jobs import STREAMING_ORACLE_SQL
+
+        out.update(STREAMING_ORACLE_SQL)
     except ImportError:
         pass
     return out

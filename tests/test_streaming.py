@@ -1,0 +1,66 @@
+"""Streaming tests: the streaming engine's answers must equal the
+batch/oracle answers (SURVEY §7.1 M5 correctness = streaming result
+of the windowed aggregation equals the batch answer), plus streaming
+dedup and append-mode session-window behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.plans import results_match
+from crossfire_spark.streaming.jobs import (
+    STREAMING_ORACLE_SQL,
+    STREAMING_QUERIES,
+    events_stream,
+    run_stream_to_memory,
+    session_windows,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STREAMING_QUERIES))
+def test_streaming_matches_oracle(name, spark, duck, sf_dir):
+    sdf = STREAMING_QUERIES[name](spark, sf_dir)
+    cur = duck.execute(STREAMING_ORACLE_SQL[name])
+    ok, reason = results_match(
+        sdf.columns,
+        [tuple(r) for r in sdf.collect()],
+        [d[0] for d in cur.description],
+        cur.fetchall(),
+    )
+    assert ok, f"{name}: {reason}"
+
+
+def test_streaming_session_append_is_prefix_of_batch(spark, sf_dir):
+    """Append-mode session windows emit only watermark-closed
+    sessions: the streaming output must be a subset of the batch
+    result, missing at most the sessions near the stream's end."""
+    stream = session_windows(events_stream(spark, sf_dir).withWatermark("ts", "0 seconds"))
+    got = {
+        (r.user_id, r.session_start, r.c, r.s)
+        for r in run_stream_to_memory(stream, mode="append").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.c, r.s)
+        for r in session_windows(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got <= batch
+    # with a 0-second watermark everything before the max event time
+    # closes; only the tail sessions (one per user at most) may lag
+    assert len(batch - got) <= load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).distinct().count()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark collapses re-deliveries: stream
+    the events table twice (union) and dedup on event_id."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    doubled = s1.union(s2).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_stream_to_memory(deduped, mode="append")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
