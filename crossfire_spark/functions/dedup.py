@@ -42,15 +42,20 @@ SIMHASH_MAX_HAMMING = 3
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document — built-ins only:
-    split -> transform(sequence) -> explode. No Python on the path."""
-    words = F.split(F.lower(F.col("text")), " ")
+    split -> transform(sequence) -> explode. No Python on the path.
+
+    The words array is materialized in its own projection first:
+    referencing ``split(...)`` inside the lambda would re-split the
+    whole document for every shingle position (O(words^2) per doc).
+    """
     return (
-        df.select(
+        df.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 1)),"
-                    f" i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n})))"
+                    f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(w, i, {n})))"
                 )
             ).alias("shingle"),
         )
@@ -111,23 +116,32 @@ def d02_ngram_jaccard(spark, sf_dir):
     return exact_jaccard_pairs(d).orderBy("doc_a", "doc_b", "j")
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, seed, minhash) — k permutations approximated by
-    xxhash64(shingle, seed); min per seed. One explode (x k) + one
-    partial-aggregating groupBy; signatures are 128 longs per doc."""
+def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """One row per doc with k minhash columns ``m0..m{k-1}``.
+
+    k permutations approximated by ``xxhash64(shingle, seed)``. Flat
+    columns instead of an exploded (doc, seed) table: each hash is a
+    native codegen'd function call (not a lambda — higher-order
+    functions evaluate interpreted) and the k mins aggregate map-side
+    in one pass, so the shuffle carries docs x k longs, never
+    shingles x k rows."""
     sh = _shingles(docs)
-    return (
-        sh.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {k - 1}),"
-                    " i -> struct(i as seed, xxhash64(shingle, i) as h))"
-                )
-            ).alias("sh"),
-        )
-        .groupBy("doc_id", F.col("sh.seed").alias("seed"))
-        .agg(F.min("sh.h").alias("minh"))
+    hashed = sh.select(
+        "doc_id",
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(k)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, minhash) — narrow view of the wide signature."""
+    wide = minhash_signatures_wide(docs, k)
+    stacked = ", ".join(f"{i}, m{i}" for i in range(k))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({k}, {stacked}) as (seed, minh)"),
     )
 
 
@@ -144,19 +158,28 @@ def minhash_lsh_pairs(
     key). Candidates then get exact Jaccard — output is a *subset* of
     ``exact_jaccard_pairs`` (identical rows, minus LSH misses)."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    wide = minhash_signatures_wide(docs, k)
+    # band signature = md5 over the band's minhashes, computed from
+    # the wide row directly (no per-(doc,seed) shuffle), then unpivot
+    # to (doc_id, band, bsig) for the bucket join.
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minh"))),
+                    *[
+                        F.col(f"m{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
                 )
-            ).alias("bsig")
+            ).alias("bsig"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_sig = wide.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     candidates = (
@@ -169,8 +192,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = exact_jaccard_pairs(docs, threshold)
-    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    # Exact Jaccard for CANDIDATE pairs only — this is the whole point
+    # of LSH: the all-pairs shingle join never happens; work is
+    # O(candidates x shingles). Semantics identical to
+    # exact_jaccard_pairs(...).semi_join(candidates).
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    # no broadcast hints: sizes is corpus-sized; AQE turns these into
+    # broadcast joins at runtime from the actual (small) inter side.
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 2).alias("j"))
+    )
 
 
 def d03_minhash_lsh(spark, sf_dir):

@@ -37,8 +37,12 @@ EMBED_DIM = 64
 
 
 def _dot(a: str, b: str) -> F.Column:
-    """Double-precision dot product of two float-array columns,
-    entirely in Catalyst expressions (codegen'd, no UDF)."""
+    """Double-precision dot product of two float-array columns via
+    Catalyst higher-order functions. Strict left-to-right addition —
+    bit-identical to the sequential DuckDB oracle. Fine when the pair
+    count is bounded (top-k joins); for all-pairs workloads use the
+    Arrow/numpy path in ``embed_neardup_pairs`` instead (higher-order
+    functions evaluate interpreted, per row)."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -206,24 +210,41 @@ def s02_lsh_topk(spark, sf_dir):
 def embed_neardup_pairs(
     embeddings: DataFrame, threshold: float = NEARDUP_THRESHOLD
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (doc_a < doc_b). The pairwise
-    join self-shuffles; at 100 TB this is what s02's banding replaces
-    — kept exact here as the declared/oracle form."""
-    a = embeddings.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        _norm("embedding").alias("na"),
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        _norm("embedding").alias("nb"),
-    )
-    raw = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .where(raw >= threshold)
-        .select("va", "vb", F.round(raw, 4).alias("sim"))
+    """Exact all-pairs cosine >= threshold (va < vb), block-matrix
+    style: the corpus matrix rides to every task in the closure
+    (float64, N x 64 — 1.3 MB at sf0.1; at larger N you tile the
+    corpus into chunks and union the runs), each Arrow batch of rows
+    multiplies against it with one BLAS matmul, and only pairs over
+    threshold leave the task. O(N) rows move; the N^2 work happens
+    inside vectorized kernels, not per-row interpreted expressions
+    (24s -> ~2s at sf0.1 vs the zip_with/aggregate form)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+
+    out_schema = "va long, vb long, sim double"
+
+    def pairs(batches):
+        for b in batches:
+            bids = b["vec_id"].to_numpy()
+            bmat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            bnorms = np.linalg.norm(bmat, axis=1)
+            sims = (bmat @ mat.T) / (bnorms[:, None] * norms[None, :])
+            rows, cols = np.where((sims >= threshold) & (bids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "va": bids[rows],
+                    "vb": ids[cols],
+                    "sim": np.round(sims[rows, cols], 4),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        pairs, schema=out_schema
     )
 
 

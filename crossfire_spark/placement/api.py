@@ -130,6 +130,10 @@ def verify_placement(
     return out.select("block_id", "replica_cnt", "satisfied", "reason")
 
 
+# buckets for grouped-map ops: enough for full-cluster parallelism,
+# few enough that each pandas call amortizes its dispatch overhead
+DRAIN_BUCKETS = 128
+
 _DELETE_SCHEMA = T.StructType(
     [
         T.StructField("block_id", T.LongType()),
@@ -167,53 +171,87 @@ def deletion_candidates(
     n_dcs = datanodes.select("datacenter").distinct().count()
     eff_keep = min(4, keep) if (two_dc_clamp and n_dcs == 2) else keep
 
-    enriched = replicas.join(
-        F.broadcast(datanodes.select("datanode_id", "datacenter", "rack")),
-        "datanode_id",
-    ).join(
-        F.broadcast(storages.select("storage_id", "state", "remaining")),
-        "storage_id",
+    # Only blocks that actually exceed the target enter the Python
+    # drain — at a billion blocks, most are already at target and
+    # must never pay the applyInPandas round-trip.
+    over = (
+        replicas.groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > eff_keep)
+        .select("block_id")
+    )
+    enriched = (
+        replicas.join(over, "block_id", "left_semi")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "datacenter", "rack")),
+            "datanode_id",
+        )
+        .join(
+            F.broadcast(storages.select("storage_id", "state", "remaining")),
+            "storage_id",
+        )
     )
 
-    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
+    def drain_block(rows: list[tuple]) -> list[tuple]:
+        # rows: (block_id, storage_id, datanode_id, state, remaining,
+        # datacenter, rack) — a handful per block, so plain tuples:
+        # pandas per-round transforms on 6-row frames cost more than
+        # the whole drain.
+        from collections import Counter
+
         out = []
         rnd = 0
-        while len(pdf) > eff_keep:
-            # all-FAILED safety: delete nothing (:356-362)
-            if (pdf["state"] == "FAILED").all():
-                break
-            rack_cnt = pdf.groupby(["datacenter", "rack"])["storage_id"].transform(
-                "count"
+        while len(rows) > eff_keep:
+            if all(r[3] == "FAILED" for r in rows):
+                break  # all-FAILED safety: delete nothing (:356-362)
+            rack_cnt = Counter((r[5], r[6]) for r in rows)
+            dc_cnt = Counter(r[5] for r in rows)
+            victim = min(
+                rows,
+                key=lambda r: (
+                    0 if r[3] == "FAILED" else 1,  # FAILED first
+                    -rack_cnt[(r[5], r[6])],  # most-crowded rack
+                    -dc_cnt[r[5]],  # most-crowded datacenter
+                    r[4],  # least remaining
+                    r[1],  # storage_id tiebreak
+                ),
             )
-            dc_cnt = pdf.groupby("datacenter")["storage_id"].transform("count")
-            key = pd.DataFrame(
-                {
-                    "failed": (pdf["state"] != "FAILED").astype(int),  # FAILED first
-                    "rack_crowd": -rack_cnt,
-                    "dc_crowd": -dc_cnt,
-                    "remaining": pdf["remaining"],
-                    "storage_id": pdf["storage_id"],
-                }
-            )
-            victim = key.sort_values(
-                ["failed", "rack_crowd", "dc_crowd", "remaining", "storage_id"]
-            ).index[0]
-            out.append(
-                (
-                    int(pdf.loc[victim, "block_id"]),
-                    rnd,
-                    pdf.loc[victim, "storage_id"],
-                    int(pdf.loc[victim, "datanode_id"]),
-                )
-            )
-            pdf = pdf.drop(index=victim)
+            out.append((victim[0], rnd, victim[1], victim[2]))
+            rows.remove(victim)
             rnd += 1
+        return out
+
+    def drain_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple] = []
+        cols = [
+            "block_id",
+            "storage_id",
+            "datanode_id",
+            "state",
+            "remaining",
+            "datacenter",
+            "rack",
+        ]
+        per_block: dict[int, list[tuple]] = {}
+        for row in pdf[cols].itertuples(index=False):
+            per_block.setdefault(row[0], []).append(tuple(row))
+        for block_id in sorted(per_block):
+            out.extend(drain_block(per_block[block_id]))
         return pd.DataFrame(
             out, columns=["block_id", "round", "storage_id", "datanode_id"]
         )
 
-    return enriched.groupBy("block_id").applyInPandas(drain, schema=_DELETE_SCHEMA)
+    # Bucket many blocks into one pandas call: per-group Python
+    # dispatch costs ~5-10 ms, which at millions of tiny groups IS
+    # the runtime. Buckets keep parallelism (hash over blocks) while
+    # amortizing the round-trip.
+    bucketed = enriched.withColumn(
+        "_bucket", F.pmod(F.col("block_id"), F.lit(DRAIN_BUCKETS))
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(drain_bucket, schema=_DELETE_SCHEMA)
+    )
 
 
 _CHOOSE_SCHEMA = T.StructType(
@@ -266,14 +304,24 @@ def choose_targets(
         .agg(F.max_by("storage_id", "remaining").alias("storage_id"),
              F.max("remaining").alias("remaining"))
     )
-    candidates = (
-        healthy.join(best_storage, "datanode_id")
-        .toPandas()
-        .sort_values("datanode_id")
-        .reset_index(drop=True)
-    )
+    # (datanode_id, datacenter, rack, xceiver, storage_id, remaining),
+    # as plain tuples: the per-slot greedy scans this list, and tuple
+    # scans beat pandas filtering by ~100x at topology sizes.
+    candidates = [
+        (
+            int(r.datanode_id),
+            r.datacenter,
+            r.rack,
+            int(r.xceiver_count),
+            r.storage_id,
+            int(r.remaining),
+        )
+        for r in healthy.join(best_storage, "datanode_id")
+        .orderBy("datanode_id")
+        .collect()
+    ]
 
-    existing = blocks.join(
+    existing = blocks.where(F.col("additional") > 0).join(
         replicas.join(
             F.broadcast(datanodes.select("datanode_id", "datacenter", "rack")),
             "datanode_id",
@@ -282,39 +330,57 @@ def choose_targets(
         "left",
     )
 
-    def choose(pdf: pd.DataFrame) -> pd.DataFrame:
-        block_id = int(pdf["block_id"].iloc[0])
-        additional = int(pdf["additional"].iloc[0])
-        used_nodes = set(pdf["datanode_id"].dropna().astype(int))
-        dc_load = pdf.dropna(subset=["datanode_id"]).groupby("datacenter").size().to_dict()
-        rack_load = (
-            pdf.dropna(subset=["datanode_id"])
-            .groupby(["datacenter", "rack"])
-            .size()
-            .to_dict()
-        )
-        pool = candidates[~candidates["datanode_id"].isin(used_nodes)]
+    def choose_block(
+        block_id: int, additional: int, existing_rows: list[tuple]
+    ) -> list[tuple]:
+        # existing_rows: (datanode_id, datacenter, rack) of current
+        # replicas (possibly empty). Greedy per slot over the candidate
+        # tuple list: least-loaded DC -> least-loaded rack -> best node.
+        used_nodes = {r[0] for r in existing_rows if r[0] is not None}
+        dc_load: dict[str, int] = {}
+        rack_load: dict[tuple[str, str], int] = {}
+        for r in existing_rows:
+            if r[0] is None:
+                continue
+            dc_load[r[1]] = dc_load.get(r[1], 0) + 1
+            rack_load[(r[1], r[2])] = rack_load.get((r[1], r[2]), 0) + 1
+        pool = [c for c in candidates if c[0] not in used_nodes]
         out = []
         for slot in range(additional):
-            if pool.empty:
+            if not pool:
                 break
-            dcs = sorted(pool["datacenter"].unique())
+            dcs = {c[1] for c in pool}
             dc = min(dcs, key=lambda d: (dc_load.get(d, 0), d))
-            in_dc = pool[pool["datacenter"] == dc]
-            racks = sorted(in_dc["rack"].unique())
+            in_dc = [c for c in pool if c[1] == dc]
+            racks = {c[2] for c in in_dc}
             rack = min(racks, key=lambda rk: (rack_load.get((dc, rk), 0), rk))
-            in_rack = in_dc[in_dc["rack"] == rack]
+            in_rack = [c for c in in_dc if c[2] == rack]
             # W3 preference: most remaining, then fewest xceivers, then id
-            pick = in_rack.sort_values(
-                ["remaining", "xceiver_count", "datanode_id"],
-                ascending=[False, True, True],
-            ).iloc[0]
-            out.append((block_id, slot, int(pick["datanode_id"]), pick["storage_id"]))
+            pick = min(in_rack, key=lambda c: (-c[5], c[3], c[0]))
+            out.append((block_id, slot, pick[0], pick[4]))
             dc_load[dc] = dc_load.get(dc, 0) + 1
             rack_load[(dc, rack)] = rack_load.get((dc, rack), 0) + 1
-            pool = pool[pool["datanode_id"] != pick["datanode_id"]]
+            pool = [c for c in pool if c[0] != pick[0]]
+        return out
+
+    def choose_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple] = []
+        per_block: dict[tuple[int, int], list[tuple]] = {}
+        for row in pdf[
+            ["block_id", "additional", "datanode_id", "datacenter", "rack"]
+        ].itertuples(index=False):
+            key = (int(row[0]), int(row[1]))
+            node = None if pd.isna(row[2]) else int(row[2])
+            per_block.setdefault(key, []).append((node, row[3], row[4]))
+        for (block_id, additional) in sorted(per_block):
+            out.extend(choose_block(block_id, additional, per_block[(block_id, additional)]))
         return pd.DataFrame(
             out, columns=["block_id", "slot", "datanode_id", "storage_id"]
         )
 
-    return existing.groupBy("block_id").applyInPandas(choose, schema=_CHOOSE_SCHEMA)
+    bucketed = existing.withColumn(
+        "_bucket", F.pmod(F.col("block_id"), F.lit(DRAIN_BUCKETS))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(
+        choose_bucket, schema=_CHOOSE_SCHEMA
+    )

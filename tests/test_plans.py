@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions (the 100 TB discipline, SURVEY §4):
+a correct answer with the wrong plan is a regression at scale, so the
+plans themselves are under test.
+
+- filters and column pruning must reach the parquet scan,
+- dimension joins must broadcast (no shuffle of the fact table for
+  nation/region/customer),
+- aggregations must be two-phase (partial map-side combine),
+- global top-k must be TakeOrderedAndProject (no full sort),
+- the hot relational path must stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from crossfire_spark.operators.relational import (
+    q01,
+    q06,
+    q10,
+    q11,
+    q18,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(q01(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:200]
+    # only the 5 needed columns are read (3 output + 2 filter)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity"):
+        assert col in read_schema
+    assert "l_extendedprice" not in read_schema, "column pruning failed"
+
+
+def test_q11_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q11(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    # the one fact-fact join (lineitem x orders) may shuffle; the
+    # dims must never force a fact-table shuffle join
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_broadcast_join(spark, sf_dir):
+    plan = _plan(q10(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q06_partial_aggregation(spark, sf_dir):
+    plan = _plan(q06(spark, sf_dir))
+    assert "HashAggregate" in plan
+    # partial + final pairs: map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan, "map-side combine missing"
+
+
+def test_q18_take_ordered(spark, sf_dir):
+    plan = _plan(q18(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
