@@ -39,9 +39,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing engine-specific quirks."""
     # Defensive runtime confs: the driver may hand us a session built
-    # without the engine defaults. Both are runtime-settable SQL confs.
-    # UTC keeps timestamp rendering identical to the DuckDB oracle.
+    # without the engine defaults. All are runtime-settable SQL confs.
+    # UTC keeps timestamp rendering identical to the DuckDB oracle;
+    # AQE coalesces the 200-partition default away on small inputs.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     if name == "events":
         # required to read timestamp[ns] parquet.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

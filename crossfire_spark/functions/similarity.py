@@ -207,6 +207,87 @@ def s02_lsh_topk(spark, sf_dir):
     return lsh_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def _sqdist(a: str, b: str) -> F.Column:
+    """Squared euclidean distance, double precision, sequential."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid
+    buckets, search only the query's ``n_probes`` nearest buckets.
+
+    Deterministic teaching-grade variant: centroids are the first
+    ``n_centroids`` vectors by vec_id (a production build would run
+    k-means; the *index structure* — assignment, probe, re-rank — is
+    identical). Ranking keys are rounded (dist 6 dp, cosine 4 dp) with
+    id tiebreaks so the DuckDB oracle agrees exactly.
+
+    Scale shape: assignment is one corpus scan against a broadcast
+    centroid table; the probe join shuffles on centroid id — each
+    query touches ~n_probes/n_centroids of the corpus.
+    """
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # corpus -> nearest centroid
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+    )
+    assign = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    # query -> n_probes nearest centroids
+    qw = Window.partitionBy("qid").orderBy(
+        F.round(_sqdist("qe", "ce"), 6), F.col("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= n_probes)
+        .select("qid", "qe", "cid")
+    )
+    cand = (
+        assign.join(probes, "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", "vec_id", "embedding")
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def s03_ivf_topk(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
 def embed_neardup_pairs(
     embeddings: DataFrame, threshold: float = NEARDUP_THRESHOLD
 ) -> DataFrame:
@@ -269,10 +350,30 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
         ORDER BY va, vb, sim""",
     # s02 is hash-dependent (seeded hyperplanes) → rows-only driver
     # check; recall vs s01 pinned in tests/test_similarity.py.
+    "s03_ivf_topk": f"""
+        WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+        assign AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.ce) ^ 2, 6), c.cid) rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        probes AS (SELECT qid, qe, cid FROM (
+            SELECT q.vec_id qid, q.embedding::DOUBLE[] qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_distance(q.embedding::DOUBLE[], c.ce) ^ 2, 6), c.cid) rn
+            FROM embeddings q, cent c WHERE q.vec_id % {QUERY_STRIDE} = 0) WHERE rn <= {IVF_PROBES}),
+        scored AS (SELECT p.qid, a.vec_id,
+                          ROUND(list_cosine_similarity(a.embedding::DOUBLE[], p.qe), 4) sim
+                   FROM assign a JOIN probes p USING (cid) WHERE a.vec_id != p.qid),
+        r AS (SELECT qid, vec_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+              FROM scored)
+        SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim""",
 }
 
 SIMILARITY_QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_topk": s02_lsh_topk,
+    "s03_ivf_topk": s03_ivf_topk,
     "d05_embed_neardup": d05_embed_neardup,
 }

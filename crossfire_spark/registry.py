@@ -58,6 +58,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(STREAMING_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.streaming.stateful import STATEFUL_QUERIES
+
+        out.update(STATEFUL_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -94,6 +100,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.streaming.jobs import STREAMING_ORACLE_SQL
 
         out.update(STREAMING_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.streaming.stateful import STATEFUL_ORACLE_SQL
+
+        out.update(STATEFUL_ORACLE_SQL)
     except ImportError:
         pass
     return out

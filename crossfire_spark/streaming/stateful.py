@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator — the Spark form of the
+reference's stateful unfold (``LazyIterators.java:164-194`` G2:
+a generator threaded with explicit carried context).
+
+``user_running_totals`` carries (count, sum) per user across
+micro-batches via ``applyInPandasWithState``: state lives in the
+state store (RocksDB/HDFS-backed on a cluster), partitioned by the
+grouping key — millions of users shard across executors, and each
+batch touches only the keys present in it.
+
+Declared as st04 with a full oracle: over a bounded replay
+(availableNow, update mode) the final emitted row per user equals the
+batch per-user aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, c long, s double"
+STATE_SCHEMA = "c long, s double"
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) maintained in stream state."""
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        c, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            c += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((c, s))
+        yield pd.DataFrame({"user_id": [user_id], "c": [c], "s": [round(s, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st04_stateful_totals(spark, sf_dir):
+    """Run the stateful operator over the bounded replay; the final
+    update per user must equal the batch aggregate (oracle)."""
+    from crossfire_spark.streaming.jobs import events_stream, run_stream_to_memory
+
+    out = run_stream_to_memory(
+        user_running_totals(events_stream(spark, sf_dir)), mode="update"
+    )
+    # update mode emits one row per (user, batch); keep the final one
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "c", "s")
+        .orderBy("user_id", "c", "s")
+    )
+
+
+STATEFUL_ORACLE_SQL = {
+    "st04_stateful_totals": """
+        SELECT user_id, COUNT(*) c, ROUND(SUM(value),2) s
+        FROM events GROUP BY user_id ORDER BY user_id, c, s""",
+}
+STATEFUL_QUERIES = {"st04_stateful_totals": st04_stateful_totals}
