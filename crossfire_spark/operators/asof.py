@@ -1,0 +1,132 @@
+"""As-of join and k-way sorted merge — ordered-data operators the
+task surface requires that Spark's join zoo lacks as primitives.
+
+**As-of join** (``asof_join``): for each left row, the single right
+row with the largest right timestamp strictly before the left's.
+Implemented merge-style, the way it scales: union both sides with a
+side marker, one window pass per key carrying the last-seen right
+values forward (``F.last(ignorenulls)``). Cost = one shuffle on the
+key + one sort — never the range-join row explosion a naive
+``l.ts > r.ts`` join produces. Strictness is encoded in the sort
+order: at equal timestamps the left row sorts *before* the right row,
+so an equal-ts right match is invisible to it.
+
+**K-way sorted merge** (``kway_merge``): the reference's lazy k-way
+iterator merge (``LazyIterators.java:104-140`` O3, with its
+consume-equal-together dedup semantics) — in Spark, merging N sorted
+runs IS the sort machinery (range-partition + TimSort over runs), so
+the operator is ``unionByName`` + ``orderBy`` (+ ``dropDuplicates``
+for the dedup variant); the declarative form lets Catalyst fuse it
+with whatever follows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Left as-of join: attach the most recent (strictly earlier)
+    right row's ``value_cols`` (and its timestamp, ``{prefix}ts``) to
+    every left row; nulls when no earlier right row exists.
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate if it
+    isn't, or the match is ambiguous in any engine.
+    """
+    l_marked = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_marked = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(l_marked.schema["_l"].dataType).alias("_l"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # order (ts, side): at equal ts the left row precedes the right
+    # row, so "strictly earlier" falls out of the frame boundary.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_marked.unionByName(r_marked).select(
+        "_side",
+        "_l",
+        F.last("_rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 0).select(
+        "_l.*", f"{prefix}ts", *[f"{prefix}{c}" for c in value_cols]
+    )
+
+
+def kway_merge(
+    runs: list[DataFrame], keys: list[str], dedup: bool = False
+) -> DataFrame:
+    """Merge N sorted runs into one totally-ordered DataFrame.
+    ``dedup=True`` reproduces the reference's consume-equal-together
+    semantics (equal-key elements across runs collapse to one)."""
+    merged = reduce(DataFrame.unionByName, runs)
+    if dedup:
+        merged = merged.dropDuplicates(keys)
+    return merged.orderBy(*keys)
+
+
+def a01_asof_join(spark, sf_dir):
+    """Declared as-of join: each event gets the user's most recent
+    strictly-earlier 'click' event (ts + value)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("prev_ts"),
+        F.round("prev_value", 2).alias("prev_value"),
+    ).orderBy("event_id", "user_id", "prev_ts", "prev_value")
+
+
+ASOF_ORACLE_SQL = {
+    "a01_asof_join": """
+        SELECT e.event_id, e.user_id, b.ts prev_ts, ROUND(b.value, 2) prev_value
+        FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts, MAX(value) AS "value" FROM events
+              WHERE event_type = 'click' GROUP BY user_id, ts) b
+          ON e.user_id = b.user_id AND e.ts > b.ts
+        ORDER BY event_id, e.user_id, prev_ts, prev_value""",
+}
+ASOF_QUERIES = {"a01_asof_join": a01_asof_join}

@@ -23,6 +23,13 @@ def all_queries() -> dict[str, Builder]:
     out: dict[str, Builder] = dict(RELATIONAL_QUERIES)
 
     try:
+        from crossfire_spark.operators.asof import ASOF_QUERIES
+
+        out.update(ASOF_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from crossfire_spark.placement.queries import PLACEMENT_QUERIES
 
         out.update(PLACEMENT_QUERIES)
@@ -71,6 +78,13 @@ def all_oracle_sql() -> dict[str, str]:
     from crossfire_spark.operators.relational import ORACLE_SQL
 
     out: dict[str, str] = dict(ORACLE_SQL)
+
+    try:
+        from crossfire_spark.operators.asof import ASOF_ORACLE_SQL
+
+        out.update(ASOF_ORACLE_SQL)
+    except ImportError:
+        pass
 
     try:
         from crossfire_spark.placement.queries import PLACEMENT_ORACLE_SQL

@@ -1,0 +1,93 @@
+"""As-of join / k-way merge / salting equivalence tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.functions.skew import salted_agg, salted_join
+from crossfire_spark.operators.asof import (
+    ASOF_ORACLE_SQL,
+    ASOF_QUERIES,
+    asof_join,
+    kway_merge,
+)
+from crossfire_spark.plans import results_match
+
+
+def test_asof_matches_duckdb_asof(spark, duck, sf_dir):
+    name = "a01_asof_join"
+    sdf = ASOF_QUERIES[name](spark, sf_dir)
+    cur = duck.execute(ASOF_ORACLE_SQL[name])
+    ok, reason = results_match(
+        sdf.columns,
+        [tuple(r) for r in sdf.collect()],
+        [d[0] for d in cur.description],
+        cur.fetchall(),
+    )
+    assert ok, reason
+
+
+def test_asof_strictness(spark):
+    """A right row at exactly the left timestamp must NOT match."""
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, t int").select(
+        "k", F.timestamp_micros("t").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0)], "k int, t int, v double"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "v")
+    out = {
+        r.ts.microsecond: r.prev_v
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert out[100] is None  # equal ts excluded
+    assert out[200] == 2.0  # latest strictly-earlier row
+
+
+def test_kway_merge_equals_global_sort(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    runs = [
+        o.where(F.col("o_orderstatus") == s).orderBy("o_orderkey")
+        for s in ("F", "O", "P")
+    ]
+    merged = kway_merge(runs, ["o_orderkey"]).select("o_orderkey").collect()
+    direct = o.orderBy("o_orderkey").select("o_orderkey").collect()
+    assert [r[0] for r in merged] == [r[0] for r in direct]
+
+
+def test_kway_merge_dedup_semantics(spark):
+    """consume-equal-together: equal keys across runs collapse."""
+    a = spark.createDataFrame([(1,), (3,)], "k int")
+    b = spark.createDataFrame([(1,), (2,)], "k int")
+    out = [r.k for r in kway_merge([a, b], ["k"], dedup=True).collect()]
+    assert out == [1, 2, 3]
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag, r.c, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.c, round(r.s, 2))
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"c": ("count", "l_quantity"), "s": ("sum", "l_quantity")},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = sorted(map(tuple, o.join(c, "o_custkey").collect()))
+    salted = sorted(map(tuple, salted_join(o, c, "o_custkey").collect()))
+    assert salted == plain
