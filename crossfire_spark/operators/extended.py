@@ -1,0 +1,153 @@
+"""Extended declared operators: JSON extraction, hypertable-style
+time rollup, range (interval) join, approximate aggregates.
+
+- **j01_json_extract** — the JSON-in-string ``events.props`` column
+  (the engine analog of the reference's Gson views, S4/F8):
+  ``get_json_object`` stays JVM-side; at scale prefer ``from_json``
+  with an explicit schema once per column, not repeated path probes.
+- **h01_time_rollup** — hypertable-style continuous aggregate: one
+  pass produces hour buckets and their day-level rollup via
+  ``rollup(day, hour)`` — the declarative form of a TimescaleDB-like
+  hierarchy (and of the reference's per-level topology aggregation,
+  A2). At scale the hour rows double as the materialized layer the
+  day layer re-aggregates from.
+- **r01_range_join** — interval join of facts to a small band table.
+  With a broadcast-size band dim the right plan IS
+  BroadcastNestedLoopJoin (each row tests a handful of intervals);
+  ``range_join_binned`` is the scale path for when the interval table
+  itself is big: explode intervals into fixed-width bins, equi-join
+  on bin, residual-filter — turning O(rows x intervals) into
+  O(rows + intervals x bins/interval).
+- **approx_distinct** — HLL-sketch ``approx_count_distinct``; no
+  cross-engine oracle (sketch internals differ), accuracy pinned in
+  tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+
+PRICE_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 1e9),
+]
+
+
+def j01_json_extract(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 2).alias("ak"),
+            F.max(k).alias("mk"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("event_type", "ak", "mk", "c")
+    )
+
+
+def h01_time_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn("h", F.date_trunc("hour", "ts"))
+        .rollup("d", "h")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .orderBy(
+            F.col("d").asc_nulls_first(),
+            F.col("h").asc_nulls_first(),
+            "c",
+            "s",
+        )
+    )
+
+
+def price_bands(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+
+
+def range_join(facts: DataFrame, bands: DataFrame, point: str) -> DataFrame:
+    """Interval join: broadcast the band table; BNLJ with the range
+    predicate — the right plan while the band side stays small."""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(point) >= F.col("lo")) & (F.col(point) < F.col("hi")),
+    )
+
+
+def range_join_binned(
+    facts: DataFrame, bands: DataFrame, point: str, bin_width: float
+) -> DataFrame:
+    """Scale path for big interval tables: explode each interval into
+    the fixed-width bins it covers, equi-join points to bins, then
+    residual-filter the exact range predicate."""
+    binned_bands = bands.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / bin_width).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / bin_width).cast("long"),
+            )
+        ).alias("_bin"),
+    )
+    binned_facts = facts.withColumn(
+        "_bin", F.floor(F.col(point) / bin_width).cast("long")
+    )
+    return (
+        binned_facts.join(binned_bands, "_bin")
+        .where((F.col(point) >= F.col("lo")) & (F.col(point) < F.col("hi")))
+        .drop("_bin")
+    )
+
+
+def r01_range_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    joined = range_join(o, price_bands(spark), "o_totalprice")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .orderBy("band", "c", "s")
+    )
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HLL-sketch distinct count — the constant-memory path for
+    cardinality at 100 TB (exact countDistinct shuffles every value)."""
+    return df.select(F.approx_count_distinct(col, rsd).alias("approx"))
+
+
+EXTENDED_ORACLE_SQL: dict[str, str] = {
+    "j01_json_extract": """
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) ak,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) mk,
+               COUNT(*) c
+        FROM events GROUP BY event_type ORDER BY event_type, ak, mk, c""",
+    # DuckDB DATE_TRUNC('day') yields DATE where Spark yields
+    # timestamp — cast for identical rendering.
+    "h01_time_rollup": """
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) d, DATE_TRUNC('hour', ts) h,
+               COUNT(*) c, ROUND(SUM(value), 2) s
+        FROM events GROUP BY ROLLUP(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP), DATE_TRUNC('hour', ts))
+        ORDER BY d NULLS FIRST, h NULLS FIRST, c, s""",
+    "r01_range_join": """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 1e9))
+        SELECT band, COUNT(*) c, ROUND(SUM(o_totalprice), 2) s
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band, c, s""",
+}
+
+EXTENDED_QUERIES = {
+    "j01_json_extract": j01_json_extract,
+    "h01_time_rollup": h01_time_rollup,
+    "r01_range_join": r01_range_join,
+}

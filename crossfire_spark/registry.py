@@ -28,6 +28,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(ASOF_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.operators.extended import EXTENDED_QUERIES
+
+        out.update(EXTENDED_QUERIES)
+    except ImportError:
+        pass
 
     try:
         from crossfire_spark.placement.queries import PLACEMENT_QUERIES
@@ -83,6 +89,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.operators.asof import ASOF_ORACLE_SQL
 
         out.update(ASOF_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.operators.extended import EXTENDED_ORACLE_SQL
+
+        out.update(EXTENDED_ORACLE_SQL)
     except ImportError:
         pass
 

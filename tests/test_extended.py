@@ -1,0 +1,55 @@
+"""Extended operator tests: JSON, time rollup, range join (exact +
+binned scale path), approximate distinct accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.operators.extended import (
+    EXTENDED_ORACLE_SQL,
+    EXTENDED_QUERIES,
+    approx_distinct,
+    price_bands,
+    range_join,
+    range_join_binned,
+)
+from crossfire_spark.plans import results_match
+
+
+@pytest.mark.parametrize("name", sorted(EXTENDED_QUERIES))
+def test_extended_matches_oracle(name, spark, duck, sf_dir):
+    sdf = EXTENDED_QUERIES[name](spark, sf_dir)
+    cur = duck.execute(EXTENDED_ORACLE_SQL[name])
+    ok, reason = results_match(
+        sdf.columns,
+        [tuple(r) for r in sdf.collect()],
+        [d[0] for d in cur.description],
+        cur.fetchall(),
+    )
+    assert ok, f"{name}: {reason}"
+
+
+def test_binned_range_join_equals_exact(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = price_bands(spark)
+    exact = sorted(
+        map(tuple, range_join(o, bands, "o_totalprice").select("o_orderkey", "band").collect())
+    )
+    binned = sorted(
+        map(
+            tuple,
+            range_join_binned(o, bands, "o_totalprice", bin_width=10_000.0)
+            .select("o_orderkey", "band")
+            .collect(),
+        )
+    )
+    assert binned == exact
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = approx_distinct(o, "o_custkey").first()[0]
+    assert abs(approx - exact) / exact < 0.1
