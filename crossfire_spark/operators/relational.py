@@ -438,6 +438,54 @@ def q27(spark, sf_dir):
     )
 
 
+def q32(spark, sf_dir):
+    """Correlated scalar subquery (declared in SQL; the DataFrame
+    face is Catalyst's own decorrelation: left join + aggregate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey", "n_orders")
+    )
+
+
+def q33(spark, sf_dir):
+    """Window-function suite: rank / dense_rank / ntile / first /
+    last / lead over one partition spec, plus a rangeBetween frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    # float RANGE offsets aren't expressible through the Python
+    # Window API (ints only); the SQL window expression form is.
+    near_cnt = F.expr(
+        "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice"
+        " RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        o.where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(w).alias("top_key"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            near_cnt.alias("near_cnt"),
+        )
+        .orderBy(
+            "o_orderkey", "o_orderstatus", "rnk", "drnk", "quartile",
+            "top_key", "next_key", "near_cnt",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -470,6 +518,15 @@ ORACLE_SQL: dict[str, str] = {
     "q25": "SELECT text, COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1 ORDER BY c DESC, text LIMIT 20",
     "q26": "SELECT DATE_TRUNC('hour', ts) h, event_type, COUNT(*) c, ROUND(SUM(value),2) s FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type",
     "q27": "SELECT label, COUNT(*) c FROM embeddings GROUP BY label ORDER BY label",
+    "q32": "SELECT c_custkey, (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) n_orders FROM customer ORDER BY c_custkey, n_orders",
+    "q33": """SELECT o_orderkey, o_orderstatus,
+        RANK() OVER w rnk, DENSE_RANK() OVER w drnk, NTILE(4) OVER w quartile,
+        FIRST_VALUE(o_orderkey) OVER w top_key, LEAD(o_orderkey) OVER w next_key,
+        COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) near_cnt
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey, o_orderstatus, rnk, drnk, quartile, top_key, next_key, near_cnt""",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]

@@ -77,6 +77,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(STATEFUL_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.streaming.joins import STREAM_JOIN_QUERIES
+
+        out.update(STREAM_JOIN_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -132,6 +138,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.streaming.stateful import STATEFUL_ORACLE_SQL
 
         out.update(STATEFUL_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.streaming.joins import STREAM_JOIN_ORACLE_SQL
+
+        out.update(STREAM_JOIN_ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): the as-of join and salted
+aggregation must agree with brute-force oracles on arbitrary inputs,
+not just the shipped testdata."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crossfire_spark.functions.skew import salted_agg
+from crossfire_spark.operators.asof import asof_join
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # ts (seconds)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=rows, right=rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # right must be unique per (key, ts): dedup, value = ts itself
+    right_u = sorted({(k, t) for k, t in right})
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left] or [(None, None)], "k int, t int"
+    ).where(F.col("k").isNotNull()).select(
+        "k", F.timestamp_micros("t").alias("ts")
+    )
+    rdf = spark.createDataFrame(
+        right_u or [(None, None)], "k int, t int"
+    ).where(F.col("k").isNotNull()).select(
+        "k", F.timestamp_micros("t").alias("ts"), F.col("t").alias("v")
+    )
+    got = {
+        (r.k, r.ts.microsecond if r.ts else None, r.prev_v)
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+    expect = set()
+    for k, t in left:
+        earlier = [rv for rk, rv in right_u if rk == k and rv < t]
+        expect.add((k, t, max(earlier) if earlier else None))
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=rows)
+def test_salted_agg_matches_bruteforce(spark, data):
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, v int")
+    got = {
+        (r.k, r.c, r.s)
+        for r in salted_agg(
+            df, ["k"], {"c": ("count", "v"), "s": ("sum", "v")}, n_salts=4
+        ).collect()
+    }
+    expect = set()
+    for k in {k for k, _ in data}:
+        vs = [v for kk, v in data if kk == k]
+        expect.add((k, len(vs), sum(vs)))
+    assert got == expect
