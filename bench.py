@@ -43,9 +43,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, SF_DIR)
-            # count() forces full execution of the plan without
-            # serializing the result set through the driver.
-            df.count()
+            # noop write executes the FULL plan (count() would let
+            # Catalyst elide final sorts) with zero sink cost.
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
