@@ -90,10 +90,21 @@ def t02_quality(spark, sf_dir):
         F.round(F.length("text") / n_words, 2).alias("avg_word_len"),
         F.round(n_punct / F.length("text"), 2).alias("punct_ratio"),
         F.round(n_stop / n_words, 2).alias("stop_ratio"),
+        # Stabilized rounding: round to 6 dp first (collapses ~1e-16
+        # cross-engine sum differences to one double), then nudge
+        # +1e-9 off any exact .xx5 boundary — Spark ROUND goes through
+        # decimal strings (0.575 -> 0.58) while DuckDB rounds the raw
+        # binary (0.57499…9 -> 0.57); off-boundary they agree, and
+        # non-boundary 6-dp multiples sit >= 1e-6 away so the nudge
+        # can't flip them. (Both cases hit at sf0.1.)
         F.round(
-            F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
-            + (1 - n_punct / F.length("text")) * 0.25
-            + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.25,
+            F.round(
+                F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+                + (1 - n_punct / F.length("text")) * 0.25
+                + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.25,
+                6,
+            )
+            + F.lit(1e-9),
             2,
         ).alias("quality"),
     ).orderBy("doc_id", "n_words", "avg_word_len", "punct_ratio", "stop_ratio", "quality")
@@ -155,9 +166,9 @@ TEXT_ORACLE_SQL: dict[str, str] = {
                ROUND(length(text) * 1.0 / len(string_split(lower(text), ' ')), 2) avg_word_len,
                ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 2) punct_ratio,
                ROUND({_STOP_SQL} * 1.0 / len(string_split(lower(text), ' ')), 2) stop_ratio,
-               ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+               ROUND(ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
                      + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)) * 0.25
-                     + LEAST({_STOP_SQL} * 1.0 / len(string_split(lower(text), ' ')) * 5.0, 1.0) * 0.25, 2) quality
+                     + LEAST({_STOP_SQL} * 1.0 / len(string_split(lower(text), ' ')) * 5.0, 1.0) * 0.25, 6) + 1e-9, 2) quality
         FROM documents
         ORDER BY doc_id, n_words, avg_word_len, punct_ratio, stop_ratio, quality""",
     "t03_tokens": """
