@@ -150,6 +150,106 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 224, 224
+FRAME_STRIDE = 1000  # bytes per sampled "frame" in the fake kernel
+
+
+def resize_images(media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H) -> DataFrame:
+    """Image resize pipeline. The decode→resize→re-encode kernel is a
+    deterministic FAKE (no codec libs in this container — production
+    swaps in PIL/opencv inside the same closure); the Spark plumbing
+    is real: binary in, binary out, metadata struct updated, Arrow
+    batches, bounded memory."""
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            # fake resize: content -> digest-seeded byte payload of
+            # (width*height)//1000 bytes, deterministic per input
+            def rz(b: bytes) -> bytes:
+                seed = hashlib.sha256(b).digest()
+                n = max((width * height) // 1000, 32)
+                return (seed * (n // len(seed) + 1))[:n]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(rz),
+                    "width": width,
+                    "height": height,
+                    "orig_bytes": pdf["content"].map(len).astype("int64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(
+        kernel,
+        schema="media_id long, content binary, width int, height int, orig_bytes long",
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (explode-style
+    fan-out inside the Python worker). Fake kernel slices the byte
+    stream at fixed strides; a real one seeks keyframes via ffmpeg.
+    Output grows by the frame count — the partition-size note from
+    the module docstring applies doubly here."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, off in enumerate(range(0, len(content), stride)):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_frames.append(bytes(content[off : off + stride]))
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(kernel, schema="media_id long, frame_idx int, frame binary")
+
+
+def m02_image_resize(spark, sf_dir):
+    """Declared resize pipeline: metadata of resized images (the
+    binary itself stays out of the result — blobs don't belong in
+    driver-collected outputs). Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    out = resize_images(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "orig_bytes",
+        F.length("content").alias("new_bytes"),
+    ).orderBy("media_id", "width", "height", "orig_bytes", "new_bytes")
+
+
+def m03_frame_sample(spark, sf_dir):
+    """Declared frame-sampling pipeline: per-video frame counts and
+    sizes. Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    frames = sample_frames(media)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_bytes"),
+        )
+        .orderBy("media_id", "n_frames", "total_bytes")
+    )
+
+
 def m01_media_features(spark, sf_dir):
     """Declared pipeline: synth media -> mapInPandas features ->
     metadata join. Driver records a rows-only check (the sha256/
@@ -172,6 +272,10 @@ def m01_media_features(spark, sf_dir):
     )
 
 
-MULTIMODAL_QUERIES = {"m01_media_features": m01_media_features}
-# no oracle: mapInPandas kernel not SQL-expressible → rows-only check
+MULTIMODAL_QUERIES = {
+    "m01_media_features": m01_media_features,
+    "m02_image_resize": m02_image_resize,
+    "m03_frame_sample": m03_frame_sample,
+}
+# no oracle: mapInPandas kernels not SQL-expressible → rows-only checks
 MULTIMODAL_ORACLE_SQL: dict[str, str] = {}

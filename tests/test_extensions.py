@@ -172,3 +172,39 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_and_frame_sample(spark, sf_dir):
+    from crossfire_spark.functions.multimodal import (
+        m02_image_resize,
+        m03_frame_sample,
+        sample_frames,
+        synthesize_media,
+    )
+    from crossfire_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+
+    resized = m02_image_resize(spark, sf_dir).collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(resized) == n_images
+    assert all(r.width == 224 and r.height == 224 for r in resized)
+    assert all(r.new_bytes == resized[0].new_bytes for r in resized)  # fixed size
+
+    frames = sample_frames(media, stride=100)
+    f = frames.where(F.col("media_id") == frames.first().media_id).collect()
+    # frame fan-out reconstructs the original byte length
+    orig = dict(
+        media.where(F.col("kind") == "video")
+        .select("media_id", F.length("content").alias("n"))
+        .collect()
+    )
+    got = {
+        r.media_id: r.total
+        for r in frames.groupBy("media_id")
+        .agg(F.sum(F.length("frame")).alias("total"))
+        .collect()
+    }
+    assert got == orig
+    assert m03_frame_sample(spark, sf_dir).count() == len(orig)
