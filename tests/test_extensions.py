@@ -131,18 +131,19 @@ def test_cosine_topk_vs_numpy(spark, sf_dir):
         assert sorted(hits) == sorted(expect), f"qid {qid}: {hits} vs {expect}"
 
 
-def test_lsh_topk_recall(spark, sf_dir):
-    """ANN top-k recall vs exact top-k: sign-random-projection with
-    4x4-bit bands on this data keeps recall usefully high; pin the
-    floor so regressions surface."""
-    em = load_table(spark, sf_dir, "embeddings")
+def test_lsh_topk_recall(spark):
+    """ANN top-k recall vs exact top-k: 8x4-bit sign-random-projection
+    bands measure 1.0 at sf0.01/sf0.1; pin a 0.9 floor so parameter
+    regressions surface. Runs at sf0.01 regardless of the suite's
+    sf_dir — recall over 1-2 queries (sf0.001) is statistical noise."""
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     queries = em.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     exact = {(r.qid, r.vec_id) for r in cosine_topk(em, queries, k=5).collect()}
     approx = {(r.qid, r.vec_id) for r in lsh_topk(em, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"ANN recall {recall:.2f} below floor"
+    assert recall >= 0.9, f"ANN recall {recall:.2f} below floor"
 
 
 def test_multimodal_plumbing(spark, sf_dir):
