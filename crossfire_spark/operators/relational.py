@@ -486,6 +486,38 @@ def q33(spark, sf_dir):
     )
 
 
+def q34(spark, sf_dir):
+    """Percentile aggregates (continuous interpolation — identical
+    semantics to DuckDB quantile_cont; both engines sort-and-
+    interpolate, O(n log n) per group with spill support)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("med"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus", "med", "p90", "p99")
+    )
+
+
+def q35(spark, sf_dir):
+    """Order-stable string aggregation (collect -> sort -> join keeps
+    the result deterministic regardless of partitioning — never rely
+    on collect_list arrival order)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("k"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "names"
+            )
+        )
+        .orderBy("k", "names")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -527,6 +559,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders WHERE o_orderkey < 2000
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey, o_orderstatus, rnk, drnk, quartile, top_key, next_key, near_cnt""",
+    "q34": "SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5),2) med, ROUND(quantile_cont(o_totalprice, 0.9),2) p90, ROUND(quantile_cont(o_totalprice, 0.99),2) p99 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus, med, p90, p99",
+    "q35": "SELECT n_regionkey k, array_to_string(list_sort(list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY k, names",
+}
+
+# Queries whose canonical (DuckDB) SQL uses dialect-specific function
+# names; the Spark-SQL face runs these equivalents instead.
+SPARK_SQL_OVERRIDES: dict[str, str] = {
+    "q34": "SELECT o_orderstatus, ROUND(percentile(o_totalprice, 0.5),2) med, ROUND(percentile(o_totalprice, 0.9),2) p90, ROUND(percentile(o_totalprice, 0.99),2) p99 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus, med, p90, p99",
+    "q35": "SELECT n_regionkey k, array_join(array_sort(collect_list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY k, names",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]

@@ -8,14 +8,18 @@ from __future__ import annotations
 
 import pytest
 
-from crossfire_spark.operators.relational import ORACLE_SQL, RELATIONAL_QUERIES
+from crossfire_spark.operators.relational import (
+    ORACLE_SQL,
+    RELATIONAL_QUERIES,
+    SPARK_SQL_OVERRIDES,
+)
 from crossfire_spark.plans import results_match
 from crossfire_spark.sql import sql
 
 
 @pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
 def test_sql_equals_dataframe_builder(name, spark, sf_dir):
-    via_sql = sql(spark, ORACLE_SQL[name], sf_dir)
+    via_sql = sql(spark, SPARK_SQL_OVERRIDES.get(name, ORACLE_SQL[name]), sf_dir)
     via_df = RELATIONAL_QUERIES[name](spark, sf_dir)
     ok, reason = results_match(
         via_sql.columns,
