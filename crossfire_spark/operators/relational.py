@@ -518,6 +518,56 @@ def q35(spark, sf_dir):
     )
 
 
+def q36(spark, sf_dir):
+    """EXCEPT ALL — bag semantics (multiplicity-aware difference)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_custkey").alias("k"))
+        .exceptAll(c.select("c_custkey"))
+        .orderBy("k")
+    )
+
+
+def q37(spark, sf_dir):
+    """INTERSECT ALL — bag semantics (min of multiplicities)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("k"))
+        .intersectAll(s.select("s_nationkey"))
+        .orderBy("k")
+    )
+
+
+def q38(spark, sf_dir):
+    """Pivot: rows -> columns per return flag (semantically the
+    conditional aggregation the reference's demand map builds,
+    A1 ``CrossAZBlockPlacementPolicy.java:141-149``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_linestatus", "A", "N", "R")
+    )
+
+
+def q39(spark, sf_dir):
+    """UNNEST / lateral explode: per-word frequencies across the
+    corpus — the declarative generator (UDTF-style) operator, the
+    engine's form of the reference's flatMap expansion (S2,
+    ``CrossAZBlockPlacementPolicy.java:600-603``)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -561,6 +611,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY o_orderkey, o_orderstatus, rnk, drnk, quartile, top_key, next_key, near_cnt""",
     "q34": "SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5),2) med, ROUND(quantile_cont(o_totalprice, 0.9),2) p90, ROUND(quantile_cont(o_totalprice, 0.99),2) p99 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus, med, p90, p99",
     "q35": "SELECT n_regionkey k, array_to_string(list_sort(list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY k, names",
+    "q36": "SELECT o_custkey k FROM orders EXCEPT ALL SELECT c_custkey FROM customer ORDER BY k",
+    "q37": "SELECT c_nationkey k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k",
+    "q38": """SELECT l_linestatus,
+        ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, "A", "N", "R\"""",
+    "q39": """SELECT word, COUNT(*) c FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        GROUP BY word ORDER BY c DESC, word LIMIT 20""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -568,6 +627,13 @@ ORACLE_SQL: dict[str, str] = {
 SPARK_SQL_OVERRIDES: dict[str, str] = {
     "q34": "SELECT o_orderstatus, ROUND(percentile(o_totalprice, 0.5),2) med, ROUND(percentile(o_totalprice, 0.9),2) p90, ROUND(percentile(o_totalprice, 0.99),2) p99 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus, med, p90, p99",
     "q35": "SELECT n_regionkey k, array_join(array_sort(collect_list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY k, names",
+    "q38": """SELECT l_linestatus,
+        ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS `A`,
+        ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS `N`,
+        ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS `R`
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, `A`, `N`, `R`""",
+    "q39": """SELECT word, COUNT(*) c FROM (SELECT explode(split(lower(text), ' ')) AS word FROM documents) t
+        GROUP BY word ORDER BY c DESC, word LIMIT 20""",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]
