@@ -270,6 +270,8 @@ def choose_targets(
     datanodes: DataFrame,
     storages: DataFrame,
     storage_type: str = "SSD",
+    exclude_nodes: list[int] | None = None,
+    favored_nodes: list[int] | None = None,
 ) -> DataFrame:
     """Re-implements ``chooseTarget``
     (``CrossAZBlockPlacementPolicy.java:103-219,587-721``) as a
@@ -287,7 +289,17 @@ def choose_targets(
     The topology candidate list is collected once (broadcast-sized
     dimension) and shipped in the task closure; per-block greedy loops
     run distributed via ``applyInPandas``.
+
+    ``exclude_nodes`` are dropped from the candidate pool (the
+    reference's exclusion predicate P5, ``:162-165``); ``favored_nodes``
+    are consumed first, in the given order, when healthy and unused
+    (the favored-nodes overload exercised at
+    ``TestCrossAZBlockPlacementPolicy.java:375,401-424``) — remaining
+    slots fall back to the greedy least-loaded selection, exactly as
+    the reference falls back to normal placement.
     """
+    excluded = set(exclude_nodes or [])
+    favored = [n for n in (favored_nodes or []) if n not in excluded]
     healthy = (
         datanodes.where(
             F.col("is_alive")
@@ -319,7 +331,10 @@ def choose_targets(
         for r in healthy.join(best_storage, "datanode_id")
         .orderBy("datanode_id")
         .collect()
+        if int(r.datanode_id) not in excluded
     ]
+    by_id = {c[0]: c for c in candidates}
+    favored_cands = [by_id[n] for n in favored if n in by_id]
 
     existing = blocks.where(F.col("additional") > 0).join(
         replicas.join(
@@ -346,7 +361,17 @@ def choose_targets(
             rack_load[(r[1], r[2])] = rack_load.get((r[1], r[2]), 0) + 1
         pool = [c for c in candidates if c[0] not in used_nodes]
         out = []
+        queue = [c for c in favored_cands if c[0] not in used_nodes]
         for slot in range(additional):
+            if queue:
+                pick = queue.pop(0)
+                out.append((block_id, slot, pick[0], pick[4]))
+                dc_load[pick[1]] = dc_load.get(pick[1], 0) + 1
+                rack_load[(pick[1], pick[2])] = (
+                    rack_load.get((pick[1], pick[2]), 0) + 1
+                )
+                pool = [c for c in pool if c[0] != pick[0]]
+                continue
             if not pool:
                 break
             dcs = {c[1] for c in pool}
