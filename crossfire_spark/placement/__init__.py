@@ -12,5 +12,7 @@ billions of blocks on a cluster.
 from crossfire_spark.placement.api import (  # noqa: F401
     choose_targets,
     deletion_candidates,
+    verify,
     verify_placement,
+    verify_placement_fast,
 )

@@ -134,6 +134,74 @@ def verify_placement(
 # few enough that each pandas call amortizes its dispatch overhead
 DRAIN_BUCKETS = 128
 
+def verify_placement_fast(
+    replicas: DataFrame, required: DataFrame | int
+) -> DataFrame:
+    """The O(1)-per-block downgrade of verification
+    (``verifyBlockPlacementFast``, ``CrossAZBlockPlacementPolicy.java:373-383``):
+    satisfied iff replica count >= required — intentionally weak, it
+    passes even when every replica sits on one rack (§4.3). Same
+    output schema as ``verify_placement`` so callers can switch.
+    """
+    counts = replicas.groupBy("block_id").agg(F.count(F.lit(1)).alias("replica_cnt"))
+    if isinstance(required, int):
+        req = counts.select("block_id").withColumn(
+            "required_replicas", F.lit(required)
+        )
+    else:
+        req = required.select("block_id", "required_replicas")
+    return (
+        req.join(counts, "block_id", "left")
+        .na.fill({"replica_cnt": 0})
+        .withColumn("satisfied", F.col("replica_cnt") >= F.col("required_replicas"))
+        .withColumn(
+            "reason",
+            F.when(F.col("satisfied"), F.lit("ok")).otherwise(
+                F.lit("under_replicated")
+            ),
+        )
+        .select("block_id", "replica_cnt", "satisfied", "reason")
+    )
+
+
+def verify(
+    replicas: DataFrame,
+    datanodes: DataFrame,
+    required: DataFrame | int,
+    fast_verify: bool = False,
+    do_placement_only: bool = False,
+) -> DataFrame:
+    """Config-switched dispatcher mirroring the reference's hot flags
+    (``use_fast_verify`` / ``do_placement_only``,
+    ``CrossAZBlockPlacementPolicy.java:283-291``, toggled over HTTP in
+    ``Plugin.java:198-213``): placement-only short-circuits to
+    constant OK, fast does the count check, full runs the hierarchy
+    aggregation."""
+    if do_placement_only:
+        base = required if not isinstance(required, int) else (
+            replicas.select("block_id").distinct().withColumn(
+                "required_replicas", F.lit(required)
+            )
+        )
+        counts = replicas.groupBy("block_id").agg(
+            F.count(F.lit(1)).alias("replica_cnt")
+        )
+        return (
+            base.select("block_id")
+            .join(counts, "block_id", "left")
+            .na.fill({"replica_cnt": 0})
+            .select(
+                "block_id",
+                "replica_cnt",
+                F.lit(True).alias("satisfied"),
+                F.lit("placement_only").alias("reason"),
+            )
+        )
+    if fast_verify:
+        return verify_placement_fast(replicas, required)
+    return verify_placement(replicas, datanodes, required)
+
+
 _DELETE_SCHEMA = T.StructType(
     [
         T.StructField("block_id", T.LongType()),

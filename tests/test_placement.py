@@ -123,6 +123,24 @@ def test_delete_then_verify(spark, topo):
     assert counts.limit(1).collect() == []
 
 
+def test_fast_verify_is_intentionally_weak(spark, topo):
+    """The fast path passes layouts the full path rejects — e.g.
+    single-DC spread with enough replicas (:373-383, §4.3): this
+    asymmetry is the reference's documented intent, so pin it."""
+    from crossfire_spark.placement.api import verify, verify_placement_fast
+
+    cases = topo["placement_cases"].where(F.col("scenario") == "single_dc_spread")
+    reps = topo["replicas"].join(cases.select("block_id"), "block_id", "left_semi")
+    req = cases.select("block_id", "required_replicas")
+    fast = verify_placement_fast(reps, req)
+    assert fast.where(~F.col("satisfied")).limit(1).collect() == []
+    full = verify(reps, topo["datanodes"], req, fast_verify=False)
+    assert full.where(F.col("satisfied")).limit(1).collect() == []
+    # placement-only short-circuit: constant OK
+    po = verify(reps, topo["datanodes"], req, do_placement_only=True)
+    assert po.where(~F.col("satisfied")).limit(1).collect() == []
+
+
 def test_choose_with_excludes_and_favored(spark, topo):
     """Mirrors the reference's with-excludes / favored-nodes scenarios
     (TestCrossAZBlockPlacementPolicy.java:401-424): excluded nodes
