@@ -62,3 +62,23 @@ def test_q06_partial_aggregation(spark, sf_dir):
 def test_q18_take_ordered(spark, sf_dir):
     plan = _plan(q18(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
+
+
+def test_no_query_regresses_to_cartesian_or_row_python(spark, sf_dir):
+    """Sweeping plan hygiene over every batch declared query: no
+    accidental CartesianProduct (only q23 declares a cross join; the
+    broadcast NLJ forms used by s01/r01 are fine) and no
+    row-at-a-time Python UDF (BatchEvalPython) anywhere — Python is
+    allowed only via Arrow (mapInPandas / applyInPandas)."""
+    from crossfire_spark.registry import all_queries
+
+    allowed_cartesian = {"q23"}
+    streaming = {"st01", "st02", "st04", "st05", "st06"}  # plans not inspectable pre-run
+    for name, fn in sorted(all_queries().items()):
+        if name.split("_")[0] in streaming or name in streaming:
+            continue
+        df = fn(spark, sf_dir)
+        plan = _plan(df)
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
