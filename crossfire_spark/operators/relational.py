@@ -568,6 +568,70 @@ def q39(spark, sf_dir):
     )
 
 
+def q40(spark, sf_dir):
+    """Quantified comparison (> ALL subquery). Spark has no ALL/ANY
+    quantifier, so the engine rewrites it to the equivalent scalar
+    aggregate — `x > ALL (S)` ≡ `x > MAX(S)` for non-empty S — and
+    broadcasts the 1-row aggregate into the filter (no shuffle of the
+    fact side; at 100 TB the outer scan streams against one scalar)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent_max = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.max("o_totalprice").alias("mx"))
+    )
+    return (
+        o.crossJoin(F.broadcast(urgent_max))
+        .where(F.col("o_totalprice") > F.col("mx"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_totalprice")
+    )
+
+
+def q41(spark, sf_dir):
+    """Correlated EXISTS with an extra local predicate — Catalyst
+    plans the rewrite as a left-semi hash join on l_suppkey after
+    pushing the quantity filter below the join (P5/J1 analogs,
+    ``CrossAZBlockPlacementPolicy.java:180-187``)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        s.join(
+            li.where(F.col("l_quantity") >= 49),
+            s["s_suppkey"] == li["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey", "s_name")
+    )
+
+
+def q42(spark, sf_dir):
+    """Share-of-total: an uncorrelated scalar subquery joined back as
+    a broadcast single-row aggregate. The grand total is one extra
+    pass over an already-aggregated 5-row side, not a second scan of
+    the raw fact table. ROUND(ROUND(·,6)+1e-9, 2) stabilizes the
+    decimal-vs-binary rounding boundary identically on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("raw_s"))
+    )
+    total = seg.agg(F.sum("raw_s").alias("tot"))
+    return (
+        seg.crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            F.round("raw_s", 2).alias("s"),
+            F.round(
+                F.round(F.col("raw_s") * 100 / F.col("tot"), 6) + F.lit(1e-9), 2
+            ).alias("pct"),
+        )
+        .orderBy("c_mktsegment", "s", "pct")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -620,6 +684,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, "A", "N", "R\"""",
     "q39": """SELECT word, COUNT(*) c FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
         GROUP BY word ORDER BY c DESC, word LIMIT 20""",
+    "q40": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY o_orderkey, o_totalprice",
+    "q41": "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49) ORDER BY s_suppkey, s_name",
+    "q42": """WITH seg AS (SELECT c_mktsegment, SUM(o_totalprice) raw_s FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment)
+        SELECT c_mktsegment, ROUND(raw_s, 2) s,
+               ROUND(ROUND(raw_s * 100 / (SELECT SUM(raw_s) FROM seg), 6) + 1e-9, 2) pct
+        FROM seg ORDER BY c_mktsegment, s, pct""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -634,6 +704,8 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus, `A`, `N`, `R`""",
     "q39": """SELECT word, COUNT(*) c FROM (SELECT explode(split(lower(text), ' ')) AS word FROM documents) t
         GROUP BY word ORDER BY c DESC, word LIMIT 20""",
+    # Spark has no ALL/ANY quantifier: x > ALL (S) ≡ x > MAX(S) (S non-empty).
+    "q40": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY o_orderkey, o_totalprice",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]

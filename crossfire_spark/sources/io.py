@@ -7,10 +7,15 @@ rendering of cluster state served over HTTP
 The engine generalizes that to proper columnar I/O:
 
 - ``read_table`` / ``write_table``: parquet (primary; vectorized reader,
-  predicate pushdown), json, csv — with partitioned writes
+  predicate pushdown), orc, json, csv — with partitioned writes
   (``partitionBy``) so downstream scans get partition pruning, the
   moral equivalent of the reference's topology-subtree restriction
   (``CrossAZBlockPlacementPolicy.java:133-138``).
+- ``upsert_table``: MERGE-by-key state refresh (last writer wins)
+  through a staging-dir swap; ``compact_table``: small-file
+  compaction to ~128 MB targets. Log-backed table formats
+  (Delta/Iceberg) would subsume both; they are not in this container,
+  so the engine ships the plain-filesystem equivalents.
 - ``topology_report``: the admin-UI JSON view as a DataFrame →
   ``to_json`` projection (P8's ``(ip, hostname, location)`` triple,
   sorted by (location, address) exactly like the UI table,
@@ -24,10 +29,14 @@ columns before a partitioned write to avoid small-file explosions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def read_table(
@@ -65,6 +74,88 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def _swap_into_place(staging: str, path: str) -> None:
+    """Replace ``path`` with ``staging`` as atomically as a plain
+    filesystem allows (write-new, move-old-aside, move-new-in,
+    drop-old). On an object store / HDFS deployment this maps to a
+    rename of the table root; table formats with a transaction log
+    (Delta/Iceberg) replace this whole dance — see the module note."""
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """MERGE-by-key (upsert): rows in ``updates`` replace current rows
+    with the same key; unmatched update rows are inserted. This is the
+    moral equivalent of the reference's state-refresh cycle — rebuild
+    the authoritative table from (old state ⊎ new reports), last
+    writer wins (S3/A6, ``DNSToSwitchMappingReloadServicePlugin.java``
+    reload path).
+
+    Plan shape: one shuffle on ``keys`` (window dedup), then a full
+    rewrite through a staging directory so readers never observe a
+    half-written table. At 100 TB you'd partition the table and only
+    rewrite touched partitions (or use a log-backed format — Delta /
+    Iceberg, not in this container); the key-precedence window is
+    identical either way. ``updates`` must be key-unique (dedupe it
+    first) — precedence between update rows with equal keys is
+    undefined.
+    """
+    if not os.path.exists(path):
+        write_table(updates, path, fmt=fmt)
+        return
+    current = read_table(spark, path, fmt=fmt)
+    w = Window.partitionBy(*keys).orderBy(F.col("__src").desc())
+    merged = (
+        current.withColumn("__src", F.lit(0))
+        .unionByName(updates.withColumn("__src", F.lit(1)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.format(fmt).mode("overwrite").save(staging)
+    _swap_into_place(staging, path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_partitions: int | None = None,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a table into ~``target_mb``
+    output files (or an explicit ``target_partitions``). Long-running
+    ingest produces many small files; scans then pay per-file open
+    cost and lose vectorized-reader locality — at 100 TB this is the
+    difference between a scan bound by S3 metadata calls and one bound
+    by bandwidth. Returns the partition count written."""
+    df = read_table(spark, path, fmt=fmt)
+    if target_partitions is None:
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        target_partitions = max(1, round(size / (target_mb * 1024 * 1024)))
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    df.repartition(target_partitions).write.format(fmt).mode(
+        "overwrite"
+    ).save(staging)
+    _swap_into_place(staging, path)
+    return target_partitions
 
 
 def topology_report(datanodes: DataFrame) -> DataFrame:
