@@ -228,29 +228,101 @@ def _sqdist(a: str, b: str) -> F.Column:
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = IVF_CENTROIDS,
+    n_iter: int = 5,
+    seed: int = LSH_SEED,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over the ``embedding`` column as a DataFrame
+    loop — the production centroid trainer behind :func:`ivf_topk`.
+
+    Per iteration: one distributed assignment pass (corpus ×
+    broadcast-centroids, argmin by squared distance), then a
+    distributed per-(centroid, position) mean via ``posexplode`` —
+    only the k×dim centroid matrix and per-cluster objective ever
+    reach the driver (k·dim doubles, bytes — independent of corpus
+    size, so the loop is cluster-safe at 100 TB). Empty clusters keep
+    their previous centroid. Deterministic: seeded-hash init, integer
+    tiebreaks — same input → same centroids on any partitioning.
+
+    Returns ``(centroids, objective_history)`` where objective is the
+    summed squared distance to the assigned centroid (non-increasing
+    across iterations — pinned in tests).
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select("embedding").first()[0])
+    init = (
+        embeddings.orderBy(
+            F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id")
+        )
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    history: list[float] = []
+    for _ in range(n_iter):
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid int, ce array<double>",
+        )
+        # materialize dist once; the window sorts the column, not a
+        # second interpreted _sqdist evaluation
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.round(F.col("dist"), 6), F.col("cid")
+        )
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cent))
+            .withColumn("dist", _sqdist("embedding", "ce"))
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+        )
+        stats = (
+            assigned.select("cid", "dist", F.posexplode("embedding"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"), F.sum("dist").alias("sd"))
+            .collect()
+        )
+        new = {r.cid: [0.0] * dim for r in stats}
+        obj = 0.0
+        for r in stats:
+            new[r.cid][r.pos] = float(r.m)
+            if r.pos == 0:
+                obj += float(r.sd)
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        history.append(obj)
+    return centroids, history
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = TOPK,
     n_centroids: int = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into centroid
     buckets, search only the query's ``n_probes`` nearest buckets.
 
-    Deterministic teaching-grade variant: centroids are the first
-    ``n_centroids`` vectors by vec_id (a production build would run
-    k-means; the *index structure* — assignment, probe, re-rank — is
-    identical). Ranking keys are rounded (dist 6 dp, cosine 4 dp) with
-    id tiebreaks so the DuckDB oracle agrees exactly.
+    Two centroid sources: pass ``centroids`` (``cid, ce`` — e.g. a
+    :func:`kmeans_fit` result, the production path exercised by
+    ``s04``) or default to the first ``n_centroids`` vectors by
+    vec_id — the deterministic variant whose DuckDB oracle agrees
+    exactly (the *index structure* — assignment, probe, re-rank — is
+    identical either way). Ranking keys are rounded (dist 6 dp,
+    cosine 4 dp) with id tiebreaks.
 
     Scale shape: assignment is one corpus scan against a broadcast
     centroid table; the probe join shuffles on centroid id — each
     query touches ~n_probes/n_centroids of the corpus.
     """
-    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
+    cent = centroids
+    if cent is None:
+        cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
     # corpus -> nearest centroid
     aw = Window.partitionBy("vec_id").orderBy(
         F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
@@ -294,6 +366,21 @@ def ivf_topk(
 def s03_ivf_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
+def s04_ivf_kmeans(spark, sf_dir):
+    """IVF with trained (Lloyd's) centroids — the production index
+    path. Iterative → no SQL oracle (rows-only driver check); the
+    objective monotonicity and recall-vs-naive-centroids floor are
+    pinned in tests/test_extensions.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(em, n_iter=3)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+    )
+    return ivf_topk(em, _query_set(em), centroids=cent_df).orderBy(
+        "qid", "vec_id", "sim"
+    )
 
 
 def embed_neardup_pairs(
@@ -383,5 +470,6 @@ SIMILARITY_QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
+    "s04_ivf_kmeans": s04_ivf_kmeans,
     "d05_embed_neardup": d05_embed_neardup,
 }

@@ -28,6 +28,8 @@ from crossfire_spark.functions.similarity import (
     SIMILARITY_ORACLE_SQL,
     SIMILARITY_QUERIES,
     cosine_topk,
+    ivf_topk,
+    kmeans_fit,
     lsh_topk,
 )
 from crossfire_spark.functions.text import TEXT_ORACLE_SQL, TEXT_QUERIES
@@ -144,6 +146,30 @@ def test_lsh_topk_recall(spark):
     approx = {(r.qid, r.vec_id) for r in lsh_topk(em, queries, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall:.2f} below floor"
+
+
+def test_kmeans_ivf(spark):
+    """Lloyd's trainer: objective non-increasing, deterministic init,
+    and trained centroids beat the naive first-n variant at the same
+    probe budget (measured 0.56 vs 0.46 recall@5 at sf0.01 on these
+    near-uniform embeddings; floor pinned at 0.5)."""
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    cents, hist = kmeans_fit(em, n_iter=3)
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    q = em.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(em, q, k=5).collect()}
+    naive = {(r.qid, r.vec_id) for r in ivf_topk(em, q).collect()}
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+    )
+    trained = {
+        (r.qid, r.vec_id) for r in ivf_topk(em, q, centroids=cdf).collect()
+    }
+    r_naive = len(exact & naive) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= max(0.5, r_naive), (r_trained, r_naive)
 
 
 def test_multimodal_plumbing(spark, sf_dir):
