@@ -95,6 +95,7 @@ def upsert_table(
     path: str,
     keys: list[str],
     fmt: str = "parquet",
+    precedence: list[str] | None = None,
 ) -> None:
     """MERGE-by-key (upsert): rows in ``updates`` replace current rows
     with the same key; unmatched update rows are inserted. This is the
@@ -111,12 +112,21 @@ def upsert_table(
     identical either way. ``updates`` must be key-unique (dedupe it
     first) — precedence between update rows with equal keys is
     undefined.
+
+    ``precedence`` names columns that rank rows with equal keys
+    (descending, update-wins tiebreak) — e.g. ``["ts"]`` keeps the
+    newest row per key regardless of arrival order, which makes a
+    streaming merge deterministic under any micro-batch split
+    (out-of-order batches can no longer clobber newer state).
     """
     if not os.path.exists(path):
         write_table(updates, path, fmt=fmt)
         return
     current = read_table(spark, path, fmt=fmt)
-    w = Window.partitionBy(*keys).orderBy(F.col("__src").desc())
+    order = [F.col(c).desc() for c in (precedence or [])] + [
+        F.col("__src").desc()
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     merged = (
         current.withColumn("__src", F.lit(0))
         .unionByName(updates.withColumn("__src", F.lit(1)))

@@ -17,6 +17,9 @@ trigger) must produce exactly the batch answer (SURVEY §7.1 M4).
   streaming execution of the same plan is exercised in
   tests/test_streaming.py (append mode emits only watermark-closed
   sessions, so the batch form is the deterministic declared surface).
+- st07_stream_upsert   — continuous-ingest MERGE via ``foreachBatch``
+  + ``sources.io.upsert_table`` with recency precedence; oracle =
+  latest-event-per-user window SQL (result is batching-independent).
 
 At scale: windowed streaming aggs shuffle on (window, key) with
 partial aggregation map-side; watermarks bound state. The memory sink
@@ -142,6 +145,70 @@ def st03_session_window(spark, sf_dir):
     return session_windows(e).orderBy("user_id", "session_start", "c", "s")
 
 
+def st07_stream_upsert(spark, sf_dir):
+    """Streaming MERGE (continuous ingest): ``foreachBatch`` reduces
+    each micro-batch to its newest event per user, then upserts into a
+    parquet state table keyed by ``user_id`` with recency precedence
+    (``ts, event_id``) — so the final table is the global
+    latest-event-per-user regardless of how the source was split into
+    batches (out-of-order batches cannot clobber newer state).
+    This is the streaming face of ``sources.io.upsert_table``; a
+    log-backed MERGE (Delta/Iceberg) would replace the staging swap,
+    not the plan. Batching-independence is pinned in
+    tests/test_streaming.py with a forced 3-batch replay.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from crossfire_spark.sources.io import read_table, upsert_table
+
+    work = tempfile.mkdtemp(prefix="st07_")
+    target = os.path.join(work, "latest")
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+
+    def merge(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_table(
+            batch_df.sparkSession,
+            latest,
+            target,
+            keys=["user_id"],
+            precedence=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # checkpoint is no longer needed; the state table stays readable
+    # until the tempdir is reaped (the caller consumes it eagerly)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    return (
+        read_table(spark, target)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
+        .orderBy("user_id", "event_id", "event_type", "ts", "v")
+    )
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
     "st01_stream_tumbling": """
         SELECT DATE_TRUNC('hour', ts) h, event_type, COUNT(*) c, ROUND(SUM(value),2) s
@@ -165,10 +232,16 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
         SELECT user_id, MIN(ts) session_start, COUNT(*) c, ROUND(SUM(value),2) s
         FROM g GROUP BY user_id, sid
         ORDER BY user_id, session_start, c, s""",
+    "st07_stream_upsert": """
+        SELECT user_id, event_id, event_type, ts, ROUND(value, 2) v
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_id, event_type, ts, v""",
 }
 
 STREAMING_QUERIES = {
     "st01_stream_tumbling": st01_stream_tumbling,
     "st02_stream_sliding": st02_stream_sliding,
     "st03_session_window": st03_session_window,
+    "st07_stream_upsert": st07_stream_upsert,
 }

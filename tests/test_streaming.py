@@ -53,6 +53,72 @@ def test_streaming_session_append_is_prefix_of_batch(spark, sf_dir):
     ).distinct().count()
 
 
+def test_stream_upsert_batching_independent(spark, sf_dir, tmp_path):
+    """Streaming MERGE is deterministic under any micro-batch split:
+    replay events as 3 single-file micro-batches (maxFilesPerTrigger=1
+    over a row-sliced copy — files arrive in arbitrary ts order) and
+    the merged state table must equal the batch latest-per-user."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.io import read_table, upsert_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    # 3 files with interleaved rows -> every batch spans all users
+    events.withColumn("b", F.pmod("event_id", F.lit(3))).repartition(
+        "b"
+    ).write.partitionBy("b").parquet(src)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    target = str(tmp_path / "latest")
+    n_batches = []
+
+    def merge(batch_df, batch_id):
+        n_batches.append(batch_id)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        upsert_table(
+            batch_df.sparkSession, latest, target,
+            keys=["user_id"], precedence=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 3, "replay did not split into micro-batches"
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_table(spark, target).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = {
+        (r.user_id, r.event_id)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == expect
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir):
     """dropDuplicatesWithinWatermark collapses re-deliveries: stream
     the events table twice (union) and dedup on event_id."""
