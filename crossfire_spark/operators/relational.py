@@ -632,6 +632,47 @@ def q42(spark, sf_dir):
     )
 
 
+def q43(spark, sf_dir):
+    """Regexp surface: extract / replace-all / match predicate. Both
+    engines use the same group-extract semantics ('' on no match);
+    replace-all needs DuckDB's 'g' flag vs Spark's default — the
+    dialect divergence lives in the oracle/override strings, the
+    DataFrame plan is a pure projection (one scan, codegen'd)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("w"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("cons"),
+            F.when(F.col("p_name").rlike("red"), 1).otherwise(0).alias(
+                "has_red"
+            ),
+        )
+        .orderBy("p_partkey", "w", "cons", "has_red")
+    )
+
+
+def q44(spark, sf_dir):
+    """Date/interval arithmetic: day difference, +90-day shift,
+    quarter, month-end — the calendar functions a retention/cohort
+    pipeline leans on. All JVM built-ins over one scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("dd"),
+            F.date_add(F.to_date("o_orderdate"), 90).alias("d90"),
+            F.quarter("o_orderdate").alias("qt"),
+            F.last_day("o_orderdate").alias("ld"),
+        )
+        .orderBy("o_orderkey", "d", "dd", "d90", "qt", "ld")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -690,6 +731,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_mktsegment, ROUND(raw_s, 2) s,
                ROUND(ROUND(raw_s * 100 / (SELECT SUM(raw_s) FROM seg), 6) + 1e-9, 2) pct
         FROM seg ORDER BY c_mktsegment, s, pct""",
+    "q43": """SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) w,
+        regexp_replace(p_name, '[aeiou]', '', 'g') cons,
+        CASE WHEN regexp_matches(p_name, 'red') THEN 1 ELSE 0 END has_red
+        FROM part ORDER BY p_partkey, w, cons, has_red""",
+    "q44": """SELECT o_orderkey, CAST(o_orderdate AS DATE) d,
+        datediff('day', DATE '1995-01-01', o_orderdate) dd,
+        CAST(o_orderdate + INTERVAL 90 DAY AS DATE) d90,
+        quarter(o_orderdate) qt, last_day(CAST(o_orderdate AS DATE)) ld
+        FROM orders WHERE o_orderkey < 1000
+        ORDER BY o_orderkey, d, dd, d90, qt, ld""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -706,6 +757,18 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         GROUP BY word ORDER BY c DESC, word LIMIT 20""",
     # Spark has no ALL/ANY quantifier: x > ALL (S) ≡ x > MAX(S) (S non-empty).
     "q40": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY o_orderkey, o_totalprice",
+    # Spark regexp_replace replaces all matches (no 'g' flag); RLIKE vs regexp_matches.
+    "q43": """SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) w,
+        regexp_replace(p_name, '[aeiou]', '') cons,
+        CASE WHEN p_name RLIKE 'red' THEN 1 ELSE 0 END has_red
+        FROM part ORDER BY p_partkey, w, cons, has_red""",
+    # Spark datediff(end, start); dates shift with date_add, not intervals.
+    "q44": """SELECT o_orderkey, CAST(o_orderdate AS DATE) d,
+        datediff(o_orderdate, DATE '1995-01-01') dd,
+        date_add(CAST(o_orderdate AS DATE), 90) d90,
+        quarter(o_orderdate) qt, last_day(CAST(o_orderdate AS DATE)) ld
+        FROM orders WHERE o_orderkey < 1000
+        ORDER BY o_orderkey, d, dd, d90, qt, ld""",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]
