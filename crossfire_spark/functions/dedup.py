@@ -304,6 +304,68 @@ def d04_simhash(spark, sf_dir):
     return simhash_pairs(d).orderBy("doc_a", "doc_b", "hamming")
 
 
+CC_MAX_ITERS = 25
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components over an undirected near-dup edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` where cluster_id is
+    the minimum doc_id reachable from the node.
+
+    Distributed min-label propagation: each round every node takes the
+    min of its own label and its neighbours' labels — one shuffle join
+    plus one shuffle agg per round, converging in O(cluster diameter)
+    rounds. Near-dup clusters are shallow (dups of a common source),
+    so a handful of rounds suffice even at 100 TB; ``localCheckpoint``
+    truncates plan lineage each round so the DAG stays O(1) deep
+    instead of O(rounds). Labels only ever decrease, so convergence is
+    detected by a monotone checksum — sum(lbl) strictly decreases
+    until stable — one scan of the checkpointed labels instead of a
+    self-join against the previous round.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every round — materialize once
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = sym.join(
+            labels.select(F.col("doc_id").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lbl")
+        new = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = new.agg(F.sum("lbl")).collect()[0][0]
+        converged = prev_sum is not None and new_sum == prev_sum
+        prev_sum, labels = new_sum, new
+        if converged:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+def d06_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: exact-Jaccard near-dup pairs (the oracled
+    d02 edge set — deterministic, so this stays oracle-checkable)
+    closed under transitivity; every document in a cluster maps to the
+    cluster's min doc_id (the canonical survivor a dedup pipeline
+    keeps). Oracle = DuckDB recursive-CTE transitive closure."""
+    d = load_table(spark, sf_dir, "documents")
+    return connected_components(exact_jaccard_pairs(d)).orderBy(
+        "doc_id", "cluster_id"
+    )
+
+
 DEDUP_ORACLE_SQL: dict[str, str] = {
     "d01_dedup_bag": """
         WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp, doc_id FROM documents)
@@ -322,6 +384,23 @@ DEDUP_ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_a, doc_b, j""",
     # d03/d04 are hash-function-dependent (xxhash64): rows-only check
     # by the driver; recall verified against d02 in tests/test_dedup.py.
+    "d06_dup_clusters": f"""
+        WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN ns x ON doc_a = x.doc_id JOIN ns y ON doc_b = y.doc_id
+                  WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        reach(n, m) AS (SELECT a, a FROM edges
+                        UNION
+                        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        SELECT n doc_id, MIN(m) cluster_id FROM reach GROUP BY n
+        ORDER BY doc_id, cluster_id""",
 }
 
 DEDUP_QUERIES = {
@@ -329,4 +408,5 @@ DEDUP_QUERIES = {
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
+    "d06_dup_clusters": d06_dup_clusters,
 }

@@ -673,6 +673,47 @@ def q44(spark, sf_dir):
     )
 
 
+def q45(spark, sf_dir):
+    """String-function suite: levenshtein / translate / lpad / reverse
+    / repeat / ascii / split_part — the §2.8 string surface beyond
+    path-slicing. Pure projection over one pruned scan; every function
+    is a JVM built-in inside whole-stage codegen."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_type").alias("lev"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+            F.lpad("p_brand", 12, "#").alias("lp"),
+            F.reverse("p_brand").alias("rev"),
+            F.repeat(F.substring("p_name", 1, 3), 2).alias("rep"),
+            F.ascii("p_name").alias("ac"),
+            F.expr("split_part(p_type, ' ', 2)").alias("sp"),
+        )
+        .orderBy("p_partkey", "lev", "tr", "lp", "rev", "rep", "ac", "sp")
+    )
+
+
+def q46(spark, sf_dir):
+    """Conditional / boolean / bitwise aggregates: count_if, bool_and,
+    bool_or, and a bit-twiddled sum (mask + shift). One partial-agg
+    shuffle on a 5-value key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.bool_or(F.col("o_orderkey") % 2 == 0).alias("any_even"),
+            F.sum(
+                F.shiftleft(F.col("o_orderkey").bitwiseAND(F.lit(7)), 1)
+            ).alias("bits"),
+        )
+        .orderBy("o_orderpriority", "big", "all_pos", "any_even", "bits")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -741,6 +782,18 @@ ORACLE_SQL: dict[str, str] = {
         quarter(o_orderdate) qt, last_day(CAST(o_orderdate AS DATE)) ld
         FROM orders WHERE o_orderkey < 1000
         ORDER BY o_orderkey, d, dd, d90, qt, ld""",
+    "q45": """SELECT p_partkey, levenshtein(p_name, p_type) lev,
+        translate(p_name, 'aeiou', 'AEIOU') tr, lpad(p_brand, 12, '#') lp,
+        reverse(p_brand) rev, repeat(substr(p_name, 1, 3), 2) rep,
+        ascii(p_name) ac, split_part(p_type, ' ', 2) sp
+        FROM part WHERE p_partkey <= 500
+        ORDER BY p_partkey, lev, tr, lp, rev, rep, ac, sp""",
+    "q46": """SELECT o_orderpriority, count_if(o_totalprice > 100000) big,
+        bool_and(o_totalprice > 0) all_pos,
+        bool_or(o_orderkey % 2 = 0) any_even,
+        SUM((o_orderkey & 7) << 1) bits
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority, big, all_pos, any_even, bits""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
