@@ -84,3 +84,88 @@ def test_topology_report(spark):
     assert len(doc["racks"]) == 5
     addrs = doc["racks"][0]["addresses"]
     assert addrs == sorted(addrs)
+
+
+def test_snapshot_append_overwrite_time_travel(spark, sf_dir, tmp_path):
+    from crossfire_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "snap")
+    v0 = snapshot_write(nation.where(F.col("n_nationkey") < 10), path)
+    v1 = snapshot_write(nation.where(F.col("n_nationkey") >= 10), path)
+    assert (v0, v1) == (0, 1)
+    # head sees the union of both appends
+    assert snapshot_read(spark, path).count() == nation.count()
+    # time travel: v0 still sees only the first batch
+    assert snapshot_read(spark, path, version=0).count() == nation.where(
+        F.col("n_nationkey") < 10
+    ).count()
+    # overwrite starts fresh but history survives
+    v2 = snapshot_write(nation.limit(3), path, mode="overwrite")
+    assert v2 == 2
+    assert snapshot_read(spark, path).count() == 3
+    assert snapshot_read(spark, path, version=1).count() == nation.count()
+    assert snapshot_versions(path) == [0, 1, 2]
+
+
+def test_snapshot_compact_and_expire(spark, sf_dir, tmp_path):
+    from crossfire_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "snap2")
+    for _ in range(4):  # many small appends -> many small files
+        snapshot_write(nation.repartition(4), path)
+    head = snapshot_versions(path)[-1]
+    assert len(_read_manifest(path, head)["files"]) >= 16
+    rows_before = snapshot_read(spark, path).count()
+    v = snapshot_compact(spark, path)
+    assert len(_read_manifest(path, v)["files"]) < 16
+    assert snapshot_read(spark, path).count() == rows_before
+    # expire everything but the compacted head; it must still read
+    deleted = snapshot_expire(path, keep_last=1)
+    assert deleted > 0
+    assert snapshot_versions(path) == [v]
+    assert snapshot_read(spark, path).count() == rows_before
+
+
+def test_snapshot_concurrent_commit_retries(spark, sf_dir, tmp_path):
+    """Losing a version slot must retry against the new head, not
+    clobber it: simulate by pre-claiming the slot the writer wants."""
+    import json as _json
+    import os as _os
+
+    from crossfire_spark.sources.snapshot import (
+        _manifest_path,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "snap3")
+    snapshot_write(nation.where(F.col("n_nationkey") < 5), path)
+    # a "concurrent writer" claims v1 directly
+    m0 = _json.load(open(_manifest_path(path, 0)))
+    m1 = dict(m0, version=1, parent=0, operation="append")
+    _os.makedirs(_os.path.dirname(_manifest_path(path, 1)), exist_ok=True)
+    with open(_manifest_path(path, 1), "w") as fh:
+        _json.dump(m1, fh)
+    # our writer must land at v2 with v1's files as parent
+    v = snapshot_write(nation.where(F.col("n_nationkey") >= 20), path)
+    assert v == 2
+    # v1 (the winner) carries v0's files; our append adds its own batch
+    expect = (
+        nation.where(F.col("n_nationkey") < 5).count()
+        + nation.where(F.col("n_nationkey") >= 20).count()
+    )
+    assert snapshot_read(spark, path).count() == expect
