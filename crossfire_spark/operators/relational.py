@@ -714,6 +714,33 @@ def q46(spark, sf_dir):
     )
 
 
+def q47(spark, sf_dir):
+    """Deterministic stratified sampling — the train/test-split shape
+    of a training-data pipeline. Bucket = position of the first
+    md5(doc_id) hex digit (1..16, identical in any engine — no RNG, so
+    the split is reproducible and oracle-checkable); keep ~5/16 per
+    source stratum, then report per-stratum rates. Embarrassingly
+    parallel: the bucket is computed in the scan projection, one
+    partial-agg shuffle on the stratum key. At 100 TB the same
+    predicate IS the split — no shuffle, no sort, no sampling pass."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))"
+    )
+    return (
+        d.select("source", bucket.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("b") <= 5).alias("sampled"),
+            F.round(F.count_if(F.col("b") <= 5) / F.count(F.lit(1)), 3).alias(
+                "rate"
+            ),
+        )
+        .orderBy("source", "total", "sampled", "rate")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -794,6 +821,12 @@ ORACLE_SQL: dict[str, str] = {
         SUM((o_orderkey & 7) << 1) bits
         FROM orders GROUP BY o_orderpriority
         ORDER BY o_orderpriority, big, all_pos, any_even, bits""",
+    "q47": """WITH b AS (SELECT source,
+            strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) bk
+        FROM documents)
+        SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
+               ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
+        FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -822,6 +855,13 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         quarter(o_orderdate) qt, last_day(CAST(o_orderdate AS DATE)) ld
         FROM orders WHERE o_orderkey < 1000
         ORDER BY o_orderkey, d, dd, d90, qt, ld""",
+    # Spark spells strpos as instr.
+    "q47": """WITH b AS (SELECT source,
+            instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) bk
+        FROM documents)
+        SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
+               ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
+        FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]
