@@ -209,7 +209,38 @@ def st07_stream_upsert(spark, sf_dir):
     )
 
 
+def st08_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: the source replayed TWICE (self-union
+    — every event arrives at least twice) and collapsed back with
+    ``dropDuplicatesWithinWatermark`` keyed on event_id. The two
+    copies are byte-identical, so the surviving rows are exactly the
+    original table — making the stateful dedup operator fully
+    oracle-checkable (oracle = plain SELECT on events).
+
+    Scale shape: dedup state is keyed by event_id, shuffled once, and
+    *expired by the watermark* — unbounded-retention dropDuplicates
+    would OOM a 100 TB ingest; the watermark bound is the whole point
+    of the WithinWatermark variant."""
+    a = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    b = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    dd = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
+    sink = run_stream_to_memory(
+        dd.select("event_id", "user_id", "event_type", "ts", "value"),
+        mode="append",
+    )
+    return sink.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round("value", 2).alias("v"),
+    ).orderBy("event_id", "user_id", "event_type", "ts", "v")
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
+    "st08_stream_dedup": """
+        SELECT event_id, user_id, event_type, ts, ROUND(value, 2) v
+        FROM events ORDER BY event_id, user_id, event_type, ts, v""",
     "st01_stream_tumbling": """
         SELECT DATE_TRUNC('hour', ts) h, event_type, COUNT(*) c, ROUND(SUM(value),2) s
         FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
@@ -244,4 +275,5 @@ STREAMING_QUERIES = {
     "st02_stream_sliding": st02_stream_sliding,
     "st03_session_window": st03_session_window,
     "st07_stream_upsert": st07_stream_upsert,
+    "st08_stream_dedup": st08_stream_dedup,
 }
