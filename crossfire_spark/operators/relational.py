@@ -741,6 +741,30 @@ def q47(spark, sf_dir):
     )
 
 
+def q48(spark, sf_dir):
+    """NULL-semantics suite: nullif manufactures NULLs, then coalesce
+    / ifnull recover, null-safe equality compares, and the aggregate
+    layer shows COUNT(col) vs COUNT(*) null-skipping. One scan, one
+    partial-agg shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    ns = F.expr("nullif(o_orderstatus, 'O')")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.expr("nullif(o_orderstatus, 'O')")).alias("n_notnull"),
+            F.count_if(ns.isNull()).alias("n_null"),
+            F.count_if(ns.eqNullSafe(F.lit("F"))).alias("nsafe_f"),
+            F.min(F.coalesce(ns, F.lit("zz"))).alias("co_min"),
+            F.max(F.expr("ifnull(nullif(o_orderstatus, 'O'), 'aa')")).alias(
+                "nv_max"
+            ),
+        )
+        .orderBy("o_orderpriority", "n_all", "n_notnull", "n_null", "nsafe_f",
+                 "co_min", "nv_max")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -827,6 +851,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
                ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
         FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
+    "q48": """SELECT o_orderpriority, COUNT(*) n_all,
+        COUNT(nullif(o_orderstatus, 'O')) n_notnull,
+        count_if(nullif(o_orderstatus, 'O') IS NULL) n_null,
+        count_if(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') nsafe_f,
+        MIN(coalesce(nullif(o_orderstatus, 'O'), 'zz')) co_min,
+        MAX(ifnull(nullif(o_orderstatus, 'O'), 'aa')) nv_max
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority, n_all, n_notnull, n_null, nsafe_f, co_min, nv_max""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
