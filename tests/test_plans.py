@@ -82,3 +82,30 @@ def test_no_query_regresses_to_cartesian_or_row_python(spark, sf_dir):
         if name not in allowed_cartesian:
             assert "CartesianProduct" not in plan, f"{name} went cartesian"
         assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
+
+
+def test_registry_contract_consistency():
+    """Driver-contract invariants: every oracle key names a registered
+    query, names are unique across families (dict merge would silently
+    drop a collision), and every builder is callable. Pins the counts
+    so an accidental unregistration shows up as a diff, not silence."""
+    from crossfire_spark.registry import all_oracle_sql, all_queries
+
+    qs, osql = all_queries(), all_oracle_sql()
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    assert all(callable(f) for f in qs.values())
+    rows_only = sorted(set(qs) - set(osql))
+    # rows-only set is a deliberate, reviewed list — additions must be
+    # conscious (each needs a recall/metamorphic/determinism test).
+    assert rows_only == [
+        "d03_minhash_lsh",
+        "d04_simhash",
+        "m01_media_features",
+        "m02_image_resize",
+        "m03_frame_sample",
+        "p02_deletion_drain",
+        "p03_choose_targets",
+        "s02_lsh_topk",
+        "s04_ivf_kmeans",
+    ]
+    assert len(qs) == 81 and len(osql) == 72
