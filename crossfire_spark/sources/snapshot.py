@@ -96,7 +96,14 @@ def snapshot_write(
         parent = _current_version(path)
         files = list(new_files)
         if mode == "append" and parent is not None:
-            files = _read_manifest(path, parent)["files"] + files
+            parent_manifest = _read_manifest(path, parent)
+            if parent_manifest["schema"] != df.schema.json():
+                raise ValueError(
+                    f"append schema mismatch at {path} v{parent}: "
+                    "appends must match the table schema exactly "
+                    "(overwrite to restate)"
+                )
+            files = parent_manifest["files"] + files
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,

@@ -169,3 +169,16 @@ def test_snapshot_concurrent_commit_retries(spark, sf_dir, tmp_path):
         + nation.where(F.col("n_nationkey") >= 20).count()
     )
     assert snapshot_read(spark, path).count() == expect
+
+
+def test_snapshot_append_schema_mismatch_rejected(spark, sf_dir, tmp_path):
+    from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "snap4")
+    snapshot_write(nation, path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_write(nation.select("n_nationkey"), path, mode="append")
+    # overwrite restates the schema legally
+    snapshot_write(nation.select("n_nationkey"), path, mode="overwrite")
+    assert snapshot_read(spark, path).columns == ["n_nationkey"]
