@@ -765,6 +765,33 @@ def q48(spark, sf_dir):
     )
 
 
+def q49(spark, sf_dir):
+    """Higher-order array fold: per-document word-length sum via
+    aggregate(transform(...)), plus array extrema. Integer lambda
+    arithmetic only, so the fold is exact cross-engine (float folds
+    would be order-sensitive). Higher-order functions evaluate
+    interpreted (not codegen'd) — acceptable for semantic coverage;
+    the hot-path dedup/text ops use the flat-column forms instead."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 2000)
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(split(lower(text), ' '), w -> length(w)),"
+                " 0, (a, x) -> a + x)"
+            ).alias("wl_sum"),
+            F.expr(
+                "array_max(transform(split(lower(text), ' '), w -> length(w)))"
+            ).alias("wl_max"),
+            F.expr(
+                "array_min(transform(split(lower(text), ' '), w -> length(w)))"
+            ).alias("wl_min"),
+        )
+        .orderBy("doc_id", "wl_sum", "wl_max", "wl_min")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -859,6 +886,12 @@ ORACLE_SQL: dict[str, str] = {
         MAX(ifnull(nullif(o_orderstatus, 'O'), 'aa')) nv_max
         FROM orders GROUP BY o_orderpriority
         ORDER BY o_orderpriority, n_all, n_notnull, n_null, nsafe_f, co_min, nv_max""",
+    "q49": """WITH t AS (SELECT doc_id,
+            list_transform(string_split(lower(text), ' '), w -> length(w)) wl
+        FROM documents WHERE doc_id < 2000)
+        SELECT doc_id, CAST(list_sum(wl) AS INT) wl_sum,
+               list_max(wl) wl_max, list_min(wl) wl_min
+        FROM t ORDER BY doc_id, wl_sum, wl_max, wl_min""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -894,6 +927,13 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
                ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
         FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
+    # Spark spells list_* as transform/aggregate/array_*.
+    "q49": """WITH t AS (SELECT doc_id,
+            transform(split(lower(text), ' '), w -> length(w)) wl
+        FROM documents WHERE doc_id < 2000)
+        SELECT doc_id, aggregate(wl, 0, (a, x) -> a + x) wl_sum,
+               array_max(wl) wl_max, array_min(wl) wl_min
+        FROM t ORDER BY doc_id, wl_sum, wl_max, wl_min""",
 }
 
 Builder = Callable[[SparkSession, str], DataFrame]
