@@ -261,6 +261,9 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    # corpus smaller than k: limit(k) returned fewer rows, so clamp —
+    # the i-th empty-cluster fallback below indexes centroids[i]
+    k = min(k, len(centroids))
     history: list[float] = []
     for _ in range(n_iter):
         cent = spark.createDataFrame(

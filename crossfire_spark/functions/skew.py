@@ -69,7 +69,19 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: fact salted, dim replicated per salt.
     Result columns = fact's then dim's (minus the dup key), exactly
-    like ``fact.join(dim, on, how)``."""
+    like ``fact.join(dim, on, how)``.
+
+    Only fact-preserving join types are supported: the dim side is
+    replicated ``n_salts`` times, so right/full/left_anti would emit
+    unmatched dim rows once per salt (or break anti semantics).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the dim side is replicated per salt, so unmatched dim rows "
+            "would be duplicated"
+        )
     f = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts))
     )

@@ -818,7 +818,7 @@ ORACLE_SQL: dict[str, str] = {
     "q19": "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k",
     "q20": "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
     "q21": "SELECT n_nationkey k FROM nation EXCEPT SELECT c_nationkey FROM customer ORDER BY k",
-    "q22": "SELECT o_orderstatus, SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) big, COUNT(*) c FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q22": "SELECT o_orderstatus, CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) big, COUNT(*) c FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q23": "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "q24": "SELECT lang, source, COUNT(*) c, ROUND(AVG(n_chars),2) a FROM documents GROUP BY lang, source ORDER BY lang, source",
     "q25": "SELECT text, COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1 ORDER BY c DESC, text LIMIT 20",
@@ -866,22 +866,22 @@ ORACLE_SQL: dict[str, str] = {
         ascii(p_name) ac, split_part(p_type, ' ', 2) sp
         FROM part WHERE p_partkey <= 500
         ORDER BY p_partkey, lev, tr, lp, rev, rep, ac, sp""",
-    "q46": """SELECT o_orderpriority, count_if(o_totalprice > 100000) big,
+    "q46": """SELECT o_orderpriority, CAST(count_if(o_totalprice > 100000) AS BIGINT) big,
         bool_and(o_totalprice > 0) all_pos,
         bool_or(o_orderkey % 2 = 0) any_even,
-        SUM((o_orderkey & 7) << 1) bits
+        CAST(SUM((o_orderkey & 7) << 1) AS BIGINT) bits
         FROM orders GROUP BY o_orderpriority
         ORDER BY o_orderpriority, big, all_pos, any_even, bits""",
     "q47": """WITH b AS (SELECT source,
             strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) bk
         FROM documents)
-        SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
+        SELECT source, COUNT(*) total, CAST(count_if(bk <= 5) AS BIGINT) sampled,
                ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
         FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
     "q48": """SELECT o_orderpriority, COUNT(*) n_all,
         COUNT(nullif(o_orderstatus, 'O')) n_notnull,
-        count_if(nullif(o_orderstatus, 'O') IS NULL) n_null,
-        count_if(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') nsafe_f,
+        CAST(count_if(nullif(o_orderstatus, 'O') IS NULL) AS BIGINT) n_null,
+        CAST(count_if(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') AS BIGINT) nsafe_f,
         MIN(coalesce(nullif(o_orderstatus, 'O'), 'zz')) co_min,
         MAX(ifnull(nullif(o_orderstatus, 'O'), 'aa')) nv_max
         FROM orders GROUP BY o_orderpriority

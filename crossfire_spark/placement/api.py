@@ -83,6 +83,17 @@ def verify_placement(
         F.broadcast(leafed.select("datanode_id", "ancestors", "node_path")),
         "datanode_id",
     )
+    # replicas referencing a datanode absent from the topology would be
+    # silently dropped by the inner join above; the reference counts
+    # every non-null datanode handed to it, so count them per block and
+    # surface them (replica_cnt includes them, spread is unverifiable).
+    orphans = (
+        replicas.join(
+            F.broadcast(leafed.select("datanode_id")), "datanode_id", "left_anti"
+        )
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("orphan_cnt"))
+    )
     edges = _pair_explode(placed, "node_path")
 
     per_child = edges.groupBy("block_id", "parent", "child").agg(
@@ -117,12 +128,18 @@ def verify_placement(
 
     out = (
         req.join(per_block, "block_id", "left")
-        .na.fill({"replica_cnt": 0, "spread_ok": False})
+        .join(orphans, "block_id", "left")
+        .na.fill({"replica_cnt": 0, "spread_ok": False, "orphan_cnt": 0})
+        .withColumn("replica_cnt", F.col("replica_cnt") + F.col("orphan_cnt"))
         .withColumn("count_ok", F.col("replica_cnt") >= F.col("required_replicas"))
-        .withColumn("satisfied", F.col("count_ok") & F.col("spread_ok"))
+        .withColumn(
+            "satisfied",
+            F.col("count_ok") & F.col("spread_ok") & (F.col("orphan_cnt") == 0),
+        )
         .withColumn(
             "reason",
-            F.when(~F.col("count_ok"), F.lit("under_replicated"))
+            F.when(F.col("orphan_cnt") > 0, F.lit("orphan_replica"))
+            .when(~F.col("count_ok"), F.lit("under_replicated"))
             .when(~F.col("spread_ok"), F.lit("not_spread_or_imbalanced"))
             .otherwise(F.lit("ok")),
         )

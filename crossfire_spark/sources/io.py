@@ -48,6 +48,7 @@ def read_table(
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    _recover_swap(path)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -76,14 +77,34 @@ def write_table(
     writer.options(**options).save(path)
 
 
+def _backup_of(path: str) -> str:
+    return f"{path}.__old"
+
+
+def _recover_swap(path: str) -> None:
+    """Heal a crash inside :func:`_swap_into_place`: if ``path`` is
+    missing but its backup exists, the crash hit the window between
+    the two renames — restore the backup (the old table version)."""
+    backup = _backup_of(path)
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+
+
 def _swap_into_place(staging: str, path: str) -> None:
     """Replace ``path`` with ``staging`` as atomically as a plain
     filesystem allows (write-new, move-old-aside, move-new-in,
-    drop-old). On an object store / HDFS deployment this maps to a
-    rename of the table root; table formats with a transaction log
-    (Delta/Iceberg) replace this whole dance — see the module note."""
-    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    drop-old). The backup name is deterministic (``<path>.__old``) so
+    a crash between the two renames is recoverable: the next
+    read/write through this module finds the lone backup and restores
+    it (:func:`_recover_swap`). On an object store / HDFS deployment
+    this maps to a rename of the table root; table formats with a
+    transaction log (the snapshot sink, Delta/Iceberg) replace this
+    whole dance — see the module note."""
+    backup = _backup_of(path)
+    # leftover backup from a crash *after* a successful swap: the live
+    # table at `path` is newer, so the backup is garbage
     if os.path.exists(path):
+        shutil.rmtree(backup, ignore_errors=True)
         os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
@@ -119,6 +140,7 @@ def upsert_table(
     streaming merge deterministic under any micro-batch split
     (out-of-order batches can no longer clobber newer state).
     """
+    _recover_swap(path)
     if not os.path.exists(path):
         write_table(updates, path, fmt=fmt)
         return

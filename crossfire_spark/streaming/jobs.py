@@ -193,10 +193,10 @@ def st07_stream_upsert(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    # checkpoint is no longer needed; the state table stays readable
-    # until the tempdir is reaped (the caller consumes it eagerly)
-    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
-    return (
+    # materialize off the temp files so the whole workdir (checkpoint
+    # AND state table) can be removed now — lazy plans over `target`
+    # would otherwise force leaking /tmp/st07_* per invocation
+    result = (
         read_table(spark, target)
         .select(
             "user_id",
@@ -207,6 +207,10 @@ def st07_stream_upsert(spark, sf_dir):
         )
         .orderBy("user_id", "event_id", "event_type", "ts", "v")
     )
+    rows = result.collect()
+    schema = result.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def st08_stream_dedup(spark, sf_dir):

@@ -235,3 +235,16 @@ def test_resize_and_frame_sample(spark, sf_dir):
     }
     assert got == orig
     assert m03_frame_sample(spark, sf_dir).count() == len(orig)
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    """k > corpus size must clamp, not IndexError (ADVICE r1)."""
+    from crossfire_spark.functions.similarity import kmeans_fit
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, history = kmeans_fit(tiny, k=8, n_iter=2)
+    assert len(centroids) == 3
+    assert len(history) == 2

@@ -91,3 +91,15 @@ def test_salted_join_equals_plain(spark, sf_dir):
     plain = sorted(map(tuple, o.join(c, "o_custkey").collect()))
     salted = sorted(map(tuple, salted_join(o, c, "o_custkey").collect()))
     assert salted == plain
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    """The dim side is replicated per salt, so right/full/anti joins
+    would duplicate unmatched dim rows — must be rejected."""
+    f = spark.createDataFrame([(1, "a")], "k int, v string")
+    d = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(f, d, "k", how=how)
+    # fact-preserving types still work
+    assert salted_join(f, d, "k", how="left").count() == 1

@@ -209,3 +209,32 @@ def test_deletion_all_failed_safety(spark, topo):
     )
     deleted = deletion_candidates(reps, topo["datanodes"], s, keep=3)
     assert deleted.count() == 0
+
+
+def test_verify_surfaces_orphan_replicas(spark):
+    """Replicas pointing at a datanode missing from the topology must
+    not be silently dropped (ADVICE r1): they count toward
+    replica_cnt and fail the block with reason='orphan_replica'."""
+    datanodes = spark.createDataFrame(
+        [
+            (1, "h1", "/dc1/r1", ["/", "/dc1", "/dc1/r1"]),
+            (2, "h2", "/dc1/r1", ["/", "/dc1", "/dc1/r1"]),
+        ],
+        "datanode_id long, hostname string, location string, ancestors array<string>",
+    )
+    replicas = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 99), (2, 1), (2, 2)],
+        "block_id long, datanode_id long",
+    )
+    res = {
+        r.block_id: r
+        for r in verify_placement(replicas, datanodes, required=2).collect()
+    }
+    # block 1: two placed + one orphan => counted, but unverifiable
+    assert res[1].replica_cnt == 3
+    assert not res[1].satisfied
+    assert res[1].reason == "orphan_replica"
+    # block 2 untouched by the orphan logic
+    assert res[2].replica_cnt == 2
+    assert res[2].satisfied
+    assert res[2].reason == "ok"

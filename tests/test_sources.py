@@ -182,3 +182,25 @@ def test_snapshot_append_schema_mismatch_rejected(spark, sf_dir, tmp_path):
     # overwrite restates the schema legally
     snapshot_write(nation.select("n_nationkey"), path, mode="overwrite")
     assert snapshot_read(spark, path).columns == ["n_nationkey"]
+
+
+def test_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between _swap_into_place's two renames leaves only
+    <path>.__old; the next read through the module must restore it."""
+    import shutil
+
+    from crossfire_spark.sources.io import _backup_of
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "crashy")
+    write_table(nation, path)
+    n = read_table(spark, path).count()
+    # simulate the crash window: table moved aside, new one never landed
+    os.rename(path, _backup_of(path))
+    assert read_table(spark, path).count() == n
+    assert not os.path.exists(_backup_of(path))
+    # stale backup next to a live table is garbage-collected on upsert
+    shutil.copytree(path, _backup_of(path))
+    upsert_table(spark, nation.limit(1), path, keys=["n_nationkey"])
+    assert not os.path.exists(_backup_of(path))
+    assert read_table(spark, path).count() == n
