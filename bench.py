@@ -35,8 +35,24 @@ def main() -> None:
 
     qs = all_queries()
 
-    # warmup: touch the biggest table so JVM/codegen startup is paid once
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warmup: run every query once at the smallest SF. Whole-stage
+    # codegen classes are compiled per plan shape, not per dataset —
+    # the first occurrence of a pattern can pay multi-second janino
+    # compilation (measured 9-40 s for the array_distinct family) that
+    # has nothing to do with per-query throughput. One tiny-SF pass
+    # compiles every pattern so the timed pass below measures
+    # steady-state execution. Streaming queries also pre-pay their
+    # fixed state-store/query-setup costs here.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in sorted(qs):
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001,S110 — warmup only; timed pass reports
+            pass
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -366,6 +366,42 @@ def d06_dup_clusters(spark, sf_dir):
     )
 
 
+EVAL_SOURCE = "src0"  # the held-out "benchmark" shard for d07
+CONTAM_NGRAM = 5
+
+
+def d07_contamination(spark, sf_dir):
+    """Benchmark decontamination — the train/eval overlap scan every
+    LLM data pipeline runs before training: flag corpus documents
+    sharing any ``CONTAM_NGRAM``-gram with the held-out eval shard
+    (here: ``source == 'src0'``), with the shared-shingle count as
+    evidence.
+
+    Scale shape: the eval side is tiny relative to the corpus (the
+    benchmark suite, not the crawl), so its distinct shingle set is
+    **broadcast** — the corpus-side scan stays shuffle-free until the
+    per-doc count agg; the corpus is never self-joined. At 100 TB the
+    corpus shingle explode runs map-side against the broadcast hash
+    set, one partial-agg shuffle on doc_id. 13-grams are the
+    production norm; 5 here because the synthetic docs are ~50 words.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        _shingles(d.where(F.col("source") == EVAL_SOURCE), CONTAM_NGRAM)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = _shingles(
+        d.where(F.col("source") != EVAL_SOURCE), CONTAM_NGRAM
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id", "n_shared")
+    )
+
+
 DEDUP_ORACLE_SQL: dict[str, str] = {
     "d01_dedup_bag": """
         WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp, doc_id FROM documents)
@@ -382,6 +418,15 @@ DEDUP_ORACLE_SQL: dict[str, str] = {
         FROM inter JOIN ns x ON doc_a = x.doc_id JOIN ns y ON doc_b = y.doc_id
         WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b, j""",
+    "d07_contamination": f"""
+        WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, source, array_to_string(words[i:i+{CONTAM_NGRAM - 1}], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - {CONTAM_NGRAM - 1}, 1) + 1)) t(i)),
+        ev AS (SELECT DISTINCT s FROM shd WHERE source = '{EVAL_SOURCE}')
+        SELECT c.doc_id, COUNT(*) n_shared
+        FROM shd c JOIN ev ON c.s = ev.s
+        WHERE c.source <> '{EVAL_SOURCE}'
+        GROUP BY c.doc_id ORDER BY doc_id, n_shared""",
     # d03/d04 are hash-function-dependent (xxhash64): rows-only check
     # by the driver; recall verified against d02 in tests/test_dedup.py.
     "d06_dup_clusters": f"""
@@ -409,4 +454,5 @@ DEDUP_QUERIES = {
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
     "d06_dup_clusters": d06_dup_clusters,
+    "d07_contamination": d07_contamination,
 }

@@ -138,6 +138,77 @@ def t04_fingerprint(spark, sf_dir):
     ).orderBy("doc_id", "fp_exact", "fp_bag")
 
 
+def t05_quality_filter(spark, sf_dir):
+    """Rule-based document filter — the keep/drop gate of a training
+    pipeline (the shape of C4/FineWeb-style heuristic filtering).
+    Rules fire in fixed precedence; the first failing rule names the
+    drop reason. All thresholds compare integers (counts scaled by
+    constants, never float ratios) so the decision is bit-identical
+    in any engine. One narrow projection, no shuffle before the
+    deterministic ORDER BY — at 100 TB this runs entirely map-side
+    and the keep column predicate-pushes into downstream scans when
+    the result is persisted partitioned by ``keep``."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.lower("text"), " "))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
+    )
+    inlist = ",".join(f"'{m}'" for m in _EN_STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(lower(text), ' '), w -> w IN ({inlist})))")
+    reason = (
+        F.when(n_chars < 100, F.lit("too_short"))
+        .when(n_words < 20, F.lit("too_few_words"))
+        .when(n_punct * 20 > n_chars, F.lit("too_punct"))  # >5% punctuation
+        .when(n_stop * 10 < n_words, F.lit("low_stopword"))  # <10% stopwords
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        d.select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "ok")
+        .select("doc_id", "keep", "reason")
+        .orderBy("doc_id", "keep", "reason")
+    )
+
+
+SEQ_LEN = 256  # tokens per packed training sequence
+
+
+def t06_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing — the batching step of LLM training
+    prep: concatenate documents in deterministic order and cut every
+    ``SEQ_LEN`` tokens; report per-sequence document count and token
+    total. A document's sequence = (tokens before it) DIV SEQ_LEN,
+    computed with a running-sum window *partitioned by source shard*
+    — the scale-honest form: one window per shard (no global single-
+    partition sort, the classic packing-at-scale trap), shards pack
+    independently and in parallel, exactly how a 100 TB corpus is
+    packed per input shard. Integer arithmetic only."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .withColumn("seq_id", F.expr(f"cum_before DIV {SEQ_LEN}"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id", "n_docs", "seq_tokens")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -182,6 +253,34 @@ TEXT_ORACLE_SQL: dict[str, str] = {
                md5(lower(text)) fp_exact,
                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp_bag
         FROM documents ORDER BY doc_id, fp_exact, fp_bag""",
+    "t05_quality_filter": f"""
+        WITH f AS (SELECT doc_id,
+               length(text) n_chars,
+               len(string_split(lower(text), ' ')) n_words,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) n_punct,
+               {_STOP_SQL} n_stop
+        FROM documents)
+        SELECT doc_id, (reason = 'ok') keep, reason FROM (
+            SELECT doc_id,
+                   CASE WHEN n_chars < 100 THEN 'too_short'
+                        WHEN n_words < 20 THEN 'too_few_words'
+                        WHEN n_punct * 20 > n_chars THEN 'too_punct'
+                        WHEN n_stop * 10 < n_words THEN 'low_stopword'
+                        ELSE 'ok' END reason
+            FROM f) r
+        ORDER BY doc_id, keep, reason""",
+    "t06_pack_sequences": f"""
+        WITH toks AS (SELECT source, doc_id,
+                len(string_split(text, ' ')) n_tok FROM documents),
+        packed AS (SELECT source, n_tok,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {SEQ_LEN} seq_id
+            FROM toks)
+        SELECT source, CAST(seq_id AS BIGINT) seq_id, COUNT(*) n_docs,
+               CAST(SUM(n_tok) AS BIGINT) seq_tokens
+        FROM packed GROUP BY source, seq_id
+        ORDER BY source, seq_id, n_docs, seq_tokens""",
 }
 
 TEXT_QUERIES = {
@@ -189,4 +288,6 @@ TEXT_QUERIES = {
     "t02_quality": t02_quality,
     "t03_tokens": t03_tokens,
     "t04_fingerprint": t04_fingerprint,
+    "t05_quality_filter": t05_quality_filter,
+    "t06_pack_sequences": t06_pack_sequences,
 }

@@ -792,6 +792,128 @@ def q49(spark, sf_dir):
     )
 
 
+def q50(spark, sf_dir):
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL (the
+    bag-semantics counterparts of q20/q21; SURVEY §2.7). Both are
+    tagged and unioned into one result so one query covers both
+    operators. Spark plans these as aggregate+generate (count per
+    side, replicate min/diff) — one shuffle each, no row explosion."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = c.intersectAll(s).select(F.lit("ia").alias("op"), "k")
+    ea = c.exceptAll(s).select(F.lit("ea").alias("op"), "k")
+    return ia.unionByName(ea).orderBy("op", "k")
+
+
+def q51(spark, sf_dir):
+    """Map-typed columns: construction (create_map + map_concat),
+    lookup (element_at), map higher-order function (transform_values),
+    and key introspection (map_keys). Output is scalar-only so the
+    cross-engine hash is well-defined; the oracle computes the same
+    values straight from the base columns."""
+    p = _t(spark, sf_dir, "part")
+    m = F.map_concat(
+        F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")),
+        F.create_map(F.lit("size"), F.col("p_size").cast("string")),
+    )
+    return (
+        p.where(F.col("p_partkey") <= 1000)
+        .select(
+            "p_partkey",
+            m.alias("m"),
+        )
+        .select(
+            "p_partkey",
+            F.element_at("m", F.lit("brand")).alias("b"),
+            F.element_at("m", F.lit("size")).alias("sz"),
+            F.size("m").alias("n"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("ks"),
+            F.element_at(
+                F.transform_values("m", lambda _, v: F.upper(v)), F.lit("type")
+            ).alias("tu"),
+        )
+        .orderBy("p_partkey", "b", "sz", "n", "ks", "tu")
+    )
+
+
+def q52(spark, sf_dir):
+    """UNPIVOT (wide → long): part's numeric attributes melted into
+    (attr, val) rows via ``DataFrame.unpivot`` — the relational melt
+    Spark plans as a single Expand (no join, no shuffle until the
+    sort). Oracle expresses the same thing as UNION ALL."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_partkey") <= 1000)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retail"),
+        )
+        .unpivot(["p_partkey"], ["size", "retail"], "attr", "val")
+        .select("p_partkey", "attr", F.round("val", 2).alias("val"))
+        .orderBy("p_partkey", "attr", "val")
+    )
+
+
+def q53(spark, sf_dir):
+    """Lateral positional explode (UDTF shape): one row per word with
+    its position, via ``posexplode`` — Spark's Generate operator,
+    which runs inside the scan stage (no shuffle, no Python). The
+    oracle mirrors it with UNNEST over an index range."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 300)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .orderBy("doc_id", "pos", "w")
+    )
+
+
+def q54(spark, sf_dir):
+    """Analytic window suite: percent_rank / cume_dist / ntile plus
+    first/last/nth value over an explicit full-partition frame.
+    Deterministic: the window order has a unique tiebreak
+    (o_totalprice, o_orderkey); ranks are exact rationals rounded at
+    4 dp identically in either engine."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.round(F.percent_rank().over(w), 6) + F.lit(1e-9), 4).alias("pr"),
+        F.round(F.round(F.cume_dist().over(w), 6) + F.lit(1e-9), 4).alias("cd"),
+        F.ntile(5).over(w).alias("nt"),
+        F.first("o_orderkey").over(wf).alias("fv"),
+        F.last("o_orderkey").over(wf).alias("lv"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("nv"),
+    ).orderBy(
+        "o_orderkey", "o_orderstatus", "pr", "cd", "nt", "fv", "lv", "nv"
+    )
+
+
+def q55(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated the Spark-first way:
+    the per-customer average is a broadcast-joined aggregate rather
+    than a per-row subquery execution (what Catalyst's decorrelation
+    rewrite does internally; at 100 TB the re-aggregation is one
+    shuffle over the grouping key instead of N subquery probes). The
+    oracle states the correlated form directly. The threshold is
+    stabilized (ROUND(ROUND(x,6)+1e-9,2)) so boundary doubles round
+    identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy("o_custkey").agg(
+        F.round(
+            F.round(F.avg("o_totalprice") * 2, 6) + F.lit(1e-9), 2
+        ).alias("thr")
+    )
+    return (
+        o.join(avg_per_cust, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
+        .orderBy("o_orderkey", "tp")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -892,6 +1014,43 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, CAST(list_sum(wl) AS INT) wl_sum,
                list_max(wl) wl_max, list_min(wl) wl_min
         FROM t ORDER BY doc_id, wl_sum, wl_max, wl_min""",
+    "q50": """SELECT 'ia' AS op, k FROM
+            (SELECT c_nationkey k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) AS ia
+        UNION ALL
+        SELECT 'ea' AS op, k FROM
+            (SELECT c_nationkey k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) AS ea
+        ORDER BY op, k""",
+    "q51": """SELECT p_partkey, p_brand b, CAST(p_size AS VARCHAR) sz,
+        3 n, 'brand,size,type' ks, UPPER(p_type) tu
+        FROM part WHERE p_partkey <= 1000
+        ORDER BY p_partkey, b, sz, n, ks, tu""",
+    "q52": """SELECT p_partkey, 'size' AS attr, ROUND(CAST(p_size AS DOUBLE), 2) val
+        FROM part WHERE p_partkey <= 1000
+        UNION ALL
+        SELECT p_partkey, 'retail' AS attr, ROUND(p_retailprice, 2) val
+        FROM part WHERE p_partkey <= 1000
+        ORDER BY p_partkey, attr, val""",
+    "q53": """WITH t AS (SELECT doc_id, string_split(text, ' ') arr
+            FROM documents WHERE doc_id < 300)
+        SELECT doc_id, CAST(i - 1 AS INT) pos, arr[i] w
+        FROM t, UNNEST(range(1, len(arr) + 1)) u(i)
+        ORDER BY doc_id, pos, w""",
+    "q54": """SELECT o_orderkey, o_orderstatus,
+        ROUND(ROUND(percent_rank() OVER w, 6) + 1e-9, 4) pr,
+        ROUND(ROUND(cume_dist() OVER w, 6) + 1e-9, 4) cd,
+        ntile(5) OVER w nt,
+        first_value(o_orderkey) OVER wf fv,
+        last_value(o_orderkey) OVER wf lv,
+        nth_value(o_orderkey, 2) OVER wf nv
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey, o_orderstatus, pr, cd, nt, fv, lv, nv""",
+    "q55": """SELECT o_orderkey, ROUND(o_totalprice, 2) tp FROM orders o
+        WHERE o_totalprice > (SELECT ROUND(ROUND(AVG(o2.o_totalprice) * 2, 6) + 1e-9, 2)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey, tp""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -927,6 +1086,16 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         SELECT source, COUNT(*) total, count_if(bk <= 5) sampled,
                ROUND(count_if(bk <= 5) * 1.0 / COUNT(*), 3) rate
         FROM b GROUP BY source ORDER BY source, total, sampled, rate""",
+    # Spark spells CAST(... AS VARCHAR) as STRING.
+    "q51": """SELECT p_partkey, p_brand b, CAST(p_size AS STRING) sz,
+        3 n, 'brand,size,type' ks, UPPER(p_type) tu
+        FROM part WHERE p_partkey <= 1000
+        ORDER BY p_partkey, b, sz, n, ks, tu""",
+    # Spark's lateral positional explode is LATERAL VIEW posexplode.
+    "q53": """SELECT doc_id, pos, w
+        FROM (SELECT doc_id, split(text, ' ') arr FROM documents WHERE doc_id < 300)
+        LATERAL VIEW posexplode(arr) t AS pos, w
+        ORDER BY doc_id, pos, w""",
     # Spark spells list_* as transform/aggregate/array_*.
     "q49": """WITH t AS (SELECT doc_id,
             transform(split(lower(text), ' '), w -> length(w)) wl

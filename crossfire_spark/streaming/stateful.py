@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, c long, s double"
@@ -44,17 +45,85 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# bucketed variant: state keyed by pmod(user_id, n_buckets) instead of
+# the raw user — see user_running_totals_bucketed below
+BUCKET_STATE_SCHEMA = (
+    "users array<long>, cs array<long>, ss array<double>"
+)
+
+
+def user_running_totals_bucketed(
+    events: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """Per-user running totals with *bucketed* state keys.
+
+    Identical output to :func:`user_running_totals`, but the state
+    store is keyed by ``pmod(user_id, n_buckets)`` and each bucket's
+    state holds the (user -> (count, sum)) map as parallel arrays.
+    Why: ``applyInPandasWithState`` pays ~5-10 ms of Python dispatch +
+    state (de)serialization *per group per batch* — at millions of
+    distinct users that per-key overhead, not the arithmetic, is the
+    bound.  Bucketing turns "one state entry per user" into "one per
+    bucket" (the classic high-cardinality key-compaction trick for
+    Python stateful ops); inside a bucket the per-user merge is a
+    vectorized pandas groupby.  n_buckets trades dispatch overhead
+    against per-bucket state size — size it so each bucket's array
+    state stays ~KBs-MBs (users/n_buckets entries), and to >= the
+    state-store partition count so all partitions carry load.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        # state: parallel arrays (user_ids, counts, sums)
+        if state.exists:
+            users, cs, ss = state.get
+            acc = {u: (c, s) for u, c, s in zip(users, cs, ss)}
+        else:
+            acc = {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        g = batch.groupby("user_id")["value"].agg(["count", "sum"])
+        touched = []
+        for user_id, row in g.iterrows():
+            c0, s0 = acc.get(user_id, (0, 0.0))
+            acc[user_id] = (c0 + int(row["count"]), s0 + float(row["sum"]))
+            touched.append(user_id)
+        users = list(acc)
+        state.update(
+            (users, [acc[u][0] for u in users], [acc[u][1] for u in users])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": touched,
+                "c": [acc[u][0] for u in touched],
+                "s": [round(acc[u][1], 2) for u in touched],
+            }
+        )
+
+    bucketed = events.withColumn(
+        "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def st04_stateful_totals(spark, sf_dir):
     """Run the stateful operator over the bounded replay; the final
     update per user must equal the batch aggregate (oracle)."""
     from crossfire_spark.streaming.jobs import events_stream, run_stream_to_memory
 
     out = run_stream_to_memory(
-        user_running_totals(events_stream(spark, sf_dir)), mode="update"
+        user_running_totals_bucketed(events_stream(spark, sf_dir)),
+        mode="update",
     )
     # update mode emits one row per (user, batch); keep the final one
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
     return (
