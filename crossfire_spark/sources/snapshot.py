@@ -70,8 +70,59 @@ def _current_version(path: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def _merge_schemas(table_schema_json: str, df_schema_json: str) -> str:
+    """Union of two schemas for additive evolution: every column of the
+    existing table plus any new columns the incoming batch introduces.
+    Columns present in both must agree exactly on type (no narrowing,
+    widening, or nullability games — rename/retype is a restatement)."""
+    from pyspark.sql.types import StructType
+
+    table = StructType.fromJson(json.loads(table_schema_json))
+    batch = StructType.fromJson(json.loads(df_schema_json))
+    by_name = {f.name: f for f in table.fields}
+    for f in batch.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            by_name[f.name] = f
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r}: "
+                f"{old.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} (overwrite to restate)"
+            )
+    # table columns keep their positions; new ones append at the end
+    order = [f.name for f in table.fields] + [
+        f.name for f in batch.fields if f.name not in {x.name for x in table.fields}
+    ]
+    return StructType([by_name[n] for n in order]).json()
+
+
+def _list_data_files(data_dir: str, batch_rel: str) -> dict[str, dict]:
+    """Map manifest-relative file path -> partition values parsed from
+    hive-style ``col=value`` directory segments (empty dict when the
+    write was unpartitioned)."""
+    out: dict[str, dict] = {}
+    for root, _dirs, names in os.walk(data_dir):
+        rel_dir = os.path.relpath(root, data_dir)
+        parts = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                parts[k] = v
+        for f in names:
+            if f.endswith(".parquet"):
+                rel = os.path.join(batch_rel, "" if rel_dir == "." else rel_dir, f)
+                out[os.path.normpath(rel)] = parts
+    return out
+
+
 def snapshot_write(
-    df: DataFrame, path: str, mode: str = "append", max_retries: int = 10
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_retries: int = 10,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version.
 
@@ -80,37 +131,67 @@ def snapshot_write(
     for time travel until ``snapshot_expire``). Data lands first in a
     unique subdir (never visible until the manifest commits), then the
     manifest claims the next version slot by atomic rename.
+
+    ``partition_by`` hive-partitions the data files and records each
+    file's partition values in the manifest, so reads prune files
+    driver-side from metadata alone — no directory listing, the
+    property that makes partition pruning O(manifest) instead of
+    O(storage listing) on a 100 TB table. Appends must keep the
+    table's partition spec; ``overwrite`` may change it.
+
+    ``merge_schema=True`` permits *additive* appends: new nullable
+    columns extend the table schema; existing columns must match
+    exactly. Old files simply lack the new columns and read as null
+    (the manifest schema, not file footers, defines the table — a
+    schema change is one manifest write, no data rewrite).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    part_cols = list(partition_by or [])
     os.makedirs(os.path.join(path, _LOG), exist_ok=True)
     batch = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, _DATA, batch)
-    df.write.mode("errorifexists").parquet(data_dir)
-    new_files = [
-        os.path.join(_DATA, batch, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    ]
+    writer = df.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
+    new_files = _list_data_files(data_dir, os.path.join(_DATA, batch))
     for _ in range(max_retries):
         parent = _current_version(path)
-        files = list(new_files)
+        files = dict(new_files)
+        schema_json = df.schema.json()
         if mode == "append" and parent is not None:
             parent_manifest = _read_manifest(path, parent)
-            if parent_manifest["schema"] != df.schema.json():
+            parent_parts = parent_manifest.get("partition_by", [])
+            if parent_parts != part_cols:
                 raise ValueError(
-                    f"append schema mismatch at {path} v{parent}: "
-                    "appends must match the table schema exactly "
-                    "(overwrite to restate)"
+                    f"append partition spec mismatch at {path} v{parent}: "
+                    f"table is partitioned by {parent_parts}, append by "
+                    f"{part_cols} (overwrite to repartition)"
                 )
-            files = parent_manifest["files"] + files
+            if parent_manifest["schema"] != schema_json:
+                if not merge_schema:
+                    raise ValueError(
+                        f"append schema mismatch at {path} v{parent}: "
+                        "appends must match the table schema exactly "
+                        "(merge_schema=True for additive evolution, "
+                        "overwrite to restate)"
+                    )
+                schema_json = _merge_schemas(
+                    parent_manifest["schema"], schema_json
+                )
+            files = {**parent_manifest["file_partitions"], **files} if (
+                "file_partitions" in parent_manifest
+            ) else {**dict.fromkeys(parent_manifest["files"], {}), **files}
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,
             "parent": parent,
             "operation": mode,
             "files": sorted(files),
-            "schema": df.schema.json(),
+            "file_partitions": {f: files[f] for f in sorted(files)},
+            "partition_by": part_cols,
+            "schema": schema_json,
         }
         tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
@@ -128,22 +209,82 @@ def snapshot_write(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: dict[str, object] | None = None,
 ) -> DataFrame:
-    """Read a committed version (default: latest). The file list is
-    resolved once, driver-side; the scan itself is a plain parquet
-    multi-file read (vectorized, pushdown-capable)."""
+    """Read a committed version (default: latest).
+
+    The file list is resolved once, driver-side, and the scan reads
+    with the **manifest schema** — so files written before an additive
+    schema evolution surface the new columns as null, with no footer
+    merging. ``where`` is an equality predicate on partition columns,
+    applied to the manifest's per-file partition values: pruning costs
+    one JSON read regardless of table size, and the scan never sees a
+    pruned file.
+    """
+    from pyspark.sql.types import StructType
+
     if version is None:
         version = _current_version(path)
         if version is None:
             raise FileNotFoundError(f"no snapshot log at {path}")
     manifest = _read_manifest(path, version)
-    files = [os.path.join(path, f) for f in manifest["files"]]
+    files = manifest["files"]
+    fparts = manifest.get("file_partitions") or dict.fromkeys(files, {})
+    part_cols = manifest.get("partition_by", [])
+    if where:
+        unknown = sorted(set(where) - set(part_cols))
+        if unknown:
+            raise ValueError(
+                f"where keys {unknown} are not partition columns {part_cols}"
+            )
+        files = [
+            f
+            for f in files
+            if all(fparts[f].get(k) == str(v) for k, v in where.items())
+        ]
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not files:
-        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+    # partitioned layout: group files by their write batch so each
+    # group gets the basePath that makes Spark materialize the
+    # hive-style partition columns, then union the (identical-schema)
+    # groups. Batches = commits, so the group count is the commit
+    # count, not the file count.
+    by_batch: dict[str, list[str]] = {}
+    for f in files:
+        batch_dir = os.path.join(*f.split(os.sep)[:2])  # data/<batch>
+        by_batch.setdefault(batch_dir, []).append(f)
+    out = None
+    for batch_dir, batch_files in sorted(by_batch.items()):
+        part = (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(path, batch_dir))
+            .parquet(*[os.path.join(path, f) for f in batch_files])
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
-    return spark.read.parquet(*files)
+
+def snapshot_history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation, file
+    count, partition spec — the ``DESCRIBE HISTORY`` surface."""
+    return [
+        {
+            "version": v,
+            "parent": (m := _read_manifest(path, v))["parent"],
+            "operation": m["operation"],
+            "n_files": len(m["files"]),
+            "partition_by": m.get("partition_by", []),
+        }
+        for v in snapshot_versions(path)
+    ]
 
 
 def snapshot_compact(
@@ -153,12 +294,17 @@ def snapshot_compact(
     outputs and commit as an overwrite version. History (and pinned
     readers) keep the old files; only the head sees the compact set."""
     df = snapshot_read(spark, path)
+    head = _read_manifest(path, _current_version(path))
     size = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in _read_manifest(path, _current_version(path))["files"]
+        os.path.getsize(os.path.join(path, f)) for f in head["files"]
     )
     n = max(1, round(size / (target_file_mb * 1024 * 1024)))
-    return snapshot_write(df.coalesce(n), path, mode="overwrite")
+    return snapshot_write(
+        df.coalesce(n),
+        path,
+        mode="overwrite",
+        partition_by=head.get("partition_by") or None,
+    )
 
 
 def snapshot_expire(path: str, keep_last: int = 1) -> int:

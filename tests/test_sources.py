@@ -204,3 +204,81 @@ def test_swap_crash_recovery(spark, sf_dir, tmp_path):
     upsert_table(spark, nation.limit(1), path, keys=["n_nationkey"])
     assert not os.path.exists(_backup_of(path))
     assert read_table(spark, path).count() == n
+
+
+def test_snapshot_partitioned_write_prunes_from_manifest(
+    spark, sf_dir, tmp_path
+):
+    """Partition values live in the manifest, so a partition-filtered
+    read never opens (or even lists) files of other partitions."""
+    from crossfire_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "psnap")
+    snapshot_write(docs.where(F.col("doc_id") < 200), path, partition_by=["lang"])
+    snapshot_write(
+        docs.where(F.col("doc_id") >= 200), path, partition_by=["lang"]
+    )
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    lang = sorted(langs)[0]
+    pruned = snapshot_read(spark, path, where={"lang": lang})
+    # every scanned file path carries the chosen partition dir
+    assert all(f"lang={lang}" in f for f in pruned.inputFiles())
+    assert pruned.count() == docs.where(F.col("lang") == lang).count()
+    # partition column is materialized back into the rows
+    assert set(r.lang for r in pruned.select("lang").distinct().collect()) == {lang}
+    # unknown partition key is an error, not a silent full scan
+    with pytest.raises(ValueError, match="not partition columns"):
+        snapshot_read(spark, path, where={"source": "src0"})
+    # appends must keep the partition spec
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        snapshot_write(docs.limit(1), path)
+    # full read still sees everything; compaction keeps the spec
+    assert snapshot_read(spark, path).count() == docs.count()
+    snapshot_compact(spark, path)
+    still = snapshot_read(spark, path, where={"lang": lang})
+    assert still.count() == docs.where(F.col("lang") == lang).count()
+
+
+def test_snapshot_schema_evolution_additive(spark, sf_dir, tmp_path):
+    from crossfire_spark.sources.snapshot import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "esnap")
+    snapshot_write(nation.select("n_nationkey", "n_name"), path)
+    evolved = nation.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("rk")
+    )
+    # plain append still rejects the wider schema...
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_write(evolved, path)
+    # ...merge_schema admits it; old rows read the new column as null
+    snapshot_write(evolved, path, merge_schema=True)
+    head = snapshot_read(spark, path)
+    assert head.columns == ["n_nationkey", "n_name", "rk"]
+    assert head.count() == 2 * nation.count()
+    assert head.where(F.col("rk").isNull()).count() == nation.count()
+    # time travel predates the evolution
+    assert snapshot_read(spark, path, version=0).columns == [
+        "n_nationkey",
+        "n_name",
+    ]
+    # type changes are restatements, never merges
+    with pytest.raises(ValueError, match="cannot change column"):
+        snapshot_write(
+            nation.select(
+                F.col("n_nationkey").cast("string"), "n_name", F.lit(1).alias("rk")
+            ),
+            path,
+            merge_schema=True,
+        )
+    ops = [(h["version"], h["operation"]) for h in snapshot_history(path)]
+    assert ops == [(0, "append"), (1, "append")]
