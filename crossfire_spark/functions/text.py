@@ -209,6 +209,49 @@ def t06_pack_sequences(spark, sf_dir):
     )
 
 
+def t07_chunk_udtf(spark, sf_dir):
+    """RAG-style document chunking via a Python **UDTF** (SURVEY
+    §2.11's user-defined *table* function surface): each document
+    yields overlapping token windows of 32 tokens at stride 16 — the
+    context-chunking step before embedding a corpus.
+
+    Spark-first notes: the UDTF is **arrow-optimized** (``useArrow``),
+    so rows move in Arrow batches, not pickled one at a time — the
+    plan node is ArrowEvalPythonUDTF, keeping the engine's
+    no-row-Python rule. The filter is applied *before* the lateral
+    join so the UDTF only sees surviving rows (Catalyst does not push
+    predicates through a UDTF — it cannot know the UDTF preserves
+    ``doc_id``). The class is defined inside this function so
+    cloudpickle ships it by value; window/stride are literals inside
+    ``eval`` for the same reason. At 100 TB this is embarrassingly
+    parallel: no shuffle until the output sort, state is one document.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tok int, chunk string", useArrow=True)
+    class Chunk:
+        def eval(self, text):
+            words = text.split(" ")
+            for cid, start in enumerate(range(0, len(words), 16)):
+                w = words[start : start + 32]
+                yield cid, len(w), " ".join(w)
+                if start + 32 >= len(words):
+                    break
+
+    spark.udtf.register("cf_chunk32", Chunk)
+    d = load_table(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("cf_docs_t07")
+    return spark.sql(
+        """
+        SELECT doc_id, chunk_id, n_tok, chunk
+        FROM cf_docs_t07, LATERAL cf_chunk32(text) c
+        ORDER BY doc_id, chunk_id, n_tok, chunk
+        """
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -281,6 +324,18 @@ TEXT_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(n_tok) AS BIGINT) seq_tokens
         FROM packed GROUP BY source, seq_id
         ORDER BY source, seq_id, n_docs, seq_tokens""",
+    # the UDTF's exact windowing, restated relationally: starts are
+    # range(0, len, 16); the generator breaks after the first window
+    # reaching the end, hence s = 0 OR s + 16 < len.
+    "t07_chunk_udtf": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') words
+                   FROM documents WHERE doc_id < 400)
+        SELECT doc_id, CAST(s // 16 AS INT) chunk_id,
+               CAST(least(32, len(words) - s) AS INT) n_tok,
+               array_to_string(words[s+1:s+32], ' ') chunk
+        FROM t, UNNEST(range(0, len(words), 16)) u(s)
+        WHERE s = 0 OR s + 16 < len(words)
+        ORDER BY doc_id, chunk_id, n_tok, chunk""",
 }
 
 TEXT_QUERIES = {
@@ -290,4 +345,5 @@ TEXT_QUERIES = {
     "t04_fingerprint": t04_fingerprint,
     "t05_quality_filter": t05_quality_filter,
     "t06_pack_sequences": t06_pack_sequences,
+    "t07_chunk_udtf": t07_chunk_udtf,
 }

@@ -914,6 +914,28 @@ def q55(spark, sf_dir):
     )
 
 
+def q56(spark, sf_dir):
+    """Correlated LATERAL join — top-2 customers by balance *per
+    nation*, stated as a lateral ORDER BY … LIMIT subquery (the
+    "for each row, run this parameterized query" operator). Catalyst
+    decorrelates it into a single ranked window over one shuffle of
+    ``customer`` (verified via explain: Window/row_number ≤ 2, no
+    per-row re-execution) — the only plan that survives when the
+    outer side has millions of rows. The identical SQL runs on
+    DuckDB, which likewise rewrites lateral into a dependent join."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, l.c_custkey, l.bal FROM nation, LATERAL (
+            SELECT c_custkey, ROUND(c_acctbal, 2) bal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+        ORDER BY n_name, c_custkey, bal
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1051,6 +1073,11 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_totalprice > (SELECT ROUND(ROUND(AVG(o2.o_totalprice) * 2, 6) + 1e-9, 2)
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey, tp""",
+    "q56": """SELECT n_name, l.c_custkey, l.bal FROM nation, LATERAL (
+            SELECT c_custkey, ROUND(c_acctbal, 2) bal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+        ORDER BY n_name, c_custkey, bal""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
