@@ -936,6 +936,33 @@ def q56(spark, sf_dir):
     )
 
 
+def q57(spark, sf_dir):
+    """CUBE with GROUPING / GROUPING_ID — the functions that
+    disambiguate "NULL because aggregated away" from "NULL in the
+    data" (completes the §2.4 grouping-analytics declared set next to
+    Q08 ROLLUP / Q09 GROUPING SETS). Same two-phase hash agg as any
+    grouped plan; Expand multiplies rows 4× before the partial agg,
+    which is the standard cube cost at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("gf"),
+            F.grouping("l_linestatus").cast("int").alias("gs"),
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "gf",
+            "gs",
+            "gid",
+            "c",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1078,6 +1105,14 @@ ORACLE_SQL: dict[str, str] = {
             WHERE c_nationkey = n_nationkey
             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
         ORDER BY n_name, c_custkey, bal""",
+    "q57": """SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) gf,
+        CAST(GROUPING(l_linestatus) AS INT) gs,
+        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) gid,
+        COUNT(*) c
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                 gf, gs, gid, c""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function

@@ -60,3 +60,72 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew discipline at scale: one hot key must not serialize a
+    join. With AQE skew handling on, the runtime splits the oversized
+    partition into subpartitions (plan says ``skew=true``) instead of
+    one straggler task processing the whole hot key."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of fact rows share key 0; dim is uniform
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 300_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # execute joined's own query execution (count() would build a
+        # separate one and leave this plan un-finalized)
+        assert len(joined.collect()) == 300_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_observed_write_metrics_ride_the_job(spark, sf_dir, tmp_path):
+    """Data-quality counters computed in the write pass itself —
+    no second scan of what was just written."""
+    from crossfire_spark.plans.observe import observed_count, observed_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "obs")
+    got = observed_write(
+        docs,
+        out,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_text": F.count_if(F.col("text").isNull()),
+            "max_doc": F.max("doc_id"),
+        },
+    )
+    n = docs.count()
+    assert got["rows"] == n
+    assert got["null_text"] == 0
+    assert got["max_doc"] == docs.agg(F.max("doc_id")).first()[0]
+    assert spark.read.parquet(out).count() == n
+
+    # DISTINCT aggregates are disallowed in observed metrics (they
+    # would need a shuffle); the HLL sketch is the rideable counter
+    cnt, m = observed_count(docs, {"langs": F.approx_count_distinct("lang")})
+    assert cnt == n
+    assert m["langs"] == docs.select("lang").distinct().count()  # exact at 3 langs
