@@ -38,18 +38,33 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     prefix: str = "prev_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: attach the most recent (strictly earlier)
-    right row's ``value_cols`` (and its timestamp, ``{prefix}ts``) to
-    every left row; nulls when no earlier right row exists.
+    """Left as-of join: attach one right row's ``value_cols`` (and its
+    timestamp, ``{prefix}ts``) to every left row; nulls when no match
+    exists. ``direction="backward"`` (default) matches the most recent
+    *strictly earlier* right row; ``"forward"`` matches the nearest
+    *strictly later* one.
 
     ``right`` must be unique per (on, right_ts) — pre-aggregate if it
     isn't, or the match is ambiguous in any engine.
+
+    Both directions are the same merge-style single window pass; only
+    the frame direction and the equal-timestamp tiebreak flip. The
+    left row must be *outside* the frame that could see an equal-ts
+    right row: backward sorts left before right at equal ts (a
+    trailing frame cannot see it), forward sorts left after right (a
+    leading frame cannot see it).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
+    l_side, r_side = (0, 1) if back else (1, 0)
     l_marked = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(l_side).alias("_side"),
+        F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
         F.lit(None).cast("timestamp").alias("_rts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
@@ -57,28 +72,29 @@ def asof_join(
     r_marked = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(r_side).alias("_side"),
+        F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_marked.schema["_l"].dataType).alias("_l"),
         F.col(right_ts).alias("_rts"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
-    # order (ts, side): at equal ts the left row precedes the right
-    # row, so "strictly earlier" falls out of the frame boundary.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("_k").orderBy("_ts", "_side")
+    if back:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     carried = l_marked.unionByName(r_marked).select(
-        "_side",
+        "_is_left",
         "_l",
-        F.last("_rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+        pick("_rts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            pick(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in value_cols
         ],
     )
-    return carried.where(F.col("_side") == 0).select(
+    return carried.where(F.col("_is_left") == 1).select(
         "_l.*", f"{prefix}ts", *[f"{prefix}{c}" for c in value_cols]
     )
 
@@ -120,6 +136,34 @@ def a01_asof_join(spark, sf_dir):
     ).orderBy("event_id", "user_id", "prev_ts", "prev_value")
 
 
+def a02_asof_forward(spark, sf_dir):
+    """Forward as-of join: each event gets the user's *next*
+    strictly-later 'click' event — the lookahead variant (label
+    attribution: "what did the user click next?")."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        prefix="next_",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("next_ts"),
+        F.round("next_value", 2).alias("next_value"),
+    ).orderBy("event_id", "user_id", "next_ts", "next_value")
+
+
 ASOF_ORACLE_SQL = {
     "a01_asof_join": """
         SELECT e.event_id, e.user_id, b.ts prev_ts, ROUND(b.value, 2) prev_value
@@ -128,5 +172,15 @@ ASOF_ORACLE_SQL = {
               WHERE event_type = 'click' GROUP BY user_id, ts) b
           ON e.user_id = b.user_id AND e.ts > b.ts
         ORDER BY event_id, e.user_id, prev_ts, prev_value""",
+    "a02_asof_forward": """
+        SELECT e.event_id, e.user_id, b.ts next_ts, ROUND(b.value, 2) next_value
+        FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts, MAX(value) AS "value" FROM events
+              WHERE event_type = 'click' GROUP BY user_id, ts) b
+          ON e.user_id = b.user_id AND e.ts < b.ts
+        ORDER BY event_id, e.user_id, next_ts, next_value""",
 }
-ASOF_QUERIES = {"a01_asof_join": a01_asof_join}
+ASOF_QUERIES = {
+    "a01_asof_join": a01_asof_join,
+    "a02_asof_forward": a02_asof_forward,
+}

@@ -70,6 +70,17 @@ def _current_version(path: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def _schema_key(schema_json: str) -> list[tuple[str, str]]:
+    """(name, type) pairs — schema identity for compatibility checks.
+    Nullability is deliberately ignored: a non-null batch is always
+    writable into a nullable table column, and Spark expression
+    nullability flips on trivia (``lit()`` is non-null)."""
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(schema_json)["fields"]
+    ]
+
+
 def _merge_schemas(table_schema_json: str, df_schema_json: str) -> str:
     """Union of two schemas for additive evolution: every column of the
     existing table plus any new columns the incoming batch introduces.
@@ -169,7 +180,9 @@ def snapshot_write(
                     f"table is partitioned by {parent_parts}, append by "
                     f"{part_cols} (overwrite to repartition)"
                 )
-            if parent_manifest["schema"] != schema_json:
+            if _schema_key(parent_manifest["schema"]) != _schema_key(
+                schema_json
+            ):
                 if not merge_schema:
                     raise ValueError(
                         f"append schema mismatch at {path} v{parent}: "
@@ -246,17 +259,21 @@ def snapshot_read(
             if all(fparts[f].get(k) == str(v) for k, v in where.items())
         ]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    return _read_files(spark, path, files, schema, part_cols)
+
+
+def _read_files(spark, path, files, schema, part_cols):
+    """Scan an explicit manifest file list with the manifest schema.
+    Partitioned layouts are grouped by write batch so each group gets
+    the basePath that makes Spark materialize the hive-style partition
+    columns; batches = commits, so group count is the commit count,
+    not the file count."""
     if not files:
         return spark.createDataFrame([], schema)
     if not part_cols:
         return spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in files]
         )
-    # partitioned layout: group files by their write batch so each
-    # group gets the basePath that makes Spark materialize the
-    # hive-style partition columns, then union the (identical-schema)
-    # groups. Batches = commits, so the group count is the commit
-    # count, not the file count.
     by_batch: dict[str, list[str]] = {}
     for f in files:
         batch_dir = os.path.join(*f.split(os.sep)[:2])  # data/<batch>
@@ -270,6 +287,88 @@ def snapshot_read(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def snapshot_merge(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> int:
+    """MERGE INTO the versioned table: rows of ``df`` replace existing
+    rows with the same ``keys`` (upsert), committed as one new version
+    — history and pinned readers are untouched.
+
+    Copy-on-write at **partition granularity**: when the table is
+    partitioned, only files in partitions the update actually touches
+    are read, anti-joined, and rewritten; every other file carries
+    over into the new manifest by reference. Merging 1 GB of updates
+    confined to one partition of a 100 TB table rewrites that
+    partition, not the table. (File-level pruning would need per-file
+    key min/max stats — noted for parity with Delta/Iceberg; partition
+    granularity is the first-order win.)
+
+    Optimistic concurrency: the merge is computed against the head it
+    read. If another writer commits first, the precomputed file set is
+    stale, so the merge *fails* (rerun it) rather than silently
+    committing over the newer table state.
+    """
+    from pyspark.sql.types import StructType
+
+    head = _current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    m = _read_manifest(path, head)
+    if _schema_key(m["schema"]) != _schema_key(df.schema.json()):
+        raise ValueError(
+            "merge batch schema must match the table schema exactly"
+        )
+    part_cols = m.get("partition_by", [])
+    fparts = m.get("file_partitions") or dict.fromkeys(m["files"], {})
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if part_cols:
+        touched = {
+            tuple(str(r[c]) for c in part_cols)
+            for r in df.select(*part_cols).distinct().collect()
+        }
+        keep = {
+            f: p
+            for f, p in fparts.items()
+            if tuple(p.get(c) for c in part_cols) not in touched
+        }
+        rewrite = sorted(f for f in fparts if f not in keep)
+    else:
+        keep, rewrite = {}, sorted(fparts)
+    current = _read_files(spark, path, rewrite, schema, part_cols)
+    survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
+    merged = survivors.unionByName(df)
+    batch = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, _DATA, batch)
+    writer = merged.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
+    new_files = _list_data_files(data_dir, os.path.join(_DATA, batch))
+    files = {**keep, **new_files}
+    manifest = {
+        "version": head + 1,
+        "parent": head,
+        "operation": "merge",
+        "files": sorted(files),
+        "file_partitions": {f: files[f] for f in sorted(files)},
+        "partition_by": part_cols,
+        "schema": m["schema"],
+    }
+    tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(path, head + 1))
+        os.unlink(tmp)
+        return head + 1
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit at {path} v{head + 1}: merge was computed "
+            "against a stale head — rerun the merge"
+        ) from None
 
 
 def snapshot_history(path: str) -> list[dict]:

@@ -108,4 +108,4 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 94 and len(osql) == 85
+    assert len(qs) == 95 and len(osql) == 86

@@ -282,3 +282,78 @@ def test_snapshot_schema_evolution_additive(spark, sf_dir, tmp_path):
         )
     ops = [(h["version"], h["operation"]) for h in snapshot_history(path)]
     assert ops == [(0, "append"), (1, "append")]
+
+
+def test_snapshot_merge_partition_copy_on_write(spark, sf_dir, tmp_path):
+    """MERGE rewrites only partitions the update touches; all other
+    files carry over into the new manifest by reference."""
+    from crossfire_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    path = str(tmp_path / "msnap")
+    snapshot_write(docs, path, partition_by=["lang"])
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    hot, cold = langs[0], langs[1:]
+    # update 5 existing docs + insert 2 new ones, all in one partition
+    upd = (
+        docs.where(F.col("lang") == hot)
+        .limit(5)
+        .withColumn("text", F.lit("REDACTED"))
+    )
+    ins = spark.createDataFrame(
+        [(10_000_001, hot, "new doc a"), (10_000_002, hot, "new doc b")],
+        schema=docs.schema,
+    )
+    v = snapshot_merge(spark, upd.unionByName(ins), path, keys=["doc_id"])
+    assert snapshot_versions(path)[-1] == v
+    head = snapshot_read(spark, path)
+    assert head.count() == docs.count() + 2
+    assert head.where(F.col("text") == "REDACTED").count() == 5
+    # untouched partitions' files are byte-identical manifest entries
+    m0, m1 = _read_manifest(path, 0), _read_manifest(path, v)
+    for lang in cold:
+        f0 = {f for f, p in m0["file_partitions"].items() if p["lang"] == lang}
+        f1 = {f for f, p in m1["file_partitions"].items() if p["lang"] == lang}
+        assert f0 == f1 and f0
+    # the hot partition was rewritten: no shared files
+    h0 = {f for f, p in m0["file_partitions"].items() if p["lang"] == hot}
+    h1 = {f for f, p in m1["file_partitions"].items() if p["lang"] == hot}
+    assert not (h0 & h1)
+    # pre-merge version still reads the original rows
+    assert snapshot_read(spark, path, version=0).where(
+        F.col("text") == "REDACTED"
+    ).count() == 0
+    assert m1["operation"] == "merge"
+
+
+def test_snapshot_merge_unpartitioned_and_schema_guard(
+    spark, sf_dir, tmp_path
+):
+    from crossfire_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "msnap2")
+    snapshot_write(nation, path)
+    upd = nation.where(F.col("n_nationkey") < 3).withColumn(
+        "n_name", F.lit("X")
+    )
+    snapshot_merge(spark, upd, path, keys=["n_nationkey"])
+    head = snapshot_read(spark, path)
+    assert head.count() == nation.count()
+    assert head.where(F.col("n_name") == "X").count() == 3
+    with pytest.raises(ValueError, match="match the table schema"):
+        snapshot_merge(
+            spark, nation.select("n_nationkey"), path, keys=["n_nationkey"]
+        )
