@@ -963,6 +963,26 @@ def q57(spark, sf_dir):
     )
 
 
+def q58(spark, sf_dir):
+    """Event-time RANGE window: per-user trailing 1-hour sum — the
+    time-series "moving aggregate over a *time* interval, not a row
+    count" (complements Q17's ROWS frame; the batch twin of the
+    streaming sliding window st02). PySpark's ``rangeBetween`` only
+    takes integer offsets, so the interval frame is stated in SQL —
+    one shuffle on user_id, one sort, state bounded by the hour
+    span exactly like the streaming counterpart's watermark."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) s
+        FROM events
+        ORDER BY event_id, user_id, s
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1113,6 +1133,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
                  gf, gs, gid, c""",
+    "q58": """SELECT event_id, user_id,
+        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) s
+        FROM events
+        ORDER BY event_id, user_id, s""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function

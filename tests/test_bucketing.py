@@ -129,3 +129,54 @@ def test_observed_write_metrics_ride_the_job(spark, sf_dir, tmp_path):
     cnt, m = observed_count(docs, {"langs": F.approx_count_distinct("lang")})
     assert cnt == n
     assert m["langs"] == docs.select("lang").distinct().count()  # exact at 3 langs
+
+
+def test_range_sorted_layout_gives_disjoint_zone_maps(spark, sf_dir, tmp_path):
+    """Layout discipline for time-series at scale: range-partition +
+    sort-within-partitions on the clustering key gives every file a
+    narrow, pairwise-disjoint [min, max] key range, so parquet footer
+    stats (zone maps) let a key-range scan skip whole files. An
+    unsorted write spreads every file across the full key range —
+    nothing can be skipped."""
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def file_ranges(path):
+        out = []
+        for root, _d, names in __import__("os").walk(path):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(f"{root}/{n}").metadata
+                idx = md.schema.to_arrow_schema().get_field_index("event_id")
+                lo = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                out.append((lo, hi))
+        return sorted(out)
+
+    sorted_path = str(tmp_path / "sorted")
+    (
+        ev.repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.parquet(sorted_path)
+    )
+    unsorted_path = str(tmp_path / "unsorted")
+    ev.repartition(8).write.parquet(unsorted_path)
+
+    rs = file_ranges(sorted_path)
+    assert len(rs) >= 2
+    # pairwise disjoint: each file's min exceeds the previous file's max
+    assert all(rs[i][0] > rs[i - 1][1] for i in range(1, len(rs)))
+
+    ru = file_ranges(unsorted_path)
+    n_total = ev.count()
+    # every unsorted file spans (almost) the whole key range: a
+    # point/range predicate can never skip it
+    assert all(hi - lo > n_total // 2 for lo, hi in ru)

@@ -108,4 +108,4 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 95 and len(osql) == 86
+    assert len(qs) == 96 and len(osql) == 87
