@@ -402,6 +402,42 @@ def d07_contamination(spark, sf_dir):
     )
 
 
+def d08_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix — "which input sources copy
+    from each other": for every source pair, the number of distinct
+    bag-of-words fingerprints present in both. The dataset-curation
+    report that decides which crawls/dumps to drop wholesale before
+    any per-document dedup runs.
+
+    Scale shape: documents reduce to 16-byte (fingerprint, source)
+    pairs *before* any join (one partial-agg shuffle); the pair
+    matrix is a self-equi-join on fingerprint — and near-duplicate
+    sources produce at most |sources|² output rows, so nothing
+    re-explodes. Text never enters a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower("text"), " "))
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b", "n_shared")
+    )
+
+
 DEDUP_ORACLE_SQL: dict[str, str] = {
     "d01_dedup_bag": """
         WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp, doc_id FROM documents)
@@ -427,6 +463,14 @@ DEDUP_ORACLE_SQL: dict[str, str] = {
         FROM shd c JOIN ev ON c.s = ev.s
         WHERE c.source <> '{EVAL_SOURCE}'
         GROUP BY c.doc_id ORDER BY doc_id, n_shared""",
+    "d08_source_overlap": """
+        WITH fps AS (SELECT DISTINCT source,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+            FROM documents)
+        SELECT a.source src_a, b.source src_b, COUNT(*) n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY src_a, src_b, n_shared""",
     # d03/d04 are hash-function-dependent (xxhash64): rows-only check
     # by the driver; recall verified against d02 in tests/test_dedup.py.
     "d06_dup_clusters": f"""
@@ -455,4 +499,5 @@ DEDUP_QUERIES = {
     "d04_simhash": d04_simhash,
     "d06_dup_clusters": d06_dup_clusters,
     "d07_contamination": d07_contamination,
+    "d08_source_overlap": d08_source_overlap,
 }

@@ -252,6 +252,40 @@ def t07_chunk_udtf(spark, sf_dir):
     )
 
 
+def t08_unigram_logprob(spark, sf_dir):
+    """Corpus-likelihood quality score: average unigram log-probability
+    per document under the corpus's own unigram model — the cheap
+    perplexity proxy pipelines use to rank documents by "how much does
+    this look like the corpus" before the expensive model-based filter.
+
+    Two shuffles total: one to build the vocab (word -> count), one
+    for the per-doc average. The vocab joins back **broadcast** — at
+    100 TB the model is a capped top-K vocabulary (everything else
+    smoothed to a floor), so the join side stays megabytes while the
+    corpus explode streams map-side. The corpus total N rides in via a
+    broadcast nested-loop join of a 1-row aggregate, never a
+    cartesian. Float discipline: the mean of ~100 ln() terms is
+    rounded at 6 dp (re-association drift is ~1e-13) with the 1e-9
+    boundary guard, then reported at 2 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    model = vocab.join(F.broadcast(total)).select(
+        "word", (F.log(F.col("c") * 1.0 / F.col("n"))).alias("lp_w")
+    )
+    return (
+        words.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.round(F.avg("lp_w"), 6) + F.lit(1e-9), 2).alias("lp")
+        )
+        .orderBy("doc_id", "lp")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -336,6 +370,15 @@ TEXT_ORACLE_SQL: dict[str, str] = {
         FROM t, UNNEST(range(0, len(words), 16)) u(s)
         WHERE s = 0 OR s + 16 < len(words)
         ORDER BY doc_id, chunk_id, n_tok, chunk""",
+    "t08_unigram_logprob": """
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                   FROM documents),
+        v AS (SELECT word, COUNT(*) c FROM w GROUP BY word),
+        t AS (SELECT SUM(c) n FROM v),
+        s AS (SELECT w.doc_id, ln(v.c * 1.0 / t.n) lp_w
+              FROM w JOIN v USING (word) CROSS JOIN t)
+        SELECT doc_id, ROUND(ROUND(AVG(lp_w), 6) + 1e-9, 2) lp
+        FROM s GROUP BY doc_id ORDER BY doc_id, lp""",
 }
 
 TEXT_QUERIES = {
@@ -346,4 +389,5 @@ TEXT_QUERIES = {
     "t05_quality_filter": t05_quality_filter,
     "t06_pack_sequences": t06_pack_sequences,
     "t07_chunk_udtf": t07_chunk_udtf,
+    "t08_unigram_logprob": t08_unigram_logprob,
 }

@@ -213,6 +213,90 @@ def st07_stream_upsert(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def st09_snapshot_merge_stream(spark, sf_dir):
+    """Streaming MERGE INTO the log-backed versioned table
+    (``sources.snapshot``): every micro-batch commits one
+    ``snapshot_merge`` version of the latest-event-per-user table —
+    continuous ingest with snapshot isolation (readers pinned to a
+    version never see a half-applied batch), commit history across
+    batch boundaries, and partition-level copy-on-write under the
+    merge.
+
+    Recency is enforced by read-merge-write: the batch's candidate
+    rows are unioned with the current state of the touched keys and
+    the newest (ts, event_id) wins, so out-of-order or replayed
+    batches cannot clobber newer state — the final table equals the
+    batch latest-per-user oracle for ANY batching of the source.
+    st07 is the same semantics into a swap-in-place parquet table;
+    this is the version that survives concurrent readers and crashes
+    (a torn write leaves an unclaimed version slot, never a torn
+    table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.snapshot import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    work = tempfile.mkdtemp(prefix="st09_")
+    target = os.path.join(work, "latest")
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+
+    def merge(batch_df, batch_id):
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not snapshot_versions(target):
+            snapshot_write(latest, target)
+            return
+        current = snapshot_read(s, target).join(
+            latest.select("user_id"), "user_id", "left_semi"
+        )
+        best = (
+            current.unionByName(latest)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        snapshot_merge(s, best, target, keys=["user_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        snapshot_read(spark, target)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
+        .orderBy("user_id", "event_id", "event_type", "ts", "v")
+    )
+    rows = result.collect()
+    schema = result.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def st08_stream_dedup(spark, sf_dir):
     """Streaming deduplication: the source replayed TWICE (self-union
     — every event arrives at least twice) and collapsed back with
@@ -272,6 +356,11 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                   ORDER BY ts DESC, event_id DESC) rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_id, event_type, ts, v""",
+    "st09_snapshot_merge_stream": """
+        SELECT user_id, event_id, event_type, ts, ROUND(value, 2) v
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) rn FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_id, event_type, ts, v""",
 }
 
 STREAMING_QUERIES = {
@@ -280,4 +369,5 @@ STREAMING_QUERIES = {
     "st03_session_window": st03_session_window,
     "st07_stream_upsert": st07_stream_upsert,
     "st08_stream_dedup": st08_stream_dedup,
+    "st09_snapshot_merge_stream": st09_snapshot_merge_stream,
 }

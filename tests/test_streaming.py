@@ -130,3 +130,82 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_snapshot_merge_stream_batching_independent(spark, sf_dir, tmp_path):
+    """st09's read-merge-write into the versioned table is
+    deterministic under any micro-batch split, and each batch is one
+    committed version (history survives across batches)."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.snapshot import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    events.withColumn("b", F.pmod("event_id", F.lit(3))).repartition(
+        "b"
+    ).write.partitionBy("b").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    target = str(tmp_path / "latest")
+
+    def merge(batch_df, batch_id):
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        if not snapshot_versions(target):
+            snapshot_write(latest, target)
+            return
+        current = snapshot_read(s, target).join(
+            latest.select("user_id"), "user_id", "left_semi"
+        )
+        best = (
+            current.unionByName(latest)
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        snapshot_merge(s, best, target, keys=["user_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = snapshot_history(target)
+    assert len(hist) >= 3, "each micro-batch must commit one version"
+    assert {h["operation"] for h in hist[1:]} == {"merge"}
+    got = {
+        (r.user_id, r.event_id)
+        for r in snapshot_read(spark, target).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = {
+        (r.user_id, r.event_id)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == expect
