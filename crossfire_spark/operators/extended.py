@@ -67,6 +67,30 @@ def h01_time_rollup(spark, sf_dir):
     )
 
 
+def h02_ohlc(spark, sf_dir):
+    """OHLC candlestick rollup — the canonical time-series downsample:
+    per (hour, event_type) bucket, the opening value (at min ts),
+    closing value (at max ts), low, high, and volume. ``min_by`` /
+    ``max_by`` compute arg-extremes inside the one two-phase hash agg
+    — no window, no self-join, one shuffle on the bucket key; this is
+    how a 100 TB tick table downsamples to hourly candles. ``ts`` is
+    unique per bucket in this dataset (verified at sf0.01/0.1), so the
+    arg-extremes are well-defined in any engine."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("h", F.date_trunc("hour", "ts"))
+        .groupBy("h", "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open_v"),
+            F.round(F.max_by("value", "ts"), 2).alias("close_v"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("h", "event_type", "open_v", "close_v", "lo", "hi", "volume")
+    )
+
+
 def price_bands(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
 
@@ -144,10 +168,19 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
         SELECT band, COUNT(*) c, ROUND(SUM(o_totalprice), 2) s
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band ORDER BY band, c, s""",
+    "h02_ohlc": """
+        SELECT DATE_TRUNC('hour', ts) h, event_type,
+               ROUND(arg_min(value, ts), 2) open_v,
+               ROUND(arg_max(value, ts), 2) close_v,
+               ROUND(MIN(value), 2) lo, ROUND(MAX(value), 2) hi,
+               COUNT(*) volume
+        FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+        ORDER BY h, event_type, open_v, close_v, lo, hi, volume""",
 }
 
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
+    "h02_ohlc": h02_ohlc,
     "r01_range_join": r01_range_join,
 }

@@ -983,6 +983,36 @@ def q58(spark, sf_dir):
     )
 
 
+def q59(spark, sf_dir):
+    """Error-tolerant expressions: ``try_cast`` (malformed input →
+    NULL, never a task failure) and ``try_divide`` (÷0 → NULL). The
+    ingestion-hardening surface — one bad row in a 100 TB scan must
+    null out, not kill the stage and retry 4× before failing the job.
+    The oracle states the same semantics with TRY_CAST and an explicit
+    zero-denominator guard (DuckDB's ``/`` raises on integer ÷0)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("good_cast"),
+        F.round(
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25),
+                6,
+            )
+            + F.lit(1e-9),
+            2,
+        ).alias("td"),
+    ).orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("bad_cast").asc_nulls_first(),
+        "good_cast",
+        F.col("td").asc_nulls_first(),
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1138,6 +1168,14 @@ ORACLE_SQL: dict[str, str] = {
             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) s
         FROM events
         ORDER BY event_id, user_id, s""",
+    "q59": """SELECT l_orderkey, l_linenumber,
+        TRY_CAST(l_returnflag AS INT) bad_cast,
+        TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) good_cast,
+        CASE WHEN l_quantity = 25 THEN NULL
+             ELSE ROUND(ROUND(l_extendedprice / (l_quantity - 25), 6) + 1e-9, 2) END td
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber, bad_cast NULLS FIRST,
+                 good_cast, td NULLS FIRST""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -1178,6 +1216,14 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         3 n, 'brand,size,type' ks, UPPER(p_type) tu
         FROM part WHERE p_partkey <= 1000
         ORDER BY p_partkey, b, sz, n, ks, tu""",
+    # Spark spells VARCHAR as STRING and has try_divide for the guard.
+    "q59": """SELECT l_orderkey, l_linenumber,
+        TRY_CAST(l_returnflag AS INT) bad_cast,
+        TRY_CAST(CAST(l_linenumber AS STRING) AS INT) good_cast,
+        ROUND(ROUND(try_divide(l_extendedprice, l_quantity - 25), 6) + 1e-9, 2) td
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber, bad_cast NULLS FIRST,
+                 good_cast, td NULLS FIRST""",
     # Spark's lateral positional explode is LATERAL VIEW posexplode.
     "q53": """SELECT doc_id, pos, w
         FROM (SELECT doc_id, split(text, ' ') arr FROM documents WHERE doc_id < 300)
