@@ -286,6 +286,68 @@ def t08_unigram_logprob(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("merge", "vector", "stream")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def t09_bm25(spark, sf_dir):
+    """BM25 keyword retrieval — the classic sparse-retrieval baseline
+    every RAG/hybrid-search stack starts from: score documents for a
+    fixed 3-term query with Okapi BM25 (k1=1.2, b=0.75) and return the
+    top 20.
+
+    Scale shape: one corpus scan builds doc lengths; term frequencies
+    exist only for the query terms (the isin filter prunes before any
+    shuffle); IDF and avgdl are a broadcast-sized model (|terms| rows
+    + one scalar row via broadcast nested-loop, never a cartesian of
+    data); the final top-k is TakeOrdered, not a global sort. The sum
+    of 3 double terms is stabilized (ROUND(·,6)+1e-9 → 4 dp) so both
+    engines hash identically."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        words.where(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.join(F.broadcast(n_avg)).select(
+        "word",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.round(F.sum("contrib"), 6) + F.lit(1e-9), 4).alias("s")
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "s")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -379,6 +441,23 @@ TEXT_ORACLE_SQL: dict[str, str] = {
               FROM w JOIN v USING (word) CROSS JOIN t)
         SELECT doc_id, ROUND(ROUND(AVG(lp_w), 6) + 1e-9, 2) lp
         FROM s GROUP BY doc_id ORDER BY doc_id, lp""",
+    "t09_bm25": f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                   FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) dl FROM w GROUP BY doc_id),
+        na AS (SELECT COUNT(*) n, AVG(dl) avgdl FROM dl),
+        tf AS (SELECT doc_id, word, COUNT(*) tf FROM w
+               WHERE word IN {BM25_TERMS!r} GROUP BY doc_id, word),
+        df AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
+        idf AS (SELECT word, ln((n - df + 0.5) / (df + 0.5) + 1) idf, avgdl
+                FROM df CROSS JOIN na),
+        sc AS (SELECT tf.doc_id,
+                      SUM(idf.idf * tf.tf * ({BM25_K1} + 1)
+                          / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl))) raw
+               FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+               GROUP BY tf.doc_id)
+        SELECT doc_id, ROUND(ROUND(raw, 6) + 1e-9, 4) s FROM sc
+        ORDER BY s DESC, doc_id LIMIT 20""",
 }
 
 TEXT_QUERIES = {
@@ -390,4 +469,5 @@ TEXT_QUERIES = {
     "t06_pack_sequences": t06_pack_sequences,
     "t07_chunk_udtf": t07_chunk_udtf,
     "t08_unigram_logprob": t08_unigram_logprob,
+    "t09_bm25": t09_bm25,
 }
