@@ -109,6 +109,71 @@ def s01_cosine_topk(spark, sf_dir):
     return cosine_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def s05_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval — reciprocal-rank fusion of a sparse (BM25
+    keyword, t09's term query) and a dense (cosine to the vec_id-0
+    embedding) ranking: score = Σ 1/(60+rank), the standard fusion
+    every hybrid search stack ships because it needs no score
+    calibration between the two retrievers.
+
+    Determinism across engines: both rankings order by the *rounded*
+    score with an id tiebreak (the same convention s01 pins), so the
+    integer ranks — and therefore the RRF doubles, built only from
+    integers — are bit-identical. Scale shape: each ranking is one
+    window over its retriever's candidate set; the fusion is a
+    full-outer join of two (id, rank) tables, trivially small next to
+    the corpus."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.functions.text import t09_bm25_scores
+
+    bm = t09_bm25_scores(spark, sf_dir)
+    wb = Window.orderBy(F.col("s").desc(), "doc_id")
+    bm_rank = bm.select(
+        "doc_id", F.row_number().over(wb).alias("r_sparse")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _norm("embedding").alias("qn")
+    )
+    scored = (
+        em.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    wc = Window.orderBy(F.col("sim").desc(), "vec_id")
+    cos_rank = scored.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wc).alias("r_dense"),
+    )
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("r_sparse")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select("doc_id", "rrf")
+    )
+
+
 def _hyperplanes(dim: int = EMBED_DIM, bits: int = LSH_BITS, seed: int = LSH_SEED):
     rng = np.random.RandomState(seed)
     return rng.randn(bits, dim).astype(float)
@@ -432,6 +497,26 @@ def d05_embed_neardup(spark, sf_dir):
     return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
 
 
+def _bm25_sql() -> str:
+    from crossfire_spark.functions.text import BM25_B, BM25_K1, BM25_TERMS
+
+    return f"""
+        w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+              FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) dl FROM w GROUP BY doc_id),
+        na AS (SELECT COUNT(*) n, AVG(dl) avgdl FROM dl),
+        tf AS (SELECT doc_id, word, COUNT(*) tf FROM w
+               WHERE word IN {BM25_TERMS!r} GROUP BY doc_id, word),
+        df AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
+        idf AS (SELECT word, ln((n - df + 0.5) / (df + 0.5) + 1) idf, avgdl
+                FROM df CROSS JOIN na),
+        sc AS (SELECT tf.doc_id,
+                      ROUND(ROUND(SUM(idf.idf * tf.tf * ({BM25_K1} + 1)
+                          / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl))), 6) + 1e-9, 4) s
+               FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+               GROUP BY tf.doc_id)"""
+
+
 SIMILARITY_ORACLE_SQL: dict[str, str] = {
     "s01_cosine_topk": f"""
         WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
@@ -474,5 +559,22 @@ SIMILARITY_QUERIES = {
     "s02_lsh_topk": s02_lsh_topk,
     "s03_ivf_topk": s03_ivf_topk,
     "s04_ivf_kmeans": s04_ivf_kmeans,
+    "s05_hybrid_rrf": s05_hybrid_rrf,
     "d05_embed_neardup": d05_embed_neardup,
 }
+
+SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""
+        WITH {_bm25_sql()},
+        br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) r_sparse
+               FROM sc),
+        cs AS (SELECT e.vec_id,
+                      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) sim
+               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+               WHERE e.vec_id != 0),
+        cr AS (SELECT vec_id doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) r_dense
+               FROM cs)
+        SELECT COALESCE(br.doc_id, cr.doc_id) doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + r_sparse), 0)
+                     + COALESCE(1.0 / ({RRF_K} + r_dense), 0), 6) rrf
+        FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"""

@@ -290,19 +290,10 @@ BM25_TERMS = ("merge", "vector", "stream")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def t09_bm25(spark, sf_dir):
-    """BM25 keyword retrieval — the classic sparse-retrieval baseline
-    every RAG/hybrid-search stack starts from: score documents for a
-    fixed 3-term query with Okapi BM25 (k1=1.2, b=0.75) and return the
-    top 20.
-
-    Scale shape: one corpus scan builds doc lengths; term frequencies
-    exist only for the query terms (the isin filter prunes before any
-    shuffle); IDF and avgdl are a broadcast-sized model (|terms| rows
-    + one scalar row via broadcast nested-loop, never a cartesian of
-    data); the final top-k is TakeOrdered, not a global sort. The sum
-    of 3 double terms is stabilized (ROUND(·,6)+1e-9 → 4 dp) so both
-    engines hash identically."""
+def t09_bm25_scores(spark, sf_dir):
+    """BM25 scores for every document matching ≥1 query term — the
+    un-truncated retriever output (s05's fusion input). See
+    :func:`t09_bm25` for the declared top-k query and scale notes."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
@@ -341,8 +332,25 @@ def t09_bm25(spark, sf_dir):
             F.round(F.round(F.sum("contrib"), 6) + F.lit(1e-9), 4).alias("s")
         )
     )
+    return scored
+
+
+def t09_bm25(spark, sf_dir):
+    """BM25 keyword retrieval — the classic sparse-retrieval baseline
+    every RAG/hybrid-search stack starts from: score documents for a
+    fixed 3-term query with Okapi BM25 (k1=1.2, b=0.75) and return the
+    top 20.
+
+    Scale shape: one corpus scan builds doc lengths; term frequencies
+    exist only for the query terms (the isin filter prunes before any
+    shuffle); IDF and avgdl are a broadcast-sized model (|terms| rows
+    + one scalar row via broadcast nested-loop, never a cartesian of
+    data); the final top-k is TakeOrdered, not a global sort. The sum
+    of 3 double terms is stabilized (ROUND(·,6)+1e-9 → 4 dp) so both
+    engines hash identically."""
     return (
-        scored.orderBy(F.col("s").desc(), "doc_id")
+        t09_bm25_scores(spark, sf_dir)
+        .orderBy(F.col("s").desc(), "doc_id")
         .limit(20)
         .select("doc_id", "s")
     )

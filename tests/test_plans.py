@@ -108,4 +108,4 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 102 and len(osql) == 93
+    assert len(qs) == 103 and len(osql) == 94
