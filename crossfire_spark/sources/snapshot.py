@@ -39,6 +39,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
@@ -127,6 +128,49 @@ def _list_data_files(data_dir: str, batch_rel: str) -> dict[str, dict]:
     return out
 
 
+def _file_stats(
+    path: str, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols``, read from the parquet footers
+    of freshly written files (one driver-side footer read per file —
+    the files were just written locally, so this is metadata, not a
+    scan). Only JSON-native scalar types are recorded; a file/column
+    without usable stats simply has none and is never pruned."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        schema = md.schema.to_arrow_schema()
+        st: dict[str, list] = {}
+        for c in cols:
+            idx = schema.get_field_index(c)
+            if idx < 0:
+                continue
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    mins = []
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if not mins:
+                continue
+            lo, hi = min(mins), max(maxs)
+            if isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+                st[c] = [lo, hi]
+        out[rel] = st
+    return out
+
+
+def _stats_disjoint(st: dict, col: str, lo, hi) -> bool:
+    """True iff the file provably contains no value of ``col`` in
+    [lo, hi] — missing stats always mean "might match" (keep)."""
+    r = st.get(col)
+    return r is not None and (r[1] < lo or r[0] > hi)
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -134,6 +178,7 @@ def snapshot_write(
     max_retries: int = 10,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version.
 
@@ -171,6 +216,8 @@ def snapshot_write(
         parent = _current_version(path)
         files = dict(new_files)
         schema_json = df.schema.json()
+        scols = list(stats_cols or [])
+        stats: dict[str, dict] = {}
         if mode == "append" and parent is not None:
             parent_manifest = _read_manifest(path, parent)
             parent_parts = parent_manifest.get("partition_by", [])
@@ -196,6 +243,13 @@ def snapshot_write(
             files = {**parent_manifest["file_partitions"], **files} if (
                 "file_partitions" in parent_manifest
             ) else {**dict.fromkeys(parent_manifest["files"], {}), **files}
+            # carry the table's stats discipline and prior file stats
+            scols = sorted(
+                set(scols) | set(parent_manifest.get("stats_cols", []))
+            )
+            stats.update(parent_manifest.get("file_stats", {}))
+        if scols:
+            stats.update(_file_stats(path, sorted(new_files), scols))
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,
@@ -204,6 +258,8 @@ def snapshot_write(
             "files": sorted(files),
             "file_partitions": {f: files[f] for f in sorted(files)},
             "partition_by": part_cols,
+            "stats_cols": scols,
+            "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
             "schema": schema_json,
         }
         tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
@@ -226,6 +282,7 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     where: dict[str, object] | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a committed version (default: latest).
 
@@ -235,7 +292,14 @@ def snapshot_read(
     merging. ``where`` is an equality predicate on partition columns,
     applied to the manifest's per-file partition values: pruning costs
     one JSON read regardless of table size, and the scan never sees a
-    pruned file.
+    pruned file. ``ranges`` is an inclusive-range predicate
+    ``{col: (lo, hi)}`` pruned against the manifest's per-file min/max
+    column stats (recorded when the table was written with
+    ``stats_cols``) — zone-map file skipping from metadata alone;
+    files without stats for a column are conservatively kept. Note:
+    ``ranges`` prunes *files*, it does not filter rows — apply the row
+    filter on the returned frame (the point is the scan never opens a
+    provably-irrelevant file).
     """
     from pyspark.sql.types import StructType
 
@@ -257,6 +321,16 @@ def snapshot_read(
             f
             for f in files
             if all(fparts[f].get(k) == str(v) for k, v in where.items())
+        ]
+    if ranges:
+        fstats = manifest.get("file_stats", {})
+        files = [
+            f
+            for f in files
+            if not any(
+                _stats_disjoint(fstats.get(f, {}), c, lo, hi)
+                for c, (lo, hi) in ranges.items()
+            )
         ]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     return _read_files(spark, path, files, schema, part_cols)
@@ -336,6 +410,27 @@ def snapshot_merge(
         rewrite = sorted(f for f in fparts if f not in keep)
     else:
         keep, rewrite = {}, sorted(fparts)
+    # file-level pruning below partition granularity: a file whose
+    # recorded [min, max] for the merge key is disjoint from the
+    # update's key range provably contains no matched row — carry it
+    # over untouched instead of rewriting it. On a key-sorted layout
+    # (zone maps), a localized update rewrites only the files it hits.
+    fstats = m.get("file_stats", {})
+    key = keys[0]
+    if rewrite and any(key in fstats.get(f, {}) for f in rewrite):
+        bounds = df.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            pruned = [
+                f
+                for f in rewrite
+                if _stats_disjoint(
+                    fstats.get(f, {}), key, bounds["lo"], bounds["hi"]
+                )
+            ]
+            keep = {**keep, **{f: fparts[f] for f in pruned}}
+            rewrite = [f for f in rewrite if f not in set(pruned)]
     current = _read_files(spark, path, rewrite, schema, part_cols)
     survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.unionByName(df)
@@ -347,6 +442,10 @@ def snapshot_merge(
     writer.parquet(data_dir)
     new_files = _list_data_files(data_dir, os.path.join(_DATA, batch))
     files = {**keep, **new_files}
+    scols = m.get("stats_cols", [])
+    stats = {f: fstats.get(f, {}) for f in keep}
+    if scols:
+        stats.update(_file_stats(path, sorted(new_files), scols))
     manifest = {
         "version": head + 1,
         "parent": head,
@@ -354,6 +453,8 @@ def snapshot_merge(
         "files": sorted(files),
         "file_partitions": {f: files[f] for f in sorted(files)},
         "partition_by": part_cols,
+        "stats_cols": scols,
+        "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
         "schema": m["schema"],
     }
     tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")

@@ -357,3 +357,59 @@ def test_snapshot_merge_unpartitioned_and_schema_guard(
         snapshot_merge(
             spark, nation.select("n_nationkey"), path, keys=["n_nationkey"]
         )
+
+
+def test_snapshot_file_stats_prune_reads_and_merges(spark, sf_dir, tmp_path):
+    """Iceberg-style per-file column stats: a key-sorted layout gets
+    disjoint per-file [min,max]; range reads skip files from metadata
+    alone, and a localized MERGE rewrites only the files whose key
+    range the update intersects."""
+    from crossfire_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("tp")
+    )
+    path = str(tmp_path / "ssnap")
+    snapshot_write(
+        orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_cols=["o_orderkey"],
+    )
+    m0 = _read_manifest(path, 0)
+    assert all(
+        "o_orderkey" in st for st in m0["file_stats"].values()
+    ), "every file must carry key stats"
+    # range read prunes: only files intersecting [0, 100] are opened
+    lo_keys = snapshot_read(spark, path, ranges={"o_orderkey": (0, 100)})
+    assert 0 < len(lo_keys.inputFiles()) < len(m0["files"])
+    assert (
+        lo_keys.where(F.col("o_orderkey") <= 100).count()
+        == orders.where(F.col("o_orderkey") <= 100).count()
+    )
+    # localized merge: update 3 rows with small keys -> only the
+    # file(s) covering that key range are rewritten
+    upd = (
+        orders.orderBy("o_orderkey")
+        .limit(3)
+        .withColumn("tp", F.lit(0.0))
+    )
+    v = snapshot_merge(spark, upd, path, keys=["o_orderkey"])
+    m1 = _read_manifest(path, v)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert carried, "files outside the update's key range must carry over"
+    assert len(carried) >= len(m0["files"]) - 2
+    head = snapshot_read(spark, path)
+    assert head.count() == orders.count()
+    assert head.where(F.col("tp") == 0.0).count() == 3
+    # new files in the merge commit carry stats too (future merges prune)
+    new_files = set(m1["files"]) - carried
+    assert all("o_orderkey" in m1["file_stats"][f] for f in new_files)
+    assert snapshot_versions(path) == [0, v]
