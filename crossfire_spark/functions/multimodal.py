@@ -53,7 +53,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -277,5 +277,27 @@ MULTIMODAL_QUERIES = {
     "m02_image_resize": m02_image_resize,
     "m03_frame_sample": m03_frame_sample,
 }
-# no oracle: mapInPandas kernels not SQL-expressible → rows-only checks
-MULTIMODAL_ORACLE_SQL: dict[str, str] = {}
+# m01's kernels (sha256 + byte-histogram moment over ASCII content)
+# are restatable in SQL, so the mapInPandas path gets a full DuckDB
+# oracle; m02/m03 remain rows-only (resize/frame kernels are stubs
+# whose shapes, not values, are the contract).
+MULTIMODAL_ORACLE_SQL: dict[str, str] = {
+    "m01_media_features": """
+        WITH m AS (SELECT doc_id media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END kind,
+               text,
+               CAST(length(text) AS BIGINT) n_bytes,
+               greatest(length(text) // 8, 1) step,
+               CAST(n_chars % 1920 AS INT) width,
+               CAST(n_chars % 1080 AS INT) height
+        FROM documents)
+        SELECT media_id, kind, n_bytes, sha256(text) digest,
+               ROUND((SELECT SUM(ord(substr(m.text, i, 1)))
+                      FROM UNNEST(range(1, step + 1)) u(i)) % 997 / 997.0,
+                     4) f0,
+               width, height
+        FROM m
+        ORDER BY media_id, kind, n_bytes, digest, f0, width, height""",
+}

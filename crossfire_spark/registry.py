@@ -129,6 +129,12 @@ def all_oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     try:
+        from crossfire_spark.functions.multimodal import MULTIMODAL_ORACLE_SQL
+
+        out.update(MULTIMODAL_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
         from crossfire_spark.streaming.jobs import STREAMING_ORACLE_SQL
 
         out.update(STREAMING_ORACLE_SQL)

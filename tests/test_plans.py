@@ -100,7 +100,6 @@ def test_registry_contract_consistency():
     assert rows_only == [
         "d03_minhash_lsh",
         "d04_simhash",
-        "m01_media_features",
         "m02_image_resize",
         "m03_frame_sample",
         "p02_deletion_drain",
@@ -108,4 +107,4 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 103 and len(osql) == 94
+    assert len(qs) == 103 and len(osql) == 95
