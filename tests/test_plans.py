@@ -108,3 +108,25 @@ def test_registry_contract_consistency():
         "s04_ivf_kmeans",
     ]
     assert len(qs) == 103 and len(osql) == 95
+
+
+def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must plan as one
+    ranked window over customer — never a per-outer-row re-execution
+    or a cartesian."""
+    from crossfire_spark.operators.relational import q56
+
+    plan = _plan(q56(spark, sf_dir))
+    assert "Window" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_t09_bm25_model_broadcasts_and_topk_is_take_ordered(spark, sf_dir):
+    """BM25's IDF model must ride a broadcast join (the corpus side
+    never shuffles for the model) and the top-20 must be TakeOrdered,
+    not a global sort."""
+    from crossfire_spark.functions.text import t09_bm25
+
+    plan = _plan(t09_bm25(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
