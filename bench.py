@@ -35,27 +35,29 @@ def main() -> None:
 
     qs = all_queries()
 
-    # Warmup: run every query once at the smallest SF. Whole-stage
-    # codegen classes are compiled per plan shape, not per dataset —
-    # the first occurrence of a pattern can pay multi-second janino
-    # compilation (measured 9-40 s for the array_distinct family) that
-    # has nothing to do with per-query throughput. One tiny-SF pass
-    # compiles every pattern so the timed pass below measures
-    # steady-state execution. Streaming queries also pre-pay their
-    # fixed state-store/query-setup costs here.
+    # Warmup strategy: each query runs once at the smallest SF
+    # *immediately before* its timed run. Whole-stage codegen classes
+    # are compiled per plan shape and cached in a fixed 100-entry LRU —
+    # warming all ~100 queries and then timing all of them evicts every
+    # entry between a query's warmup and its timed run (cyclic access
+    # vs LRU = always miss), so the timed pass would re-pay 1-4 s of
+    # janino compilation per wide plan. Warming per-query measures
+    # steady-state execution, which is what a production job sees (one
+    # plan compiled once, amortized over every partition). Streaming
+    # queries also pre-pay their fixed state-store/query-setup costs in
+    # the warmup run.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+
+    timings: dict[str, float] = {}
     for name in sorted(qs):
         try:
             qs[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:  # noqa: BLE001,S110 — warmup only; timed pass reports
+        except Exception:  # noqa: BLE001,S110 — warmup only; timed run reports
             pass
-
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, SF_DIR)

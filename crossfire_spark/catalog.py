@@ -65,6 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that yields fewer partitions than
+    cores — a single small parquet file (one row group) otherwise
+    serializes CPU-heavy per-row work (minhash, simhash, BM25 scoring,
+    matrix products) onto one task. At cluster scale the scan already
+    carries >= cores partitions and this returns the input unchanged,
+    so no shuffle is ever added to a 100 TB plan; it only widens the
+    degenerate small-file case. Keep it out of cheap scan->agg queries
+    where the exchange would cost more than it saves."""
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=ALL_TABLES
 ) -> dict[str, DataFrame]:

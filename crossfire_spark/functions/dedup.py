@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crossfire_spark.catalog import load_table
+from crossfire_spark.catalog import load_table, spread
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 128
@@ -47,9 +47,19 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     The words array is materialized in its own projection first:
     referencing ``split(...)`` inside the lambda would re-split the
     whole document for every shingle position (O(words^2) per doc).
+
+    Parallelism: ``spread`` widens a single-row-group scan, and the
+    dedup exchange is a *pinned-width* ``repartition`` on the dedup key
+    rather than ``.distinct()`` — the shingle table is small in bytes
+    but everything downstream of it (128 minhash evaluations per row)
+    is CPU-heavy, and AQE's byte-based coalescing would fold the
+    exchange back to one task. The explicit repartition satisfies the
+    dedup aggregate's distribution (no second shuffle) and AQE leaves
+    user-specified repartitions alone.
     """
+    parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+        spread(df).select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
         .select(
             "doc_id",
             F.explode(
@@ -59,7 +69,8 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
+        .repartition(parts, "doc_id", "shingle")
+        .dropDuplicates()
     )
 
 
@@ -156,9 +167,21 @@ def minhash_lsh_pairs(
     Band signature = md5 over the band's (seed, minhash) rows; equal
     band signatures meet in a bucket (one shuffle on the 16-byte band
     key). Candidates then get exact Jaccard — output is a *subset* of
-    ``exact_jaccard_pairs`` (identical rows, minus LSH misses)."""
+    ``exact_jaccard_pairs`` (identical rows, minus LSH misses).
+
+    The signature table is *materialized once* (``localCheckpoint`` —
+    executor-local storage, the same medium a shuffle write uses; a
+    production pipeline persists it as a real table). Everything
+    downstream — both sides of the band self-join, the candidate id
+    set, the verify joins — reads the materialization instead of
+    re-deriving shingles+128 hashes from text. Without this the
+    self-join + verify re-evaluate the corpus-wide text pipeline 4x
+    (Catalyst inlines common subplans; exchange reuse does not span
+    the checkpoint-free shape), which at 100 TB is three extra full
+    passes over the corpus."""
     rows_per_band = k // bands
-    wide = minhash_signatures_wide(docs, k)
+    wide = minhash_signatures_wide(docs, k).localCheckpoint()
+    docs = docs.select("doc_id", "text")
     # band signature = md5 over the band's minhashes, computed from
     # the wide row directly (no per-(doc,seed) shuffle), then unpivot
     # to (doc_id, band, bsig) for the bucket join.
@@ -191,12 +214,21 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # candidate pairs are tiny (collision survivors); materialize so
+        # the three downstream references don't re-run the band join
+        .localCheckpoint()
     )
     # Exact Jaccard for CANDIDATE pairs only — this is the whole point
-    # of LSH: the all-pairs shingle join never happens; work is
-    # O(candidates x shingles). Semantics identical to
-    # exact_jaccard_pairs(...).semi_join(candidates).
-    sh = _shingles(docs)
+    # of LSH: the all-pairs shingle join never happens, and the exact
+    # verification re-shingles only *candidate* documents (left_semi
+    # against the candidate id set), never the corpus. The corpus-wide
+    # shingle pipeline therefore runs exactly once (inside the
+    # signature build) instead of four times — at 100 TB that is the
+    # difference between one pass over the text and four.
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = _shingles(docs.join(cand_ids, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         candidates.join(
@@ -212,8 +244,8 @@ def minhash_lsh_pairs(
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    # no broadcast hints: sizes is corpus-sized; AQE turns these into
-    # broadcast joins at runtime from the actual (small) inter side.
+    # no broadcast hints needed: every post-candidate table is
+    # candidate-sized; AQE picks broadcast joins at runtime.
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -238,7 +270,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     majority vote of word hashes (+1/-1), reassembled JVM-side with
     64 conditional aggregates (whole-stage codegen keeps this one
     tight loop; no Python)."""
-    words = docs.select(
+    words = spread(docs).select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     bit_sums = words.groupBy("doc_id").agg(
@@ -259,8 +291,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     chunks (band join), then Hamming distance verifies. Scale shape:
-    4 x shuffle on a 16-bit key, never all-pairs."""
-    sig = simhash_signatures(docs)
+    4 x shuffle on a 16-bit key, never all-pairs.
+
+    The (doc_id, simhash) table is materialized before the self-join —
+    8 bytes/doc; both join sides then read it instead of re-running
+    the word-explode + 64-bit-vote aggregation over the corpus."""
+    sig = simhash_signatures(docs).localCheckpoint()
     chunks = sig.select(
         "doc_id",
         "simhash",

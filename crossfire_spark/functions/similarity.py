@@ -21,11 +21,12 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from crossfire_spark.catalog import load_table
+from crossfire_spark.catalog import load_table, spread
 
 TOPK = 5
 QUERY_STRIDE = 50
@@ -62,6 +63,25 @@ def _norm(col: str) -> F.Column:
             " cast(0.0 as double), (acc, v) -> acc + v)"
         )
     )
+
+
+def _cosine_batch_udf():
+    """Arrow-vectorized cosine over two array columns: one
+    ``np.einsum`` per batch instead of an interpreted lambda per
+    element. For candidate re-ranking where the pair count is
+    unbounded-ish (LSH buckets); the oracled top-k paths (s01/s03)
+    keep the strict left-fold ``_dot`` for bit-identical floats."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def cosine_topk(
@@ -105,7 +125,7 @@ def _query_set(embeddings: DataFrame) -> DataFrame:
 
 
 def s01_cosine_topk(spark, sf_dir):
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     return cosine_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
@@ -136,7 +156,7 @@ def s05_hybrid_rrf(spark, sf_dir):
     bm_rank = bm.select(
         "doc_id", F.row_number().over(wb).alias("r_sparse")
     )
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     q = em.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), _norm("embedding").alias("qn")
     )
@@ -183,20 +203,26 @@ def lsh_signature(
     embeddings: DataFrame, col: str = "embedding", bits: int = LSH_BITS
 ) -> DataFrame:
     """Sign-random-projection signature: bit b = (v . h_b) >= 0.
-    The hyperplanes are literals baked into the plan (seeded, tiny),
-    so the whole signature is a codegen'd projection."""
-    planes = _hyperplanes(bits=bits)
-    sig = None
-    for b, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return embeddings.withColumn("lsh_sig", sig)
+
+    Computed as one Arrow-batched matrix product (B x dim) @ (dim x
+    bits) — the seeded hyperplanes ride the UDF closure. The earlier
+    all-Catalyst form (bits x interpreted zip_with/aggregate folds per
+    row) evaluated interpreted and cost ~1.5 s per corpus pass at a
+    2000-vector SF; the matmul is milliseconds and the shape carries
+    to any corpus size. Signatures are deterministic (seeded planes,
+    fixed BLAS reduction per build)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(bits=bits)  # (bits, dim), seeded
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64)
+        hits = (V @ planes.T) >= 0.0
+        return pd.Series((hits * weights).sum(axis=1).astype(np.int64))
+
+    return embeddings.withColumn("lsh_sig", _sig(F.col(col)))
 
 
 def lsh_topk(
@@ -212,16 +238,28 @@ def lsh_topk(
     shuffles once on (band, value) and queries stay broadcast."""
     bits_per_band = bits // bands
 
-    corpus = lsh_signature(embeddings, bits=bits).select("vec_id", "embedding", "lsh_sig")
+    # materialized once: both the band explode and the post-dedup
+    # re-rank read it, and the 64-hyperplane projection is the
+    # expensive part of the corpus pass
+    corpus = (
+        lsh_signature(embeddings, bits=bits)
+        .select("vec_id", "embedding", "lsh_sig")
+        .localCheckpoint()
+    )
     qsig = lsh_signature(
         queries.withColumnRenamed("qe", "embedding"), "embedding", bits=bits
     ).select(
         F.col("qid"), F.col("embedding").alias("qe"), F.col("lsh_sig").alias("qsig")
     )
 
+    # The band join and the candidate dedup carry only (id, band, val)
+    # ints — never the 128-float vectors. Deduping rows that drag the
+    # embedding arrays through the exchange roughly 10x-es the shuffle
+    # bytes for zero information; vectors are joined back on the id
+    # *after* the distinct (corpus side one hash join, query side a
+    # broadcast).
     c_b = corpus.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -235,10 +273,9 @@ def lsh_topk(
                 ]
             )
         ).alias("bv"),
-    ).select("vec_id", "embedding", "bv.band", "bv.val")
+    ).select("vec_id", "bv.band", "bv.val")
     q_b = qsig.select(
         "qid",
-        "qe",
         F.explode(
             F.array(
                 *[
@@ -252,20 +289,27 @@ def lsh_topk(
                 ]
             )
         ).alias("bv"),
-    ).select("qid", "qe", "bv.band", "bv.val")
+    ).select("qid", "bv.band", "bv.val")
 
     candidates = (
         c_b.join(F.broadcast(q_b), ["band", "val"])
         .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qe", "vec_id", "embedding")
+        .select("qid", "vec_id")
         .distinct()
     )
-    scored = candidates.select(
-        "qid",
-        "vec_id",
-        F.round(
-            _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")), 4
-        ).alias("sim"),
+    scored = (
+        candidates.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(qsig.select("qid", "qe")),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cosine_batch_udf()(F.col("embedding"), F.col("qe")), 4).alias(
+                "sim"
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -276,7 +320,7 @@ def lsh_topk(
 
 
 def s02_lsh_topk(spark, sf_dir):
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     return lsh_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
@@ -331,21 +375,32 @@ def kmeans_fit(
     k = min(k, len(centroids))
     history: list[float] = []
     for _ in range(n_iter):
-        cent = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "cid int, ce array<double>",
-        )
-        # materialize dist once; the window sorts the column, not a
-        # second interpreted _sqdist evaluation
-        aw = Window.partitionBy("vec_id").orderBy(
-            F.round(F.col("dist"), 6), F.col("cid")
-        )
-        assigned = (
-            embeddings.crossJoin(F.broadcast(cent))
-            .withColumn("dist", _sqdist("embedding", "ce"))
-            .withColumn("rn", F.row_number().over(aw))
-            .where(F.col("rn") == 1)
-        )
+        # Assignment is one Arrow-batched argmin against the broadcast
+        # centroid matrix riding the UDF closure (k x dim doubles) —
+        # no corpus x k crossJoin, no per-vector window, no shuffle at
+        # all for the assignment step. Ties broken like the previous
+        # all-Catalyst form: distance rounded to 6, lowest cid wins
+        # (np.argmin returns the first minimum).
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+        c_sq = (C * C).sum(axis=1)
+
+        @pandas_udf("struct<cid: int, dist: double>")
+        def _assign(v: pd.Series) -> pd.DataFrame:
+            V = np.stack(v.values).astype(np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            cid = np.round(d, 6).argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "cid": cid.astype(np.int32),
+                    "dist": d[np.arange(len(cid)), cid],
+                }
+            )
+
+        assigned = embeddings.select(
+            "vec_id", "embedding", _assign("embedding").alias("a")
+        ).select("embedding", F.col("a.cid").alias("cid"), F.col("a.dist").alias("dist"))
         stats = (
             assigned.select("cid", "dist", F.posexplode("embedding"))
             .groupBy("cid", "pos")
@@ -432,7 +487,7 @@ def ivf_topk(
 
 
 def s03_ivf_topk(spark, sf_dir):
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     return ivf_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
@@ -441,7 +496,7 @@ def s04_ivf_kmeans(spark, sf_dir):
     path. Iterative → no SQL oracle (rows-only driver check); the
     objective monotonicity and recall-vs-naive-centroids floor are
     pinned in tests/test_extensions.py."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     cents, _ = kmeans_fit(em, n_iter=3)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
@@ -493,7 +548,7 @@ def embed_neardup_pairs(
 
 
 def d05_embed_neardup(spark, sf_dir):
-    em = load_table(spark, sf_dir, "embeddings")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
     return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
 
 

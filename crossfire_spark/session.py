@@ -63,7 +63,10 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/crossfire-warehouse"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs the whole engine in one JVM: size the heap for
+        # 32 concurrent tasks + materialized intermediates (the box has
+        # 128 GiB; a real cluster sizes executors instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
