@@ -1013,6 +1013,32 @@ def q59(spark, sf_dir):
     )
 
 
+def q60(spark, sf_dir):
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the
+    1995-Q1 calendar by recursion, LEFT JOIN orders per day — the
+    zero-order days prove the recursive generator (a plain GROUP BY
+    over orders could never produce them). Spark's recursion supports
+    UNION ALL only; the monotone date guard makes it terminate. Scale
+    shape: the recursive branch materializes 90 rows on the driver
+    side of a broadcast; the orders fact joins it broadcast-style and
+    aggregates with map-side partials — one shuffle on the date key."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q60_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(d) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM cal WHERE d < DATE'1995-03-31'
+        )
+        SELECT cal.d, COUNT(o_orderkey) n_ord,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) rev
+        FROM cal LEFT JOIN q60_orders ON CAST(o_orderdate AS DATE) = cal.d
+        GROUP BY cal.d
+        ORDER BY d, n_ord, rev
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1176,6 +1202,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY l_orderkey, l_linenumber, bad_cast NULLS FIRST,
                  good_cast, td NULLS FIRST""",
+    "q60": """WITH RECURSIVE cal(d) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT d + 1 FROM cal WHERE d < DATE '1995-03-31'
+        )
+        SELECT cal.d, COUNT(o_orderkey) n_ord,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) rev
+        FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+        GROUP BY cal.d
+        ORDER BY d, n_ord, rev""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -1224,6 +1260,17 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY l_orderkey, l_linenumber, bad_cast NULLS FIRST,
                  good_cast, td NULLS FIRST""",
+    # Spark shifts dates with date_add, not integer +.
+    "q60": """WITH RECURSIVE cal(d) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM cal WHERE d < DATE'1995-03-31'
+        )
+        SELECT cal.d, COUNT(o_orderkey) n_ord,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) rev
+        FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+        GROUP BY cal.d
+        ORDER BY d, n_ord, rev""",
     # Spark's lateral positional explode is LATERAL VIEW posexplode.
     "q53": """SELECT doc_id, pos, w
         FROM (SELECT doc_id, split(text, ' ') arr FROM documents WHERE doc_id < 300)

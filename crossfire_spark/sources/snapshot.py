@@ -487,6 +487,85 @@ def snapshot_history(path: str) -> list[dict]:
     ]
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental change feed between two committed versions — rows
+    in table schema plus ``_change_type`` (``insert``/``delete``) and
+    ``_commit_version`` metadata columns; the CDC surface an
+    incremental consumer (downstream ETL, index refresh, cache
+    invalidation) tails instead of re-reading the table.
+
+    Changes are derived from the **manifest file diff** per commit:
+    files added by a commit carry its inserted rows, files it dropped
+    carry the deleted ones (an upserted key therefore appears as
+    delete + insert, the standard file-granular CDC fallback). Cost is
+    O(changed files), never O(table): the partition-level
+    copy-on-write MERGE carries untouched files across by reference,
+    so they never enter any diff — merging one partition of a 100 TB
+    table feeds only that partition's files through the change scan.
+    ``from_version`` is exclusive, ``to_version`` inclusive (default:
+    head), mirroring "give me everything since the version I last
+    processed"."""
+    from pyspark.sql.types import StructType
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    if to_version is None:
+        to_version = versions[-1]
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in log {versions}")
+    out: DataFrame | None = None
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        m = _read_manifest(path, v)
+        parent = m["parent"]
+        p_files: set[str] = set()
+        p_schema = m["schema"]
+        p_parts: list[str] = m.get("partition_by", [])
+        if parent is not None:
+            pm = _read_manifest(path, parent)
+            p_files = set(pm["files"])
+            p_schema = pm["schema"]
+            p_parts = pm.get("partition_by", [])
+        added = sorted(set(m["files"]) - p_files)
+        removed = sorted(p_files - set(m["files"]))
+        for files, schema_json, part_cols, change in (
+            (added, m["schema"], m.get("partition_by", []), "insert"),
+            (removed, p_schema, p_parts, "delete"),
+        ):
+            if not files:
+                continue
+            schema = StructType.fromJson(json.loads(schema_json))
+            part = (
+                _read_files(spark, path, files, schema, part_cols)
+                .withColumn("_change_type", F.lit(change))
+                .withColumn("_commit_version", F.lit(v))
+            )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+    if out is None:
+        head = _read_manifest(path, to_version)
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+        )
+    return out
+
+
 def snapshot_compact(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:

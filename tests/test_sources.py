@@ -413,3 +413,58 @@ def test_snapshot_file_stats_prune_reads_and_merges(spark, sf_dir, tmp_path):
     new_files = set(m1["files"]) - carried
     assert all("o_orderkey" in m1["file_stats"][f] for f in new_files)
     assert snapshot_versions(path) == [0, v]
+
+
+def test_snapshot_changes_feed(spark, sf_dir, tmp_path):
+    """CDC between versions: appends surface as inserts, a merge
+    surfaces delete+insert for its rewritten files only — carried-over
+    files never enter the feed (the O(changed-files) property)."""
+    from crossfire_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    path = str(tmp_path / "cdc")
+    first = docs.where(F.col("doc_id") < 100)
+    second = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    snapshot_write(first, path, partition_by=["lang"])      # v0
+    snapshot_write(second, path, partition_by=["lang"])     # v1
+    # changes since v0 = exactly the second append, all inserts
+    ch01 = snapshot_changes(spark, path, from_version=0, to_version=1)
+    assert ch01.where(F.col("_change_type") != "insert").count() == 0
+    assert ch01.count() == second.count()
+    assert {r._commit_version for r in ch01.select("_commit_version").distinct().collect()} == {1}
+    got = {r.doc_id for r in ch01.select("doc_id").collect()}
+    want = {r.doc_id for r in second.select("doc_id").collect()}
+    assert got == want
+    # a one-partition merge: feed contains only that partition's files
+    langs = sorted(r.lang for r in first.select("lang").distinct().collect())
+    hot = langs[0]
+    upd = (
+        first.where(F.col("lang") == hot)
+        .limit(2)
+        .withColumn("text", F.lit("EDITED"))
+    )
+    v2 = snapshot_merge(spark, upd, path, keys=["doc_id"])
+    ch12 = snapshot_changes(spark, path, from_version=1, to_version=v2)
+    assert ch12.where(F.col("lang") != hot).count() == 0, (
+        "carried-over partitions must not appear in the change feed"
+    )
+    ins = ch12.where(F.col("_change_type") == "insert")
+    dels = ch12.where(F.col("_change_type") == "delete")
+    assert ins.where(F.col("text") == "EDITED").count() == 2
+    # every deleted row is superseded by an inserted row with same key
+    dk = {r.doc_id for r in dels.select("doc_id").collect()}
+    ik = {r.doc_id for r in ins.select("doc_id").collect()}
+    assert dk <= ik
+    # full-range feed equals the concatenation of per-commit feeds
+    full = snapshot_changes(spark, path, from_version=0)
+    assert full.count() == ch01.count() + ch12.count()
+    # empty range yields an empty frame with the metadata columns
+    empty = snapshot_changes(spark, path, from_version=v2, to_version=v2)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
