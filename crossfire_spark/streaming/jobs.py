@@ -330,6 +330,50 @@ def st08_stream_dedup(spark, sf_dir):
     ).orderBy("event_id", "user_id", "event_type", "ts", "v")
 
 
+def st10_snapshot_source_stream(spark, sf_dir):
+    """The engine's versioned table as a *streaming source*: events
+    land in the snapshot table over three commits, then a consumer
+    tails the table with ``spark.readStream.format("snapshot_stream")``
+    (the Spark 4 Python DataSource in ``sources/snapshot_stream.py``)
+    and aggregates per-user totals. Offsets are log versions; batch
+    partitions are the commits' added files, read executor-side as
+    Arrow batches. The streamed aggregate must equal the batch
+    aggregate over the same events — full oracle.
+
+    Scale shape: the tail is O(changed files) metadata on the driver
+    and one task per new file on executors; the per-user aggregate
+    shuffles once with map-side partials."""
+    import shutil
+    import tempfile
+
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.sources.snapshot import snapshot_write
+    from crossfire_spark.sources.snapshot_stream import snapshot_read_stream
+
+    work = tempfile.mkdtemp(prefix="st10_")
+    table = os.path.join(work, "events_snap")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    third = F.pmod(F.col("event_id"), F.lit(3))
+    for i in range(3):
+        snapshot_write(ev.where(third == i), table)
+    agg = (
+        snapshot_read_stream(spark, table)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("sv"))
+    )
+    sink = run_stream_to_memory(agg, mode="complete")
+    result = (
+        sink.select("user_id", "c", F.round("sv", 2).alias("s"))
+        .orderBy("user_id", "c", "s")
+    )
+    rows = result.collect()
+    schema = result.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
     "st08_stream_dedup": """
         SELECT event_id, user_id, event_type, ts, ROUND(value, 2) v
@@ -366,6 +410,9 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                   ORDER BY ts DESC, event_id DESC) rn FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_id, event_type, ts, v""",
+    "st10_snapshot_source_stream": """
+        SELECT user_id, COUNT(*) c, ROUND(SUM(value), 2) s
+        FROM events GROUP BY user_id ORDER BY user_id, c, s""",
 }
 
 STREAMING_QUERIES = {
@@ -375,4 +422,5 @@ STREAMING_QUERIES = {
     "st07_stream_upsert": st07_stream_upsert,
     "st08_stream_dedup": st08_stream_dedup,
     "st09_snapshot_merge_stream": st09_snapshot_merge_stream,
+    "st10_snapshot_source_stream": st10_snapshot_source_stream,
 }

@@ -209,3 +209,79 @@ def test_snapshot_merge_stream_batching_independent(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_snapshot_stream_source_resumes_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """The Python DataSource snapshot stream delivers each committed
+    file exactly once across restarts: a checkpointed availableNow run
+    consumes versions <= head; a later commit + rerun appends only the
+    new version's rows."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.sources.snapshot import snapshot_write
+    from crossfire_spark.sources.snapshot_stream import snapshot_read_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    table = str(tmp_path / "snap_src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    third = F.pmod(F.col("event_id"), F.lit(3))
+    snapshot_write(ev.where(third == 0), table)
+    snapshot_write(ev.where(third == 1), table)
+
+    def run_once():
+        q = (
+            snapshot_read_stream(spark, table)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n01 = ev.where(third != 2).count()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n01
+    # new commit, same checkpoint -> only version 2's rows are new
+    snapshot_write(ev.where(third == 2), table)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == ev.count()
+    assert got2.select("event_id").distinct().count() == ev.count()
+    # schema carried through the custom source
+    assert set(got2.columns) == {"event_id", "user_id", "value"}
+
+
+def test_snapshot_stream_source_partitioned_table(spark, sf_dir, tmp_path):
+    """Hive partition columns (path-encoded, absent from data files)
+    are reconstructed by the stream reader from manifest metadata."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.sources.snapshot import snapshot_write
+    from crossfire_spark.sources.snapshot_stream import snapshot_read_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    table = str(tmp_path / "snap_part")
+    snapshot_write(docs, table, partition_by=["lang"])
+    sink = f"sink_{abs(hash(table)) % 10**8}"
+    q = (
+        snapshot_read_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink)
+    assert got.count() == docs.count()
+    want = {(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()}
+    have = {(r.doc_id, r.lang) for r in got.select("doc_id", "lang").collect()}
+    assert have == want
