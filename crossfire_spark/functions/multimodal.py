@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crossfire_spark.catalog import load_table
+from crossfire_spark.catalog import load_table, spread
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -222,7 +222,7 @@ def m02_image_resize(spark, sf_dir):
     """Declared resize pipeline: metadata of resized images (the
     binary itself stays out of the result — blobs don't belong in
     driver-collected outputs). Rows-only driver check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(docs)
     out = resize_images(media)
     return out.select(
@@ -237,7 +237,7 @@ def m02_image_resize(spark, sf_dir):
 def m03_frame_sample(spark, sf_dir):
     """Declared frame-sampling pipeline: per-video frame counts and
     sizes. Rows-only driver check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(docs)
     frames = sample_frames(media)
     return (
@@ -254,7 +254,7 @@ def m01_media_features(spark, sf_dir):
     """Declared pipeline: synth media -> mapInPandas features ->
     metadata join. Driver records a rows-only check (the sha256/
     histogram kernels are deterministic, so rows are stable)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(docs)
     feats = extract_features(media)
     return (

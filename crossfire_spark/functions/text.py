@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crossfire_spark.catalog import load_table
+from crossfire_spark.catalog import load_table, spread
 
 # marker stopwords per language — the declared heuristic's fixed model
 LANG_MARKERS = {
@@ -270,7 +270,7 @@ def t08_unigram_logprob(spark, sf_dir):
     cartesian. Float discipline: the mean of ~100 ln() terms is
     rounded at 6 dp (re-association drift is ~1e-13) with the 1e-9
     boundary guard, then reported at 2 dp."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
@@ -297,7 +297,7 @@ def t09_bm25_scores(spark, sf_dir):
     """BM25 scores for every document matching ≥1 query term — the
     un-truncated retriever output (s05's fusion input). See
     :func:`t09_bm25` for the declared top-k query and scale notes."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
