@@ -586,6 +586,77 @@ def snapshot_compact(
     )
 
 
+def snapshot_cluster(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 6,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite the head version Z-ORDER-clustered on ``cols`` and
+    commit as an overwrite with per-file stats on those columns.
+
+    Linear clustering (plain sort) gives disjoint file ranges on ONE
+    column; Z-order interleaves the bit-patterns of each column's
+    quantile-bucket id, so rows close in *any* clustered dimension
+    land in few files — after clustering, ``snapshot_read(ranges=)``
+    prunes on every clustered column, not just the leading one (the
+    Delta/Iceberg OPTIMIZE ZORDER surface).
+
+    Scale shape: bucket boundaries come from ``approxQuantile``
+    (one pass, driver gets 2^bits cutpoints per column — KBs); the
+    z-key is a codegen'd bit-interleave projection; the rewrite is one
+    ``repartitionByRange`` on the z-key (range exchange) + local sort.
+    No window functions, no global sort on data columns, nothing
+    driver-side proportional to rows."""
+    df = snapshot_read(spark, path)
+    head = _read_manifest(path, _current_version(path))
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    zkey = None
+    for ci, c in enumerate(cols):
+        cuts = df.stat.approxQuantile(c, probs, 0.01)
+        # bucket id = count of cutpoints below the value — a flat
+        # codegen'd comparison chain (2^bits literals per column)
+        cmp_expr = "+".join(
+            f"(CASE WHEN cast({c} as double) > {float(x)!r} THEN 1 ELSE 0 END)"
+            for x in cuts
+        ) or "0"
+        bucket = F.expr(f"({cmp_expr})")
+        # spread this column's bits to positions ci, ci+len, ci+2*len …
+        spread_bits = None
+        for b in range(bits):
+            piece = (
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+            spread_bits = piece if spread_bits is None else (
+                spread_bits.bitwiseOR(piece)
+            )
+        zkey = spread_bits if zkey is None else zkey.bitwiseOR(spread_bits)
+    if n_files is None:
+        size = sum(
+            os.path.getsize(os.path.join(path, f)) for f in head["files"]
+        )
+        n_files = max(2, round(size / (target_file_mb * 1024 * 1024)))
+    clustered = (
+        df.withColumn("__z", zkey)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return snapshot_write(
+        clustered,
+        path,
+        mode="overwrite",
+        partition_by=head.get("partition_by") or None,
+        stats_cols=sorted(set(cols) | set(head.get("stats_cols", []))),
+    )
+
+
 def snapshot_expire(path: str, keep_last: int = 1) -> int:
     """Drop all but the last ``keep_last`` versions and delete data
     files no remaining version references. Returns files deleted.

@@ -468,3 +468,53 @@ def test_snapshot_changes_feed(spark, sf_dir, tmp_path):
     empty = snapshot_changes(spark, path, from_version=v2, to_version=v2)
     assert empty.count() == 0
     assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+def test_snapshot_zorder_cluster_prunes_both_dimensions(
+    spark, sf_dir, tmp_path
+):
+    """Z-order clustering: after OPTIMIZE-style rewrite on two
+    columns, range reads prune files on EITHER column (a linear sort
+    can only prune on the leading one)."""
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_cluster,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zsnap")
+    snapshot_write(orders.repartition(8), path)
+    v = snapshot_cluster(
+        spark, path, ["o_custkey", "o_totalprice"], n_files=8
+    )
+    m = _read_manifest(path, v)
+    n_files = len(m["files"])
+    assert n_files >= 4, "need multiple files for pruning to be observable"
+    # stats recorded for both clustered columns on every new file
+    assert all(
+        {"o_custkey", "o_totalprice"} <= set(m["file_stats"][f])
+        for f in m["files"]
+    )
+    lo_c, hi_c = 1, 50
+    lo_p, hi_p = 1000.0, 20000.0
+    full = snapshot_read(spark, path)
+    by_cust = snapshot_read(spark, path, ranges={"o_custkey": (lo_c, hi_c)})
+    by_price = snapshot_read(
+        spark, path, ranges={"o_totalprice": (lo_p, hi_p)}
+    )
+    assert len(by_cust.inputFiles()) < n_files
+    assert len(by_price.inputFiles()) < n_files
+    # pruning is sound: filtered row sets equal the unpruned scan's
+    want_c = full.where(F.col("o_custkey").between(lo_c, hi_c)).count()
+    got_c = by_cust.where(F.col("o_custkey").between(lo_c, hi_c)).count()
+    assert got_c == want_c
+    want_p = full.where(F.col("o_totalprice").between(lo_p, hi_p)).count()
+    got_p = by_price.where(F.col("o_totalprice").between(lo_p, hi_p)).count()
+    assert got_p == want_p
+    # history intact: clustering is an overwrite commit, v0 still reads
+    assert snapshot_read(spark, path, version=0).count() == orders.count()
