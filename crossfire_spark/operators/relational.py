@@ -1039,6 +1039,33 @@ def q60(spark, sf_dir):
     )
 
 
+def q61(spark, sf_dir):
+    """Three-valued-logic pin: NOT IN against a subquery that contains
+    NULL — the classic SQL trap. ``p_size NOT IN (S ∪ {NULL})`` is
+    never TRUE (it is FALSE or UNKNOWN), so the NOT IN branch must
+    return 0 matched rows while the NOT EXISTS form returns the
+    intuitive complement; the query returns both counts side by side
+    so the engine's null-aware anti-join semantics are hash-pinned.
+    Catalyst plans the NOT IN as a null-aware anti join (BNLJ with the
+    small subquery broadcast); NOT EXISTS stays a plain left-anti."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("q61_part")
+    return spark.sql(
+        """
+        WITH sizes AS (
+            SELECT CASE WHEN p_size = 1 THEN NULL ELSE p_size END AS s
+            FROM q61_part WHERE p_size <= 5
+        )
+        SELECT
+            (SELECT COUNT(*) FROM q61_part
+             WHERE p_size NOT IN (SELECT s FROM sizes)) AS not_in_cnt,
+            (SELECT COUNT(*) FROM q61_part p1
+             WHERE NOT EXISTS (SELECT 1 FROM sizes WHERE s = p1.p_size))
+                AS not_exists_cnt
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1212,6 +1239,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
         GROUP BY cal.d
         ORDER BY d, n_ord, rev""",
+    "q61": """WITH sizes AS (
+            SELECT CASE WHEN p_size = 1 THEN NULL ELSE p_size END AS s
+            FROM part WHERE p_size <= 5
+        )
+        SELECT
+            (SELECT COUNT(*) FROM part
+             WHERE p_size NOT IN (SELECT s FROM sizes)) AS not_in_cnt,
+            (SELECT COUNT(*) FROM part p1
+             WHERE NOT EXISTS (SELECT 1 FROM sizes WHERE s = p1.p_size))
+                AS not_exists_cnt""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function

@@ -179,8 +179,10 @@ def snapshot_write(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     stats_cols: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version.
+    ``properties`` is recorded verbatim on this commit's manifest.
 
     ``append`` keeps the parent's files and adds the new ones;
     ``overwrite`` starts the file list fresh (old files stay on disk
@@ -261,6 +263,7 @@ def snapshot_write(
             "stats_cols": scols,
             "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
             "schema": schema_json,
+            "properties": dict(properties or {}),
         }
         tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
@@ -364,11 +367,22 @@ def _read_files(spark, path, files, schema, part_cols):
 
 
 def snapshot_merge(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    delete_keys: DataFrame | None = None,
+    properties: dict | None = None,
 ) -> int:
     """MERGE INTO the versioned table: rows of ``df`` replace existing
-    rows with the same ``keys`` (upsert), committed as one new version
-    — history and pinned readers are untouched.
+    rows with the same ``keys`` (upsert), rows whose keys appear in
+    ``delete_keys`` are removed, committed as one new version —
+    history and pinned readers are untouched. On a partitioned table
+    ``delete_keys`` must carry the partition columns (the merge prunes
+    rewrites to touched partitions from the batch's values).
+    ``properties`` is recorded verbatim on the commit's manifest (the
+    hook incremental consumers use to stamp e.g. the base-table
+    version a materialized view has processed).
 
     Copy-on-write at **partition granularity**: when the table is
     partitioned, only files in partitions the update actually touches
@@ -402,6 +416,16 @@ def snapshot_merge(
             tuple(str(r[c]) for c in part_cols)
             for r in df.select(*part_cols).distinct().collect()
         }
+        if delete_keys is not None:
+            missing = sorted(set(part_cols) - set(delete_keys.columns))
+            if missing:
+                raise ValueError(
+                    f"delete_keys must carry partition columns {missing}"
+                )
+            touched |= {
+                tuple(str(r[c]) for c in part_cols)
+                for r in delete_keys.select(*part_cols).distinct().collect()
+            }
         keep = {
             f: p
             for f, p in fparts.items()
@@ -417,8 +441,13 @@ def snapshot_merge(
     # (zone maps), a localized update rewrites only the files it hits.
     fstats = m.get("file_stats", {})
     key = keys[0]
+    all_keys = df.select(*keys).distinct()
+    if delete_keys is not None:
+        all_keys = all_keys.unionByName(
+            delete_keys.select(*keys)
+        ).distinct()
     if rewrite and any(key in fstats.get(f, {}) for f in rewrite):
-        bounds = df.agg(
+        bounds = all_keys.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()
         if bounds["lo"] is not None:
@@ -432,7 +461,7 @@ def snapshot_merge(
             keep = {**keep, **{f: fparts[f] for f in pruned}}
             rewrite = [f for f in rewrite if f not in set(pruned)]
     current = _read_files(spark, path, rewrite, schema, part_cols)
-    survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
+    survivors = current.join(all_keys, keys, "left_anti")
     merged = survivors.unionByName(df)
     batch = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, _DATA, batch)
@@ -456,6 +485,7 @@ def snapshot_merge(
         "stats_cols": scols,
         "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
         "schema": m["schema"],
+        "properties": dict(properties or {}),
     }
     tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:

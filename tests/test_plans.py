@@ -107,7 +107,7 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 105 and len(osql) == 97
+    assert len(qs) == 106 and len(osql) == 98
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

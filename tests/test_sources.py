@@ -518,3 +518,78 @@ def test_snapshot_zorder_cluster_prunes_both_dimensions(
     assert got_p == want_p
     # history intact: clustering is an overwrite commit, v0 still reads
     assert snapshot_read(spark, path, version=0).count() == orders.count()
+
+
+def test_incremental_matview_equals_recompute(spark, sf_dir, tmp_path):
+    """Aggregate materialized view maintained from the CDC feed must
+    equal a from-scratch recompute after appends, an update merge, and
+    a key-deleting merge — including view-row deletion when a key's
+    maintained count reaches zero."""
+    from crossfire_spark.sources.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    snapshot_write(first, base)
+    create_aggregate_view(
+        spark, base, view, keys=["o_orderstatus"], measures=["o_totalprice"]
+    )
+
+    def check():
+        got = {
+            (r.o_orderstatus, r._cnt, round(r.sum_o_totalprice, 2))
+            for r in snapshot_read(spark, view).collect()
+        }
+        want = {
+            (r.o_orderstatus, r.c, round(r.s, 2))
+            for r in snapshot_read(spark, base)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("o_totalprice").alias("s"),
+            )
+            .collect()
+        }
+        assert got == want, (sorted(got), sorted(want))
+
+    # append the other half -> refresh consumes one append commit
+    snapshot_write(orders.where(F.col("o_orderkey") % 2 == 1), base)
+    refresh_aggregate_view(spark, base, view)
+    check()
+    # update merge: change some prices (same keys)
+    upd = orders.limit(50).withColumn("o_totalprice", F.lit(1.0))
+    snapshot_merge(spark, upd, base, keys=["o_orderkey"])
+    refresh_aggregate_view(spark, base, view)
+    check()
+    # delete an entire group via merge: rewrite every 'P' order into 'F'
+    p_rows = snapshot_read(spark, base).where(F.col("o_orderstatus") == "P")
+    if p_rows.count():
+        flipped = p_rows.withColumn("o_orderstatus", F.lit("F"))
+        snapshot_merge(spark, flipped, base, keys=["o_orderkey"])
+        refresh_aggregate_view(spark, base, view)
+        check()
+        assert (
+            snapshot_read(spark, view)
+            .where(F.col("o_orderstatus") == "P")
+            .count()
+            == 0
+        ), "zero-count key must be deleted from the view"
+    # caught-up refresh is a no-op version-wise
+    v = _current_version(view)
+    assert refresh_aggregate_view(spark, base, view) == v
+    assert _read_manifest(view, v)["properties"]["base_version"] == (
+        _current_version(base)
+    )
