@@ -277,11 +277,26 @@ MULTIMODAL_QUERIES = {
     "m02_image_resize": m02_image_resize,
     "m03_frame_sample": m03_frame_sample,
 }
-# m01's kernels (sha256 + byte-histogram moment over ASCII content)
-# are restatable in SQL, so the mapInPandas path gets a full DuckDB
-# oracle; m02/m03 remain rows-only (resize/frame kernels are stubs
-# whose shapes, not values, are the contract).
+# All three kernels are deterministic functions of the byte stream,
+# so all three mapInPandas pipelines get full DuckDB oracles: m01
+# restates sha256 + the byte-histogram moment, m02's resized payload
+# size is closed-form (max((224*224)//1000, 32) = 50 bytes), and
+# m03's frame fan-out is ceil(bytes/stride) rows summing back to the
+# byte count — the oracle checks the real Spark plumbing (binary
+# columns, Arrow batches, worker-side explode) against closed forms.
 MULTIMODAL_ORACLE_SQL: dict[str, str] = {
+    "m02_image_resize": """
+        SELECT doc_id media_id, CAST(224 AS INT) width, CAST(224 AS INT) height,
+               CAST(octet_length(encode(text)) AS BIGINT) orig_bytes,
+               CAST(50 AS INT) new_bytes
+        FROM documents WHERE doc_id % 3 = 0
+        ORDER BY media_id, width, height, orig_bytes, new_bytes""",
+    "m03_frame_sample": """
+        SELECT doc_id media_id,
+               CAST(CEIL(octet_length(encode(text)) / 1000.0) AS BIGINT) n_frames,
+               CAST(octet_length(encode(text)) AS BIGINT) total_bytes
+        FROM documents WHERE doc_id % 3 = 2
+        ORDER BY media_id, n_frames, total_bytes""",
     "m01_media_features": """
         WITH m AS (SELECT doc_id media_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'

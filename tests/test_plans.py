@@ -100,14 +100,12 @@ def test_registry_contract_consistency():
     assert rows_only == [
         "d03_minhash_lsh",
         "d04_simhash",
-        "m02_image_resize",
-        "m03_frame_sample",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 106 and len(osql) == 98
+    assert len(qs) == 106 and len(osql) == 100
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
