@@ -593,3 +593,41 @@ def test_incremental_matview_equals_recompute(spark, sf_dir, tmp_path):
     assert _read_manifest(view, v)["properties"]["base_version"] == (
         _current_version(base)
     )
+
+
+def test_load_table_normalizes_both_events_ts_encodings(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has shipped
+    events.ts as BOTH parquet timestamp[ns] (read as nanosecond long
+    under nanosAsLong) and µs timestamp[us] NTZ. load_table must
+    surface a plain TIMESTAMP either way — watermarks reject NTZ and
+    long breaks event-time ops."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]),
+            "user_id": [10, 11],
+            "event_type": ["click", "purchase"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    for unit in ("us", "ns"):
+        d = tmp_path / f"enc_{unit}"
+        d.mkdir()
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            idx, "ts", tbl.column("ts").cast(pa.timestamp(unit))
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (unit, df.dtypes)
+        # value-preserving under the UTC session: µs instants match
+        got = sorted(r.ts.isoformat() for r in df.select("ts").collect())
+        assert got == ["2024-01-01T00:00:00", "2024-01-01T01:00:00"], got
+        # event-time ops accept it (this is what broke: NTZ watermark)
+        df.withWatermark("ts", "1 hour")
