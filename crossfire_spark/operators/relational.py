@@ -1066,6 +1066,27 @@ def q61(spark, sf_dir):
     )
 
 
+def q62(spark, sf_dir):
+    """Array set-operation suite: ``array_intersect`` / ``array_union``
+    / ``array_except`` over two word-slices of each document, plus
+    ``arrays_zip``-style pairing via ``zip_with``. Set results are
+    sorted and joined to strings so the comparison is representation-
+    stable cross-engine (array column hashing is untested driver
+    surface; strings are not). Pure codegen'd projections — one scan,
+    no shuffle before the deterministic ORDER BY."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    w = F.split(F.lower("text"), " ")
+    a = F.slice(w, 1, 12)
+    b = F.slice(w, 7, 12)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("ab_i"),
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.size(F.zip_with(a, b, lambda x, y: x == y)).alias("n_zip"),
+    ).orderBy("doc_id", "ab_i", "n_union", "n_except", "n_zip")
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1249,6 +1270,17 @@ ORACLE_SQL: dict[str, str] = {
             (SELECT COUNT(*) FROM part p1
              WHERE NOT EXISTS (SELECT 1 FROM sizes WHERE s = p1.p_size))
                 AS not_exists_cnt""",
+"q62": """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w
+            FROM documents WHERE doc_id < 1000),
+        s AS (SELECT doc_id, w[1:12] a, w[7:18] b FROM t)
+        SELECT doc_id,
+            array_to_string(list_sort(list_distinct(
+                list_filter(a, x -> list_contains(b, x)))), ',') ab_i,
+            CAST(len(list_distinct(list_concat(a, b))) AS INT) n_union,
+            CAST(len(list_distinct(
+                list_filter(a, x -> NOT list_contains(b, x)))) AS INT) n_except,
+            CAST(greatest(len(a), len(b)) AS INT) n_zip
+        FROM s ORDER BY doc_id, ab_i, n_union, n_except, n_zip""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -1297,6 +1329,16 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY l_orderkey, l_linenumber, bad_cast NULLS FIRST,
                  good_cast, td NULLS FIRST""",
+    # Spark spells the list functions as array_* and slices with slice().
+    "q62": """WITH t AS (SELECT doc_id, split(lower(text), ' ') w
+            FROM documents WHERE doc_id < 1000),
+        s AS (SELECT doc_id, slice(w, 1, 12) a, slice(w, 7, 12) b FROM t)
+        SELECT doc_id,
+            array_join(array_sort(array_intersect(a, b)), ',') ab_i,
+            size(array_union(a, b)) n_union,
+            size(array_except(a, b)) n_except,
+            size(zip_with(a, b, (x, y) -> x = y)) n_zip
+        FROM s ORDER BY doc_id, ab_i, n_union, n_except, n_zip""",
     # Spark shifts dates with date_add, not integer +.
     "q60": """WITH RECURSIVE cal(d) AS (
             SELECT DATE'1995-01-01'
