@@ -29,7 +29,7 @@ engine hash functions, so the driver records a rows-only check and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crossfire_spark.catalog import load_table, spread
@@ -38,6 +38,45 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_K = 128
 LSH_BANDS = 32  # rows per band = MINHASH_K // LSH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
+# Band-bucket ceiling: a bucket holding more than this many *distinct*
+# documents is dropped from candidate generation (the classic MinHash
+# production failure is a boilerplate bucket holding millions of docs
+# whose candidate self-join goes quadratic — AQE skew-split cannot save
+# a genuinely quadratic bucket). Exact duplicates are pre-collapsed
+# before signatures, so an over-cap bucket means > cap distinct texts
+# colliding — at that density the pairs are near-worthless and the cost
+# unbounded. 2000 keeps every sf0.1 bucket (<< cap) intact.
+LSH_BUCKET_CAP = 2000
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row of a bucket whose population exceeds ``cap``.
+
+    One window count over the bucket keys — the same hash partitioning
+    the downstream bucket self-join needs, so at scale AQE reuses the
+    exchange rather than adding a pass."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
+def _exact_dup_membership(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, rep) — md5(text) exact-duplicate groups with the
+    min doc_id as representative. Identical texts have identical
+    shingle sets, signatures, and band buckets, so only the
+    representative needs to enter candidate generation; member pairs
+    are reconstructed exactly afterwards (intra-group Jaccard is 1.0 /
+    Hamming 0 by definition). Materialized once: the rep filter, the
+    intra-group join (both sides), and the cross-group expansion all
+    read it."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .localCheckpoint()
+    )
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -156,18 +195,19 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    """LSH candidate pairs ``(doc_a, doc_b)`` among the given docs.
 
-    Band signature = md5 over the band's (seed, minhash) rows; equal
-    band signatures meet in a bucket (one shuffle on the 16-byte band
-    key). Candidates then get exact Jaccard — output is a *subset* of
-    ``exact_jaccard_pairs`` (identical rows, minus LSH misses).
+    Band signature = md5 over the band's minhashes; equal band
+    signatures meet in a bucket (one shuffle on the 16-byte band key).
+    Buckets over ``bucket_cap`` docs are dropped before the self-join
+    (see ``LSH_BUCKET_CAP``), so candidate fan-out per bucket is
+    bounded by cap² however duplicate-heavy the corpus is.
 
     The signature table is *materialized once* (``localCheckpoint`` —
     executor-local storage, the same medium a shuffle write uses; a
@@ -181,7 +221,6 @@ def minhash_lsh_pairs(
     passes over the corpus."""
     rows_per_band = k // bands
     wide = minhash_signatures_wide(docs, k).localCheckpoint()
-    docs = docs.select("doc_id", "text")
     # band signature = md5 over the band's minhashes, computed from
     # the wide row directly (no per-(doc,seed) shuffle), then unpivot
     # to (doc_id, band, bsig) for the bucket join.
@@ -203,9 +242,10 @@ def minhash_lsh_pairs(
     band_sig = wide.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    band_sig = _cap_buckets(band_sig, ["band", "bsig"], bucket_cap)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -214,10 +254,13 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        # candidate pairs are tiny (collision survivors); materialize so
-        # the three downstream references don't re-run the band join
-        .localCheckpoint()
     )
+
+
+def _verify_jaccard(
+    docs: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only → (doc_a, doc_b, j)."""
     # Exact Jaccard for CANDIDATE pairs only — this is the whole point
     # of LSH: the all-pairs shingle join never happens, and the exact
     # verification re-shingles only *candidate* documents (left_semi
@@ -254,6 +297,90 @@ def minhash_lsh_pairs(
     )
 
 
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    intra_score: F.Column,
+    score_col: str,
+) -> DataFrame:
+    """Re-expand representative-level near-dup pairs to member-level.
+
+    ``intra pairs``: every pair inside an exact-dup group scores
+    ``intra_score`` (Jaccard 1.0 / Hamming 0 — identical texts) —
+    these are output rows, so a group of n dups legitimately yields
+    n·(n-1)/2 rows; what the pre-collapse bounds is the *candidate
+    join*, which sees one row per group. ``cross pairs``: a rep-level
+    pair expands to all member cross pairs with the same score
+    (identical texts have identical shingle sets / signatures)."""
+    m1, m2 = membership.alias("m1"), membership.alias("m2")
+    intra = (
+        m1.join(
+            m2,
+            (F.col("m1.fp") == F.col("m2.fp"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            intra_score.alias(score_col),
+        )
+    )
+    ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("x"))
+    mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("y"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            score_col,
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Output is a *subset* of ``exact_jaccard_pairs`` (identical rows,
+    minus LSH misses and minus pairs whose every shared band bucket
+    exceeded ``bucket_cap``). Three stages, each bounded on a
+    dup-heavy corpus:
+
+    1. exact-duplicate pre-collapse (md5(text) groups → min-id rep):
+       a crawl with a million copies of one boilerplate page
+       contributes ONE row to candidate generation, not 10^12 pairs;
+    2. banded LSH + bucket ceiling over *representatives only*
+       (:func:`minhash_lsh_candidates`);
+    3. exact-Jaccard verify, then member re-expansion
+       (:func:`_expand_rep_pairs`).
+    """
+    docs = docs.select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    candidates = minhash_lsh_candidates(
+        rep_docs, k, bands, bucket_cap
+    ).localCheckpoint()  # tiny (collision survivors); the verify joins
+    # and the candidate id set read it without re-running the band join
+    rep_pairs = _verify_jaccard(rep_docs, candidates, threshold)
+    return _expand_rep_pairs(
+        rep_pairs,
+        membership,
+        F.when(F.lit(threshold) <= 1.0, F.lit(1.0)).cast("double"),
+        "j",
+    ).where(F.col("j").isNotNull())
+
+
 def d03_minhash_lsh(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d).orderBy("doc_a", "doc_b", "j")
@@ -288,15 +415,30 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     chunks (band join), then Hamming distance verifies. Scale shape:
-    4 x shuffle on a 16-bit key, never all-pairs.
+    4 x shuffle on a 16-bit key, never all-pairs — and, like d03,
+    exact duplicates are pre-collapsed first (identical texts →
+    identical simhash → Hamming 0) and chunk buckets over
+    ``bucket_cap`` representatives are dropped, so the self-join
+    fan-out stays bounded on dup-heavy corpora.
 
     The (doc_id, simhash) table is materialized before the self-join —
     8 bytes/doc; both join sides then read it instead of re-running
     the word-explode + 64-bit-vote aggregation over the corpus."""
-    sig = simhash_signatures(docs).localCheckpoint()
+    docs = docs.select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sig = simhash_signatures(rep_docs).localCheckpoint()
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -314,9 +456,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    chunks = _cap_buckets(chunks, ["chunk", "val"], bucket_cap)
     a = chunks.alias("a")
     b = chunks.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -333,6 +476,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return _expand_rep_pairs(
+        rep_pairs,
+        membership,
+        F.when(F.lit(max_hamming) >= 0, F.lit(0)).cast("int"),
+        "hamming",
+    ).where(F.col("hamming").isNotNull())
 
 
 def d04_simhash(spark, sf_dir):

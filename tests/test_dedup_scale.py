@@ -1,0 +1,94 @@
+"""Scale-hazard guards for the approximate dedup tier (d03/d04).
+
+The classic production MinHash failure is a dup-heavy crawl: a band
+bucket holding millions of boilerplate copies makes the candidate
+self-join quadratic. Two defenses, both exercised here on a synthetic
+1k-identical-doc hot corpus:
+
+1. exact-duplicate pre-collapse — identical texts contribute ONE
+   representative to candidate generation;
+2. band-bucket ceiling (``bucket_cap``) — over-populated buckets are
+   dropped from the candidate join entirely.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.functions.dedup import (
+    _cap_buckets,
+    _exact_dup_membership,
+    minhash_lsh_candidates,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+N_DUPS = 1000
+BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    rows = [(i, BOILER) for i in range(N_DUPS)]
+    rows += [
+        (2000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2001, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_buckets_drops_whole_bucket(spark):
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(20)] + [(100 + i, "cold") for i in range(3)],
+        "id long, b string",
+    )
+    kept = _cap_buckets(df, ["b"], cap=10).collect()
+    assert {r.b for r in kept} == {"cold"} and len(kept) == 3
+    # cap at-or-above the population keeps everything
+    assert _cap_buckets(df, ["b"], cap=20).count() == 23
+
+
+def test_precollapse_bounds_candidates(spark, hot_docs):
+    """1000 identical docs must reach candidate generation as ONE
+    representative: the candidate join sees <= 3 pairs, not ~500k."""
+    membership = _exact_dup_membership(hot_docs.select("doc_id", "text"))
+    reps = membership.where(F.col("doc_id") == F.col("rep"))
+    assert reps.count() == 3  # boilerplate group + 2 distinct docs
+    rep_docs = hot_docs.join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    n_cand = minhash_lsh_candidates(rep_docs).count()
+    assert n_cand <= 3, f"candidate join saw {n_cand} pairs"
+
+
+def test_hot_corpus_output_semantics(spark, hot_docs):
+    """Pair-level output is still complete: every pair inside the
+    identical group appears with j = 1.0."""
+    out = minhash_lsh_pairs(hot_docs)
+    intra = out.where((F.col("doc_a") < N_DUPS) & (F.col("doc_b") < N_DUPS))
+    assert intra.count() == N_DUPS * (N_DUPS - 1) // 2
+    assert intra.where(F.col("j") != 1.0).count() == 0
+    # the two distinct near-dups (8/9 shared shingles, j=0.89) survive
+    assert out.where((F.col("doc_a") == 2000) & (F.col("doc_b") == 2001)).count() == 1
+
+
+def test_bucket_cap_bounds_candidate_join(spark, hot_docs):
+    """cap=1 drops every bucket with >= 2 members: zero candidates,
+    output degrades to exactly the intra (exact-dup) pairs."""
+    assert (
+        minhash_lsh_candidates(hot_docs, bucket_cap=1).count() == 0
+    )
+    out = minhash_lsh_pairs(hot_docs, bucket_cap=1)
+    assert out.where(F.col("j") != 1.0).count() == 0
+    assert out.count() == N_DUPS * (N_DUPS - 1) // 2
+
+
+def test_simhash_precollapse_and_cap(spark, hot_docs):
+    """SimHash shares the pre-collapse + cap path: intra pairs appear
+    with hamming 0; cap=1 removes all cross-group candidates."""
+    out = simhash_pairs(hot_docs, bucket_cap=1)
+    intra = out.where((F.col("doc_a") < N_DUPS) & (F.col("doc_b") < N_DUPS))
+    assert intra.count() == N_DUPS * (N_DUPS - 1) // 2
+    assert intra.where(F.col("hamming") != 0).count() == 0
+    assert out.where(F.col("doc_a") == 2000).count() == 0
