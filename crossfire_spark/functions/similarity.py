@@ -506,45 +506,74 @@ def s04_ivf_kmeans(spark, sf_dir):
     )
 
 
+NEARDUP_BLOCKS = 8
+
+
 def embed_neardup_pairs(
-    embeddings: DataFrame, threshold: float = NEARDUP_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_blocks: int = NEARDUP_BLOCKS,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (va < vb), block-matrix
-    style: the corpus matrix rides to every task in the closure
-    (float64, N x 64 — 1.3 MB at sf0.1; at larger N you tile the
-    corpus into chunks and union the runs), each Arrow batch of rows
-    multiplies against it with one BLAS matmul, and only pairs over
-    threshold leave the task. O(N) rows move; the N^2 work happens
-    inside vectorized kernels, not per-row interpreted expressions
-    (24s -> ~2s at sf0.1 vs the zip_with/aggregate form)."""
+    """Exact all-pairs cosine >= threshold (va < vb), distributed
+    block-matrix style — nothing corpus-sized ever reaches the driver.
+
+    The corpus is tiled into ``n_blocks`` row blocks (vec_id mod);
+    each block packs into one (ids, matrix) row via ``collect_list``,
+    the upper-triangle block pairs meet in a theta join (bid_a <=
+    bid_b — n_blocks² rows, each carrying two ~N/n_blocks x dim
+    tiles), and one BLAS matmul per pair emits only the over-threshold
+    pairs. Every unordered vector pair lives in exactly one block
+    pair, so no dedup pass is needed.
+
+    Scale shape: O(N·n_blocks) bytes shuffle (each tile meets every
+    other tile — the irreducible traffic of an exact all-pairs
+    product); the N² work happens inside vectorized kernels. Size
+    ``n_blocks`` so a tile fits an Arrow batch (~N/n_blocks x dim x 8
+    bytes); at 100 TB raise it so tiles stay ~100 MB and let the
+    n_blocks² tasks spread over the cluster. The approximate tier
+    (d03/s02) remains the default at that scale; this is the exact
+    oracle path."""
     import numpy as np
     import pandas as pd
 
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
+    packed = (
+        embeddings.select("vec_id", "embedding")
+        .groupBy((F.col("vec_id") % n_blocks).alias("bid"))
+        # one struct list keeps ids and vectors aligned by construction
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("tile"))
+    )
+    a = packed.select(F.col("bid").alias("bid_a"), F.col("tile").alias("tile_a"))
+    b = packed.select(F.col("bid").alias("bid_b"), F.col("tile").alias("tile_b"))
+    block_pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
 
     out_schema = "va long, vb long, sim double"
 
-    def pairs(batches):
-        for b in batches:
-            bids = b["vec_id"].to_numpy()
-            bmat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            bnorms = np.linalg.norm(bmat, axis=1)
-            sims = (bmat @ mat.T) / (bnorms[:, None] * norms[None, :])
-            rows, cols = np.where((sims >= threshold) & (bids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "va": bids[rows],
-                    "vb": ids[cols],
-                    "sim": np.round(sims[rows, cols], 4),
-                }
-            )
+    def _unpack(tile):
+        ids = np.fromiter((t["vec_id"] for t in tile), dtype=np.int64, count=len(tile))
+        mat = np.stack([np.asarray(t["embedding"]) for t in tile]).astype(np.float64)
+        return ids, mat
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        pairs, schema=out_schema
-    )
+    def pairs(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ia, A = _unpack(row["tile_a"])
+                ib, B = _unpack(row["tile_b"])
+                na = np.linalg.norm(A, axis=1)
+                nb = np.linalg.norm(B, axis=1)
+                sims = (A @ B.T) / (na[:, None] * nb[None, :])
+                r, c = np.where((sims >= threshold) & (ia[:, None] != ib[None, :]))
+                va = np.minimum(ia[r], ib[c])
+                vb = np.maximum(ia[r], ib[c])
+                keep = ia[r] < ib[c] if row["bid_a"] == row["bid_b"] else slice(None)
+                yield pd.DataFrame(
+                    {
+                        "va": va[keep],
+                        "vb": vb[keep],
+                        "sim": np.round(sims[r, c][keep], 4),
+                    }
+                )
+
+    return block_pairs.mapInPandas(pairs, schema=out_schema)
 
 
 def d05_embed_neardup(spark, sf_dir):

@@ -37,6 +37,32 @@ from pyspark.sql import functions as F
 WATERMARK = "1 hour"
 SESSION_GAP = "30 minutes"
 
+_SESSION_WORKDIRS: list[str] = []
+
+
+def _session_workdir(prefix: str) -> str:
+    """Temp workdir that lives until interpreter exit.
+
+    Streaming jobs that land state in files (st07's upsert table,
+    st09's snapshot log) return *lazy* DataFrames over those files —
+    collecting them into the driver just to free the directory would
+    materialize an unbounded (user-cardinality) result driver-side.
+    Instead the workdir is cleaned by one ``atexit`` hook; per-run
+    leakage is bounded (one latest-per-key table per invocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    if not _SESSION_WORKDIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(w, ignore_errors=True) for w in _SESSION_WORKDIRS
+            ]
+        )
+    _SESSION_WORKDIRS.append(work)
+    return work
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream replaying the events parquet; identical
@@ -162,13 +188,10 @@ def st07_stream_upsert(spark, sf_dir):
     not the plan. Batching-independence is pinned in
     tests/test_streaming.py with a forced 3-batch replay.
     """
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window
     from crossfire_spark.sources.io import read_table, upsert_table
 
-    work = tempfile.mkdtemp(prefix="st07_")
+    work = _session_workdir("st07_")
     target = os.path.join(work, "latest")
     stream = events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value"
@@ -198,10 +221,10 @@ def st07_stream_upsert(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    # materialize off the temp files so the whole workdir (checkpoint
-    # AND state table) can be removed now — lazy plans over `target`
-    # would otherwise force leaking /tmp/st07_* per invocation
-    result = (
+    # lazy over the session-scoped state table (atexit cleanup) — the
+    # result is user-cardinality, unbounded at scale, so it must not
+    # round-trip through the driver just to free a temp dir
+    return (
         read_table(spark, target)
         .select(
             "user_id",
@@ -212,10 +235,6 @@ def st07_stream_upsert(spark, sf_dir):
         )
         .orderBy("user_id", "event_id", "event_type", "ts", "v")
     )
-    rows = result.collect()
-    schema = result.schema
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 def st09_snapshot_merge_stream(spark, sf_dir):
@@ -236,9 +255,6 @@ def st09_snapshot_merge_stream(spark, sf_dir):
     this is the version that survives concurrent readers and crashes
     (a torn write leaves an unclaimed version slot, never a torn
     table)."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window
 
     from crossfire_spark.sources.snapshot import (
@@ -248,7 +264,7 @@ def st09_snapshot_merge_stream(spark, sf_dir):
         snapshot_write,
     )
 
-    work = tempfile.mkdtemp(prefix="st09_")
+    work = _session_workdir("st09_")
     target = os.path.join(work, "latest")
     stream = events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value"
@@ -285,7 +301,9 @@ def st09_snapshot_merge_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    result = (
+    # lazy over the session-scoped snapshot log (atexit cleanup) — see
+    # st07: no driver round-trip for an unbounded result
+    return (
         snapshot_read(spark, target)
         .select(
             "user_id",
@@ -296,10 +314,6 @@ def st09_snapshot_merge_stream(spark, sf_dir):
         )
         .orderBy("user_id", "event_id", "event_type", "ts", "v")
     )
-    rows = result.collect()
-    schema = result.schema
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 def st08_stream_dedup(spark, sf_dir):
@@ -364,14 +378,14 @@ def st10_snapshot_source_stream(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("sv"))
     )
     sink = run_stream_to_memory(agg, mode="complete")
-    result = (
+    # the memory sink holds the aggregate rows independent of the
+    # snapshot files, so the workdir can go now and the result stays
+    # a lazy view over the sink (aggregate-cardinality, not corpus)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
         sink.select("user_id", "c", F.round("sv", 2).alias("s"))
         .orderBy("user_id", "c", "s")
     )
-    rows = result.collect()
-    schema = result.schema
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 STREAMING_ORACLE_SQL: dict[str, str] = {
