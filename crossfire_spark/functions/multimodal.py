@@ -1,11 +1,15 @@
 """Multimodal column plumbing for LLM data pipelines.
 
 Images/audio/video ride through Spark as opaque ``binary`` columns
-with a typed metadata struct alongside. The decode / feature-extract
-kernels are STUBBED (the real codec libraries are not in this
-container — see ``decode_image``), but everything Spark-side is real
-and tested: schema, Arrow batch shape, ``mapInPandas`` signature,
-partition-size control.
+with a typed metadata struct alongside. ``decode_image`` is REAL: PIL
+when the executor env ships it, else a built-in pure-numpy PPM (P6)
+codec — m04 runs a genuine encode→decode→resize round trip over
+binary columns with a closed-form oracle. m01–m03 keep deterministic
+byte-stream fake kernels (sha256 / histogram / stride-slice) so their
+oracles hold on any build; production swaps the fake for
+``decode_image`` inside the same closure. Everything Spark-side is
+real and tested either way: schema, Arrow batch shape,
+``mapInPandas`` signature, partition-size control.
 
 Scale notes baked into the design:
 - blobs never enter a shuffle key; metadata-only projections prune
@@ -60,17 +64,93 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_image(content: bytes) -> "object":
-    """REAL image decode — intentionally unimplemented.
+def _pil():
+    """PIL if importable, else None (this container ships without it;
+    production images get it via the cluster's Python env)."""
+    try:
+        from PIL import Image  # noqa: F401
 
-    The container has no PIL/opencv/ffmpeg; a production deployment
-    plugs the codec in here. The pipeline around it (batching, schema,
-    partitioning) is exercised via ``_fake_features`` instead.
+        return Image
+    except ImportError:
+        return None
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — pure
+    numpy, no codec library needed. PPM is the plumbing-test format:
+    real bytes, real header parse, zero dependencies."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(content: bytes):
+    """Decode binary PPM (P6) to an (H, W, 3) uint8 array — pure
+    numpy. Handles '#' comments and arbitrary whitespace per the spec."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — tokens separated by
+    # whitespace, '#' starts a comment to end-of-line
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(content) and not content[i : i + 1].isspace():
+            i += 1
+        tokens.append(content[start:i])
+    i += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def decode_image(content: bytes):
+    """REAL image decode → (H, W, 3) uint8 numpy array.
+
+    PIL when available (JPEG/PNG/anything), else the built-in
+    pure-numpy PPM parser. Other formats without PIL raise — a
+    production deployment ships the codec in the executor env; the
+    Spark plumbing (binary columns, Arrow batches, mapInPandas
+    signature) is identical either way.
     """
+    import numpy as np
+
+    Image = _pil()
+    if Image is not None:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    if content.startswith(b"P6"):
+        return decode_ppm(content)
     raise NotImplementedError(
-        "image decoding requires a codec library (PIL/opencv); "
-        "wire it in here — the Spark plumbing around this call is real"
+        "only PPM decodes without a codec library; install PIL/opencv "
+        "in the executor env for JPEG/PNG — the Spark plumbing around "
+        "this call is format-agnostic"
     )
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize via pure-numpy index sampling —
+    deterministic on every build (no interpolation library variance)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[0], a.shape[1]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return a[rows][:, cols]
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -272,10 +352,91 @@ def m01_media_features(spark, sf_dir):
     )
 
 
+def synthesize_ppm_images(docs: DataFrame) -> DataFrame:
+    """Deterministic real PPM images derived from ``documents``: a
+    (4+id%5) x (3+id%4) image whose R/G/B channels are the constants
+    (id, 2·id, 3·id) mod 251 — every byte is a closed-form function of
+    doc_id, so a decoder's output is DuckDB-checkable while the bytes
+    themselves round-trip a real image format."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                w, h = 4 + did % 5, 3 + did % 4
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    arr[:, :, c] = (did * (c + 1)) % 251
+                out.append(encode_ppm(arr))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+
+
+def image_stats(media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H) -> DataFrame:
+    """REAL decode → resize → per-channel stats over a binary image
+    column: ``decode_image`` (PIL or the numpy PPM parser), nearest
+    resize, channel means. The full multimodal hot path — bytes in,
+    Arrow batches, numpy kernels, stats out — with no fake anywhere."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                rz = resize_nearest(arr, width, height)
+                m = rz.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[1],
+                        arr.shape[0],
+                        rz.shape[1],
+                        rz.shape[0],
+                        round(float(m[0]), 4),
+                        round(float(m[1]), 4),
+                        round(float(m[2]), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "rz_w", "rz_h",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, rz_w int, rz_h int,"
+        " mean_r double, mean_g double, mean_b double",
+    )
+
+
+def m04_image_decode(spark, sf_dir):
+    """Real-codec pipeline: synthesize actual PPM bytes per document,
+    decode them with the real parser, resize, and report dimensions +
+    channel means. Constant-channel inputs make every output value
+    closed-form in doc_id → full DuckDB oracle over a genuine binary
+    encode→decode round trip."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_stats(synthesize_ppm_images(docs)).orderBy(
+        "media_id", "width", "height", "rz_w", "rz_h",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
 MULTIMODAL_QUERIES = {
     "m01_media_features": m01_media_features,
     "m02_image_resize": m02_image_resize,
     "m03_frame_sample": m03_frame_sample,
+    "m04_image_decode": m04_image_decode,
 }
 # All three kernels are deterministic functions of the byte stream,
 # so all three mapInPandas pipelines get full DuckDB oracles: m01
@@ -315,4 +476,17 @@ MULTIMODAL_ORACLE_SQL: dict[str, str] = {
                width, height
         FROM m
         ORDER BY media_id, kind, n_bytes, digest, f0, width, height""",
+    # m04: constant-channel PPMs → every decoded/resized stat is a
+    # closed form of doc_id; the Spark side really encodes, decodes,
+    # and resizes the bytes.
+    "m04_image_decode": """
+        SELECT doc_id media_id,
+               CAST(4 + doc_id % 5 AS INT) width,
+               CAST(3 + doc_id % 4 AS INT) height,
+               CAST(224 AS INT) rz_w, CAST(224 AS INT) rz_h,
+               CAST(doc_id % 251 AS DOUBLE) mean_r,
+               CAST((doc_id * 2) % 251 AS DOUBLE) mean_g,
+               CAST((doc_id * 3) % 251 AS DOUBLE) mean_b
+        FROM documents
+        ORDER BY media_id, width, height, rz_w, rz_h, mean_r, mean_g, mean_b""",
 }

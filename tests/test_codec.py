@@ -1,0 +1,74 @@
+"""Real image-codec kernels (multimodal.py): pure-numpy PPM round
+trip, nearest resize, the PIL path when available, and the m04
+decode pipeline end-to-end on Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crossfire_spark.functions.multimodal import (
+    decode_image,
+    decode_ppm,
+    encode_ppm,
+    image_stats,
+    resize_nearest,
+    synthesize_ppm_images,
+)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(arr))
+    assert out.shape == (13, 9, 3)
+    assert (out == arr).all()
+
+
+def test_ppm_comments_and_whitespace():
+    arr = np.full((2, 3, 3), 42, dtype=np.uint8)
+    raw = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + arr.tobytes()
+    assert (decode_ppm(raw) == arr).all()
+
+
+def test_decode_image_dispatch():
+    arr = np.full((4, 5, 3), 7, dtype=np.uint8)
+    assert (decode_image(encode_ppm(arr)) == arr).all()
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\xff\xd8not-actually-jpeg")
+
+
+def test_resize_nearest():
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    up = resize_nearest(arr, width=6, height=4)
+    assert up.shape == (4, 6, 3)
+    # corners preserved under nearest
+    assert (up[0, 0] == arr[0, 0]).all() and (up[-1, -1] == arr[-1, -1]).all()
+    const = resize_nearest(np.full((3, 4, 3), 9, np.uint8), 224, 224)
+    assert const.shape == (224, 224, 3) and (const == 9).all()
+
+
+def test_jpeg_decode_with_pil():
+    """Exercises the PIL path with a real JPEG when the codec lib is
+    present (skipped in envs without it)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 128, dtype=np.uint8)).save(buf, "JPEG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (8, 8, 3)
+    assert abs(float(arr.mean()) - 128.0) < 4.0  # lossy but close
+
+
+def test_m04_pipeline(spark, sf_dir):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    media = synthesize_ppm_images(docs)
+    stats = {r.media_id: r for r in image_stats(media).collect()}
+    for i in range(1, 8):
+        r = stats[i]
+        assert (r.width, r.height) == (4 + i % 5, 3 + i % 4)
+        assert (r.rz_w, r.rz_h) == (224, 224)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float(i % 251), float((2 * i) % 251), float((3 * i) % 251)
+        )
