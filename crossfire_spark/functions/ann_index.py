@@ -1,0 +1,218 @@
+"""Persisted ANN / MinHash indexes over the engine's versioned
+snapshot tables.
+
+The ad-hoc paths (s02/s03/s04, d03) recompute signatures, centroids,
+and bucket assignments per invocation — correct, but at 100 TB the
+index build IS the expensive pass, and production query traffic reuses
+it thousands of times. ``build_*`` runs the expensive pass once and
+commits the artifacts to the snapshot sink (versioned, snapshot-
+isolated, time-travelable like any engine table); ``query_*`` plans
+read the index tables instead of re-deriving them.
+
+Index layouts (all snapshot tables under the index root):
+
+- IVF:      ``<root>/centroids``    (cid int, ce array<double>)
+            ``<root>/assignments``  (vec_id, embedding, cid)
+- MinHash:  ``<root>/membership``   (doc_id, fp, rep) exact-dup groups
+            ``<root>/signatures``   (doc_id, m0..m{k-1}) wide minhash
+            rows for group representatives only
+
+Rebuilds are new snapshot versions — readers pinned to an old version
+keep a consistent index; ``snapshot_expire`` reclaims superseded
+builds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crossfire_spark.functions.dedup import (
+    LSH_BANDS as D_LSH_BANDS,
+    JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
+    MINHASH_K,
+    _exact_dup_membership,
+    _expand_rep_pairs,
+    _verify_jaccard,
+    minhash_lsh_candidates,
+    minhash_signatures_wide,
+)
+from crossfire_spark.functions.similarity import (
+    IVF_CENTROIDS,
+    IVF_PROBES,
+    TOPK,
+    ivf_topk,
+    kmeans_fit,
+)
+from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    use_kmeans: bool = False,
+    n_iter: int = 3,
+) -> None:
+    """One-time IVF build: centroids (trained via Lloyd's when
+    ``use_kmeans``, else the deterministic first-``n`` rule s03 uses)
+    plus the corpus→centroid assignment table, committed to the
+    snapshot sink. The assignment pass — the full corpus scan — never
+    runs again at query time."""
+    spark = embeddings.sparkSession
+    if use_kmeans:
+        cents, _ = kmeans_fit(embeddings, k=n_centroids, n_iter=n_iter)
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+        )
+    else:
+        cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+        )
+    assignments = ivf_assign(embeddings, cent)
+    snapshot_write(cent, os.path.join(path, "centroids"))
+    snapshot_write(assignments, os.path.join(path, "assignments"))
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """corpus → nearest-centroid assignment (vec_id, embedding, cid):
+    one scan against the broadcast centroid table, rank-deterministic
+    (dist rounded 6, cid tiebreak) — identical to the ad-hoc s03 rule."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.functions.similarity import _sqdist
+
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: reads the centroid and
+    assignment snapshot tables; no corpus-wide recompute. Output is
+    identical to :func:`similarity.ivf_topk` over the same corpus and
+    centroids (same probe rule, same re-rank keys)."""
+    cent = snapshot_read(spark, os.path.join(path, "centroids"))
+    assignments = snapshot_read(spark, os.path.join(path, "assignments"))
+    return ivf_topk(
+        None,
+        queries,
+        k=k,
+        n_probes=n_probes,
+        centroids=cent,
+        assignments=assignments,
+    )
+
+
+# ------------------------------------------------------------ MinHash
+
+
+def build_minhash_index(
+    docs: DataFrame, path: str, k: int = MINHASH_K
+) -> None:
+    """One-time MinHash build: exact-dup membership plus wide minhash
+    signatures for group representatives, committed to the snapshot
+    sink. The shingle explode + k-hash pass over the text — the
+    expensive part of d03 — never runs again at query time; only the
+    candidate verify re-reads candidate documents' text."""
+    docs = docs.select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    snapshot_write(membership, os.path.join(path, "membership"))
+    snapshot_write(
+        minhash_signatures_wide(rep_docs, k), os.path.join(path, "signatures")
+    )
+
+
+def minhash_pairs_from_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = D_LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs using a persisted MinHash index: band-bucket
+    candidates come from the stored signature table, exact-Jaccard
+    verify re-reads only candidate documents' text, member pairs
+    re-expand from the stored membership. Identical output to
+    :func:`dedup.minhash_lsh_pairs` over the same corpus."""
+    membership = snapshot_read(spark, os.path.join(path, "membership"))
+    signatures = snapshot_read(spark, os.path.join(path, "signatures"))
+    docs = docs.select("doc_id", "text")
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    candidates = minhash_lsh_candidates(
+        rep_docs, k, bands, bucket_cap, signatures=signatures
+    ).localCheckpoint()
+    rep_pairs = _verify_jaccard(rep_docs, candidates, threshold)
+    return _expand_rep_pairs(
+        rep_pairs,
+        membership,
+        F.when(F.lit(threshold) <= 1.0, F.lit(1.0)).cast("double"),
+        "j",
+    ).where(F.col("j").isNotNull())
+
+
+# --------------------------------------------------- declared queries
+
+
+def s06_ivf_index(spark, sf_dir):
+    """The persisted-index face of s03: build the IVF index into a
+    session-scoped snapshot table once, answer the query from the
+    index tables. Same deterministic centroids and ranking as s03 →
+    same DuckDB oracle."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import _query_set
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    path = os.path.join(_session_workdir("s06_"), "ivf")
+    build_ivf_index(em, path)
+    return query_ivf_index(spark, path, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
+
+
+ANN_INDEX_QUERIES = {
+    "s06_ivf_index": s06_ivf_index,
+}
+
+
+def _oracle() -> dict[str, str]:
+    # s06 must equal s03 exactly — same centroids, probes, ranking —
+    # so it shares s03's oracle verbatim; only the execution path
+    # (persisted index tables vs recompute) differs.
+    from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
+
+    return {"s06_ivf_index": SIMILARITY_ORACLE_SQL["s03_ivf_topk"]}
+
+
+ANN_INDEX_ORACLE_SQL = _oracle()

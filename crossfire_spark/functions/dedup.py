@@ -200,6 +200,7 @@ def minhash_lsh_candidates(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     bucket_cap: int = LSH_BUCKET_CAP,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs ``(doc_a, doc_b)`` among the given docs.
 
@@ -220,7 +221,12 @@ def minhash_lsh_candidates(
     the checkpoint-free shape), which at 100 TB is three extra full
     passes over the corpus."""
     rows_per_band = k // bands
-    wide = minhash_signatures_wide(docs, k).localCheckpoint()
+    if signatures is not None:
+        # persisted-index path (functions.ann_index): the shingle +
+        # k-hash pass over the text already happened at build time
+        wide = signatures
+    else:
+        wide = minhash_signatures_wide(docs, k).localCheckpoint()
     # band signature = md5 over the band's minhashes, computed from
     # the wide row directly (no per-(doc,seed) shuffle), then unpivot
     # to (doc_id, band, bsig) for the bucket join.

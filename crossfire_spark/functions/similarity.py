@@ -419,12 +419,13 @@ def kmeans_fit(
 
 
 def ivf_topk(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     queries: DataFrame,
     k: int = TOPK,
     n_centroids: int = IVF_CENTROIDS,
     n_probes: int = IVF_PROBES,
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into centroid
     buckets, search only the query's ``n_probes`` nearest buckets.
@@ -446,16 +447,21 @@ def ivf_topk(
         cent = embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
-    # corpus -> nearest centroid
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
-    )
-    assign = (
-        embeddings.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    if assignments is not None:
+        # persisted-index path (functions.ann_index): the corpus scan
+        # that builds the assignment table already happened at build
+        assign = assignments.select("vec_id", "embedding", "cid")
+    else:
+        # corpus -> nearest centroid
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+        )
+        assign = (
+            embeddings.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
     # query -> n_probes nearest centroids
     qw = Window.partitionBy("qid").orderBy(
         F.round(_sqdist("qe", "ce"), 6), F.col("cid")

@@ -66,6 +66,12 @@ def all_queries() -> dict[str, Builder]:
     except ImportError:
         pass
     try:
+        from crossfire_spark.functions.ann_index import ANN_INDEX_QUERIES
+
+        out.update(ANN_INDEX_QUERIES)
+    except ImportError:
+        pass
+    try:
         from crossfire_spark.streaming.jobs import STREAMING_QUERIES
 
         out.update(STREAMING_QUERIES)
@@ -132,6 +138,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.functions.multimodal import MULTIMODAL_ORACLE_SQL
 
         out.update(MULTIMODAL_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.ann_index import ANN_INDEX_ORACLE_SQL
+
+        out.update(ANN_INDEX_ORACLE_SQL)
     except ImportError:
         pass
     try:
