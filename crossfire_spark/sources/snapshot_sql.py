@@ -1,0 +1,222 @@
+"""SQL front for the versioned snapshot table.
+
+The snapshot engine (``sources.snapshot``) is programmatic; this
+module gives it the SQL surface users of Delta/Iceberg expect,
+translated onto the existing API — no second implementation of merge
+or time travel, just parsing:
+
+- ``SELECT ... FROM t [VERSION AS OF n] ...``  → ``snapshot_read``
+  views (+ any Spark SQL around them; multiple tables and mixed
+  versions in one statement are fine)
+- ``MERGE INTO t USING s|(subquery) ON <equi-keys> WHEN ...``
+  → ``snapshot_merge`` (upsert / delete / insert-only per the WHEN
+  clauses)
+- ``INSERT INTO | INSERT OVERWRITE t SELECT ...`` → ``snapshot_write``
+- ``DESCRIBE HISTORY t`` → ``snapshot_history`` as a DataFrame
+
+Dialect bounds (documented, validated): MERGE ON must be a
+conjunction of ``t.k = s.k`` equalities (the snapshot merge is keyed,
+like Delta's partition-pruned fast path); actions are
+``UPDATE SET *`` / ``INSERT *`` / ``DELETE [AND cond]`` — the
+row-level semantics ``snapshot_merge`` implements. Anything outside
+the dialect raises ``ValueError`` with the unsupported fragment.
+
+DDL/DML statements return the committed version (int); queries return
+a DataFrame.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crossfire_spark.sources.snapshot import (
+    snapshot_history,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+
+_MERGE_RE = re.compile(
+    r"""(?isx)^\s*MERGE\s+INTO\s+(?P<target>\w+)
+    (?:\s+(?:AS\s+)?(?P<talias>\w+))?
+    \s+USING\s+(?:\((?P<subq>.+?)\)|(?P<source>\w+))
+    (?:\s+(?:AS\s+)?(?P<salias>\w+))?
+    \s+ON\s+(?P<on>.+?)
+    (?P<clauses>\s+WHEN\s+.+)$""",
+)
+_WHEN_RE = re.compile(
+    r"""(?isx)\s+WHEN\s+(?P<notm>NOT\s+)?MATCHED
+    (?:\s+AND\s+(?P<cond>.+?))?
+    \s+THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)""",
+)
+_INSERT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<target>\w+)\s+(?P<select>SELECT\s+.+)$"
+)
+_HISTORY_RE = re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\s+(?P<target>\w+)\s*$")
+_ON_EQ_RE = re.compile(r"(?i)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _strip_alias(cond: str, aliases: list[str]) -> str:
+    """Remove ``alias.`` prefixes so a WHEN ... AND condition can run
+    against the bare source rows."""
+    out = cond
+    for a in aliases:
+        if a:
+            out = re.sub(rf"(?i)\b{re.escape(a)}\.", "", out)
+    return out
+
+
+def _merge_keys(on: str, target: list[str], source: list[str]) -> list[str]:
+    """ON must be a conjunction of target.k = source.k equalities with
+    matching column names — the keyed-merge contract."""
+    keys = []
+    for term in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = _ON_EQ_RE.match(term)
+        if not m:
+            raise ValueError(f"unsupported MERGE ON term: {term!r}")
+        a, ca, b, cb = m.groups()
+        sides = {a.lower(): ca, b.lower(): cb}
+        t = next((sides[x] for x in sides if x in target), None)
+        s = next((sides[x] for x in sides if x in source), None)
+        if t is None or s is None or t.lower() != s.lower():
+            raise ValueError(
+                f"MERGE ON must equate the same key on target and "
+                f"source: {term!r}"
+            )
+        keys.append(t)
+    return keys
+
+
+def snapshot_sql(
+    spark: SparkSession, sql: str, tables: dict[str, str]
+) -> DataFrame | int:
+    """Run one SQL statement against snapshot tables.
+
+    ``tables`` maps statement table names → snapshot log paths; any
+    other name in a query resolves through the normal Spark catalog
+    (temp views etc.), so snapshot tables and regular views mix freely
+    in one SELECT."""
+    s = sql.strip().rstrip(";")
+
+    m = _HISTORY_RE.match(s)
+    if m:
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["parent"],
+                    h["operation"],
+                    h["n_files"],
+                    ",".join(h["partition_by"]),
+                )
+                for h in snapshot_history(tables[m.group("target")])
+            ],
+            "version int, parent int, operation string, n_files int,"
+            " partition_by string",
+        )
+
+    m = _INSERT_RE.match(s)
+    if m:
+        df = spark.sql(m.group("select"))
+        mode = "append" if m.group("mode").upper() == "INTO" else "overwrite"
+        return snapshot_write(df, tables[m.group("target")], mode=mode)
+
+    m = _MERGE_RE.match(s)
+    if m:
+        return _run_merge(spark, m, tables)
+
+    # SELECT path: bind each snapshot table (at its requested version)
+    # to a temp view, then let Spark SQL do the rest.
+    for name, path in tables.items():
+        pat = re.compile(
+            rf"(?i)\b{re.escape(name)}\b(\s+VERSION\s+AS\s+OF\s+(\d+))?"
+        )
+
+        def bind(mo: re.Match, _name=name, _path=path) -> str:
+            ver = mo.group(2)
+            if ver is None:
+                snapshot_read(spark, _path).createOrReplaceTempView(_name)
+                return _name
+            view = f"{_name}__v{ver}"
+            snapshot_read(spark, _path, version=int(ver)).createOrReplaceTempView(view)
+            return view
+
+        s = pat.sub(bind, s)
+    return spark.sql(s)
+
+
+def _run_merge(spark: SparkSession, m: re.Match, tables: dict[str, str]) -> int:
+    target = m.group("target")
+    if target not in tables:
+        raise ValueError(f"unknown snapshot table {target!r}")
+    path = tables[target]
+    talias = (m.group("talias") or target).lower()
+    salias = (m.group("salias") or m.group("source") or "").lower()
+    if m.group("subq"):
+        source_df = spark.sql(m.group("subq"))
+    elif m.group("source") in tables:
+        source_df = snapshot_read(spark, tables[m.group("source")])
+    else:
+        source_df = spark.table(m.group("source"))
+
+    clauses = list(_WHEN_RE.finditer(m.group("clauses")))
+    consumed = _WHEN_RE.sub("", m.group("clauses")).strip()
+    if not clauses or consumed:
+        raise ValueError(
+            f"unsupported MERGE clause fragment: {consumed or m.group('clauses')!r}"
+        )
+    keys = _merge_keys(
+        m.group("on"), [talias, target.lower()], [salias] if salias else []
+    )
+
+    upsert = insert_only = False
+    delete_cond: str | None = None
+    has_delete = False
+    for c in clauses:
+        action = re.sub(r"\s+", " ", c.group("action").upper())
+        if c.group("notm"):
+            if action != "INSERT *":
+                raise ValueError("WHEN NOT MATCHED supports INSERT * only")
+            if c.group("cond"):
+                raise ValueError("WHEN NOT MATCHED AND <cond> is unsupported")
+            insert_only = True
+        elif action == "UPDATE SET *":
+            if c.group("cond"):
+                raise ValueError("WHEN MATCHED AND <cond> UPDATE is unsupported")
+            upsert = True
+        elif action == "DELETE":
+            has_delete = True
+            delete_cond = c.group("cond")
+        else:
+            raise ValueError(f"unsupported MERGE action {action!r}")
+
+    aliases = [a for a in {salias, talias} if a]
+    delete_keys = None
+    batch = source_df
+    if has_delete:
+        cond = _strip_alias(delete_cond, aliases) if delete_cond else None
+        doomed = source_df.where(cond) if cond else source_df
+        delete_keys = doomed.select(*keys).distinct()
+        batch = source_df.join(delete_keys, keys, "left_anti")
+
+    if upsert and insert_only:
+        pass  # full upsert: batch rows replace matches and insert the rest
+    elif upsert:
+        # update-only: restrict the batch to keys already present
+        batch = batch.join(
+            snapshot_read(spark, path).select(*keys).distinct(), keys, "left_semi"
+        )
+    elif insert_only:
+        # insert-only: restrict the batch to keys NOT present
+        batch = batch.join(
+            snapshot_read(spark, path).select(*keys).distinct(), keys, "left_anti"
+        )
+    elif not has_delete:
+        raise ValueError("MERGE needs at least one WHEN clause")
+
+    if not upsert and not insert_only and has_delete:
+        # delete-only merge: empty batch, just the delete keys
+        batch = batch.limit(0)
+    return snapshot_merge(spark, batch, path, keys=keys, delete_keys=delete_keys)

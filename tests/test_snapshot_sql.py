@@ -1,0 +1,173 @@
+"""SQL front (sources.snapshot_sql) mirroring the programmatic
+snapshot tests through SQL strings: MERGE INTO upsert/delete,
+VERSION AS OF time travel, INSERT INTO/OVERWRITE, DESCRIBE HISTORY,
+and dialect-bound error reporting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+from crossfire_spark.sources.snapshot_sql import snapshot_sql
+
+
+@pytest.fixture()
+def snap(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "snap")
+    snapshot_write(docs, path)
+    return docs, path
+
+
+def test_merge_sql_upsert(spark, snap):
+    docs, path = snap
+    upd = docs.limit(5).withColumn("text", F.lit("REDACTED"))
+    ins = spark.createDataFrame(
+        [(10_000_001, "en", "new doc a"), (10_000_002, "en", "new doc b")],
+        schema=docs.schema,
+    )
+    upd.unionByName(ins).createOrReplaceTempView("batch")
+    v = snapshot_sql(
+        spark,
+        """MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"t": path},
+    )
+    assert v == 1
+    head = snapshot_read(spark, path)
+    assert head.count() == docs.count() + 2
+    assert head.where(F.col("text") == "REDACTED").count() == 5
+
+
+def test_merge_sql_update_only_and_insert_only(spark, snap):
+    docs, path = snap
+    n0 = docs.count()
+    upd = docs.limit(3).withColumn("text", F.lit("U"))
+    ins = spark.createDataFrame([(20_000_001, "en", "I")], schema=docs.schema)
+    upd.unionByName(ins).createOrReplaceTempView("batch")
+    # update-only: the unmatched row must NOT be inserted
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id"
+        " WHEN MATCHED THEN UPDATE SET *",
+        {"t": path},
+    )
+    head = snapshot_read(spark, path)
+    assert head.count() == n0
+    assert head.where(F.col("text") == "U").count() == 3
+    # insert-only: matched rows must NOT be updated
+    upd2 = docs.limit(3).withColumn("text", F.lit("U2"))
+    upd2.unionByName(ins).createOrReplaceTempView("batch")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id"
+        " WHEN NOT MATCHED THEN INSERT *",
+        {"t": path},
+    )
+    head = snapshot_read(spark, path)
+    assert head.count() == n0 + 1
+    assert head.where(F.col("text") == "U2").count() == 0
+    assert head.where(F.col("doc_id") == 20_000_001).count() == 1
+
+
+def test_merge_sql_delete_clause(spark, snap):
+    docs, path = snap
+    doomed = [r.doc_id for r in docs.limit(4).collect()]
+    docs.where(F.col("doc_id").isin(doomed)).createOrReplaceTempView("batch")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id"
+        " WHEN MATCHED THEN DELETE",
+        {"t": path},
+    )
+    head = snapshot_read(spark, path)
+    assert head.count() == docs.count() - 4
+    assert head.where(F.col("doc_id").isin(doomed)).count() == 0
+
+
+def test_merge_sql_conditional_delete_with_upsert(spark, snap):
+    docs, path = snap
+    batch = docs.limit(6).withColumn("text", F.lit("KEEP"))
+    batch.createOrReplaceTempView("batch")
+    ids = sorted(r.doc_id for r in batch.collect())
+    cut = ids[2]
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id
+            WHEN MATCHED AND s.doc_id <= {cut} THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+        {"t": path},
+    )
+    head = snapshot_read(spark, path)
+    assert head.where(F.col("doc_id").isin(ids[:3])).count() == 0
+    assert head.where(F.col("text") == "KEEP").count() == 3
+
+
+def test_select_version_as_of(spark, snap):
+    docs, path = snap
+    docs.limit(2).withColumn("text", F.lit("X")).createOrReplaceTempView("batch")
+    snapshot_sql(
+        spark,
+        "MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id"
+        " WHEN MATCHED THEN UPDATE SET *",
+        {"t": path},
+    )
+    old = snapshot_sql(
+        spark,
+        "SELECT COUNT(*) c FROM t VERSION AS OF 0 WHERE text = 'X'",
+        {"t": path},
+    ).first()["c"]
+    new = snapshot_sql(
+        spark, "SELECT COUNT(*) c FROM t WHERE text = 'X'", {"t": path}
+    ).first()["c"]
+    assert (old, new) == (0, 2)
+    # mixed versions in one statement
+    joined = snapshot_sql(
+        spark,
+        "SELECT COUNT(*) c FROM t VERSION AS OF 0 a JOIN t b USING (doc_id)",
+        {"t": path},
+    ).first()["c"]
+    assert joined == docs.count()
+
+
+def test_insert_and_history(spark, snap):
+    docs, path = snap
+    v = snapshot_sql(
+        spark,
+        "INSERT INTO t SELECT CAST(30000001 AS BIGINT) doc_id, 'en' lang, 'zzz' text",
+        {"t": path},
+    )
+    assert v == 1
+    assert snapshot_read(spark, path).count() == docs.count() + 1
+    v = snapshot_sql(
+        spark,
+        "INSERT OVERWRITE t SELECT CAST(1 AS BIGINT) doc_id, 'en' lang, 'only' text",
+        {"t": path},
+    )
+    assert snapshot_read(spark, path).count() == 1
+    hist = snapshot_sql(spark, "DESCRIBE HISTORY t", {"t": path})
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_dialect_bounds_raise(spark, snap):
+    docs, path = snap
+    docs.limit(1).createOrReplaceTempView("batch")
+    with pytest.raises(ValueError, match="ON term"):
+        snapshot_sql(
+            spark,
+            "MERGE INTO t USING batch AS s ON t.doc_id < s.doc_id"
+            " WHEN MATCHED THEN UPDATE SET *",
+            {"t": path},
+        )
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        snapshot_sql(
+            spark,
+            "MERGE INTO t USING batch AS s ON t.doc_id = s.doc_id"
+            " WHEN NOT MATCHED THEN UPDATE SET *",
+            {"t": path},
+        )
