@@ -70,14 +70,44 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
     ok = [v for v in timings.values() if v >= 0]
+    full = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(ok), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Detail line first (and a committed sidecar file), compact
+    # headline LAST: the round driver records only the tail of stdout,
+    # so the final line must be short enough to survive tail capture
+    # whole — the full per-query dict outgrew it.
+    print(json.dumps(full))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    failed = {k: v for k, v in timings.items() if v < 0}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(sum(ok), 4),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "queries": {**slowest, **failed},
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
