@@ -360,7 +360,6 @@ def kmeans_fit(
     across iterations — pinned in tests).
     """
     spark = embeddings.sparkSession
-    dim = len(embeddings.select("embedding").first()[0])
     init = (
         embeddings.orderBy(
             F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id")
@@ -370,33 +369,45 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: empty corpus")
     # corpus smaller than k: limit(k) returned fewer rows, so clamp —
-    # the i-th empty-cluster fallback below indexes centroids[i]
+    # the i-th empty-cluster fallback below indexes centroids[i].
+    # dim comes from the init rows — no separate first() probe job.
     k = min(k, len(centroids))
+    dim = len(centroids[0])
     history: list[float] = []
+
+    # Assignment is one Arrow-batched argmin against the broadcast
+    # centroid matrix riding the UDF closure (k x dim doubles) — no
+    # corpus x k crossJoin, no per-vector window, no shuffle at all
+    # for the assignment step. Ties broken like the previous
+    # all-Catalyst form: distance rounded to 6, lowest cid wins
+    # (np.argmin returns the first minimum). The UDF is defined ONCE:
+    # the closure holds fixed (k, dim) buffers updated in place each
+    # iteration — cloudpickle captures their current contents at each
+    # job submission, so every assignment pass sees the fresh
+    # centroids without re-registering a new UDF per iteration.
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.zeros((k, dim), dtype=np.float64)
+    c_sq = np.zeros(k, dtype=np.float64)
+
+    @pandas_udf("struct<cid: int, dist: double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        V = np.stack(v.values).astype(np.float64)
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+        cid = np.round(d, 6).argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cid": cid.astype(np.int32),
+                "dist": d[np.arange(len(cid)), cid],
+            }
+        )
+
     for _ in range(n_iter):
-        # Assignment is one Arrow-batched argmin against the broadcast
-        # centroid matrix riding the UDF closure (k x dim doubles) —
-        # no corpus x k crossJoin, no per-vector window, no shuffle at
-        # all for the assignment step. Ties broken like the previous
-        # all-Catalyst form: distance rounded to 6, lowest cid wins
-        # (np.argmin returns the first minimum).
-        from pyspark.sql.functions import pandas_udf
-
-        C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
-        c_sq = (C * C).sum(axis=1)
-
-        @pandas_udf("struct<cid: int, dist: double>")
-        def _assign(v: pd.Series) -> pd.DataFrame:
-            V = np.stack(v.values).astype(np.float64)
-            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            cid = np.round(d, 6).argmin(axis=1)
-            return pd.DataFrame(
-                {
-                    "cid": cid.astype(np.int32),
-                    "dist": d[np.arange(len(cid)), cid],
-                }
-            )
+        C[:] = np.asarray(centroids, dtype=np.float64)
+        c_sq[:] = (C * C).sum(axis=1)
 
         assigned = embeddings.select(
             "vec_id", "embedding", _assign("embedding").alias("a")
