@@ -21,9 +21,10 @@ rescans it — plus O(touched keys) of the view; the copy-on-write
 merge rewrites only view files containing touched keys. A 1-partition
 append to a 100 TB base refreshes the view with one pass over the new
 files. Copy-on-write file rewrites in the base stream survivor rows
-as delete+insert pairs; their deltas cancel exactly (same doubles,
-same sign flip), and the refresh filters zero deltas out rather than
-no-op-merging them.
+as delete+insert pairs; their count deltas cancel exactly and their
+sum deltas cancel to within float reduction-order noise, so the
+refresh drops deltas under ``DELTA_TOLERANCE`` rather than
+no-op-merging residue into the view.
 
 COUNT and SUM are self-maintainable under insert+delete; MIN/MAX are
 not (a deleted minimum forces a per-key rescan) — views needing them
@@ -76,23 +77,60 @@ def create_aggregate_view(
     )
 
 
+def _view_spec(view_path: str, view_v: int) -> tuple[object, list[str], list[str]]:
+    """(last base version, keys, measures) for the view head. Keys and
+    measures come from the manifest property stamp when present, else
+    are inferred from the view schema itself (every column is either a
+    key, ``_cnt``, or ``sum_<measure>``) — so a maintenance commit
+    that failed to carry the stamp (or a hand-written view) degrades
+    to a rebuild, never a KeyError."""
+    import json
+
+    m = _read_manifest(view_path, view_v)
+    props = m.get("properties", {})
+    keys, measures = props.get("keys"), props.get("measures")
+    if keys is None or measures is None:
+        fields = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        keys = [c for c in fields if c != _CNT and not c.startswith("sum_")]
+        measures = [c[len("sum_"):] for c in fields if c.startswith("sum_")]
+    return props.get("base_version"), keys, measures
+
+
+# Copy-on-write survivor delete+insert pairs *almost* cancel: the ±v
+# doubles are identical but F.sum adds them in an order the engine
+# does not pin, so untouched keys can carry ±epsilon residue. Deltas
+# at or below this magnitude are noise, not data — dropping them keeps
+# the merge to genuinely changed keys and stops drift accumulating in
+# view sums across refreshes.
+DELTA_TOLERANCE = 1e-6
+
+
 def refresh_aggregate_view(
     spark: SparkSession, base_path: str, view_path: str
 ) -> int:
     """Advance the view to the base head using the CDC feed only.
     Returns the new view version (or the current one if already
-    caught up)."""
+    caught up). Falls back to a **full rebuild** when incremental
+    maintenance is impossible: the base-version stamp is missing
+    (e.g. a maintenance commit dropped it) or the stamped version has
+    been expired from the base log."""
     view_v = _current_version(view_path)
     if view_v is None:
         raise FileNotFoundError(f"no view at {view_path}; create first")
-    props = _read_manifest(view_path, view_v).get("properties", {})
-    last = props.get("base_version")
-    keys, measures = props["keys"], props["measures"]
+    last, keys, measures = _view_spec(view_path, view_v)
     base_v = _current_version(base_path)
     if base_v == last:
         return view_v
-
-    ch = snapshot_changes(spark, base_path, from_version=last, to_version=base_v)
+    if last is None:
+        return create_aggregate_view(spark, base_path, view_path, keys, measures)
+    try:
+        ch = snapshot_changes(
+            spark, base_path, from_version=last, to_version=base_v
+        )
+    except ValueError:
+        # stamped version no longer in the base log (expired): the CDC
+        # range is gone, so rebuild from the head instead of failing
+        return create_aggregate_view(spark, base_path, view_path, keys, measures)
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -100,12 +138,14 @@ def refresh_aggregate_view(
         F.sum(sign).alias("_d_cnt"),
         *[F.sum(sign * F.col(c)).alias(f"_d_{c}") for c in measures],
     )
-    # survivor rows of copy-on-write file rewrites appear as exact
-    # delete+insert pairs: their deltas cancel to 0 — drop them so the
-    # merge touches only genuinely changed keys
+    # survivor rows of copy-on-write file rewrites appear as
+    # delete+insert pairs whose deltas cancel — to exactly 0 on the
+    # count, to within float reduction-order noise on the sums. Drop
+    # sub-tolerance deltas so the merge touches only genuinely changed
+    # keys and residue never drifts into the view.
     nonzero = F.col("_d_cnt") != 0
     for c in measures:
-        nonzero = nonzero | (F.col(f"_d_{c}") != 0)
+        nonzero = nonzero | (F.abs(F.col(f"_d_{c}")) > DELTA_TOLERANCE)
     delta = delta.where(nonzero)
 
     cur = snapshot_read(spark, view_path).join(
@@ -115,14 +155,22 @@ def refresh_aggregate_view(
     new_cnt = F.coalesce(F.col(_CNT), F.lit(0)) + F.coalesce(
         F.col("_d_cnt"), F.lit(0)
     )
+    # SQL SUM semantics: a key whose contributing values are all NULL
+    # has sum NULL, not 0 — only coalesce when at least one side
+    # actually carries a number.
     updated = joined.select(
         *keys,
         new_cnt.alias(_CNT),
         *[
-            (
+            F.when(
+                F.col(f"sum_{c}").isNull() & F.col(f"_d_{c}").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
                 + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
-            ).alias(f"sum_{c}")
+            )
+            .alias(f"sum_{c}")
             for c in measures
         ],
     )

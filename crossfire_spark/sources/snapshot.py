@@ -613,6 +613,10 @@ def snapshot_compact(
         path,
         mode="overwrite",
         partition_by=head.get("partition_by") or None,
+        # maintenance rewrites data layout, not table semantics: the
+        # head's property stamp (e.g. a materialized view's processed
+        # base version) must survive the commit
+        properties=head.get("properties") or None,
     )
 
 
@@ -642,15 +646,32 @@ def snapshot_cluster(
     driver-side proportional to rows."""
     df = snapshot_read(spark, path)
     head = _read_manifest(path, _current_version(path))
+    # approxQuantile (and the generated cast-to-double bucket exprs)
+    # only work on numeric columns — validate up front with a clear
+    # error instead of an opaque quantile/NULL-comparison failure.
+    dtypes = dict(df.dtypes)
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"snapshot_cluster: no such column {c!r}")
+        if not (dtypes[c] in numeric or dtypes[c].startswith("decimal")):
+            raise ValueError(
+                f"snapshot_cluster: column {c!r} has type {dtypes[c]}; "
+                "Z-order clustering supports numeric columns only "
+                "(sort-cluster on strings/dates via snapshot_write of "
+                "a sorted frame instead)"
+            )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     zkey = None
     for ci, c in enumerate(cols):
         cuts = df.stat.approxQuantile(c, probs, 0.01)
         # bucket id = count of cutpoints below the value — a flat
-        # codegen'd comparison chain (2^bits literals per column)
+        # codegen'd comparison chain (2^bits literals per column);
+        # backtick-quote so names needing escaping survive the expr
+        cq = f"`{c.replace('`', '``')}`"
         cmp_expr = "+".join(
-            f"(CASE WHEN cast({c} as double) > {float(x)!r} THEN 1 ELSE 0 END)"
+            f"(CASE WHEN cast({cq} as double) > {float(x)!r} THEN 1 ELSE 0 END)"
             for x in cuts
         ) or "0"
         bucket = F.expr(f"({cmp_expr})")
@@ -684,6 +705,7 @@ def snapshot_cluster(
         mode="overwrite",
         partition_by=head.get("partition_by") or None,
         stats_cols=sorted(set(cols) | set(head.get("stats_cols", []))),
+        properties=head.get("properties") or None,  # see snapshot_compact
     )
 
 

@@ -549,12 +549,15 @@ def test_incremental_matview_equals_recompute(spark, sf_dir, tmp_path):
     )
 
     def check():
+        # no round(2) masking: counts exact, sums within float
+        # reduction-order noise (different plans add in different
+        # orders; DELTA_TOLERANCE bounds any incremental residue)
         got = {
-            (r.o_orderstatus, r._cnt, round(r.sum_o_totalprice, 2))
+            r.o_orderstatus: (r._cnt, r.sum_o_totalprice)
             for r in snapshot_read(spark, view).collect()
         }
         want = {
-            (r.o_orderstatus, r.c, round(r.s, 2))
+            r.o_orderstatus: (r.c, r.s)
             for r in snapshot_read(spark, base)
             .groupBy("o_orderstatus")
             .agg(
@@ -563,7 +566,10 @@ def test_incremental_matview_equals_recompute(spark, sf_dir, tmp_path):
             )
             .collect()
         }
-        assert got == want, (sorted(got), sorted(want))
+        assert got.keys() == want.keys(), (sorted(got), sorted(want))
+        for k in want:
+            assert got[k][0] == want[k][0], (k, got[k], want[k])
+            assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
 
     # append the other half -> refresh consumes one append commit
     snapshot_write(orders.where(F.col("o_orderkey") % 2 == 1), base)
