@@ -17,6 +17,14 @@ engine's log-backed table (``sources/snapshot.py``) be tailed with
   files only (the insert half of the CDC feed); a streaming consumer
   that needs deletes reads ``snapshot_changes`` in ``foreachBatch``
   instead.
+- **initial snapshot, then adds** (the Delta/Iceberg convention): a
+  fresh stream's first batch is the *current head's* file set — one
+  consistent snapshot, no superseded row versions from overwritten/
+  merged-away history — and subsequent batches are per-commit added
+  files. ``option("startingVersion", n)`` instead replays added files
+  from version ``n`` onward (``0`` = full history); since only the
+  insert half streams, a replay across overwrite/merge commits
+  delivers superseded row versions — by design, documented here.
 
 Scale notes: offset resolution and the manifest diff are driver-side
 O(commits + changed files) metadata; row bytes only ever move
@@ -70,13 +78,28 @@ class _AddedFile(InputPartition):
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        starting_version: int | None = None,
+    ):
         self.path = path
         self.schema_names = [f.name for f in schema.fields]
         self.schema_json = schema.json()
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        if self.starting_version is not None:
+            # explicit replay-from-version: adds of every commit >=
+            # startingVersion stream through (full history at 0)
+            return {"version": self.starting_version - 1}
+        # default = the Delta/Iceberg convention: first batch is the
+        # head SNAPSHOT (marked by snapshot_of), later batches are
+        # per-commit adds — a new consumer of an overwrite/merge-heavy
+        # table never sees superseded row versions.
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else -1, "snapshot_of": True}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.path)
@@ -85,6 +108,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
         parts: list[_AddedFile] = []
+        if start.get("snapshot_of"):
+            # initial batch: the whole file set of the offset version —
+            # one consistent snapshot of the table as of stream start
+            if s >= 0:
+                m = _manifest(self.path, s)
+                fparts = m.get("file_partitions", {})
+                for f in sorted(m["files"]):
+                    parts.append(
+                        _AddedFile(
+                            os.path.join(self.path, f),
+                            dict(fparts.get(f) or {}),
+                        )
+                    )
         for v in _versions(self.path):
             if not (s < v <= e):
                 continue
@@ -153,7 +189,14 @@ class SnapshotStreamSource(DataSource):
         return StructType.fromJson(json.loads(_manifest(path, vs[-1])["schema"]))
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
-        return SnapshotStreamReader(self.options["path"], schema)
+        # option keys may arrive case-normalized depending on the
+        # reader path — accept both spellings
+        sv = self.options.get("startingVersion", self.options.get("startingversion"))
+        return SnapshotStreamReader(
+            self.options["path"],
+            schema,
+            starting_version=None if sv is None else int(sv),
+        )
 
 
 def register_snapshot_source(spark: SparkSession) -> None:
@@ -161,7 +204,15 @@ def register_snapshot_source(spark: SparkSession) -> None:
     spark.dataSource.register(SnapshotStreamSource)
 
 
-def snapshot_read_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Tail a snapshot table as a stream of appended rows."""
+def snapshot_read_stream(
+    spark: SparkSession, path: str, starting_version: int | None = None
+) -> DataFrame:
+    """Tail a snapshot table as a stream: the current head as one
+    initial snapshot, then per-commit appended rows (pass
+    ``starting_version`` to replay added files from a log version
+    instead — see module docstring for the superseded-rows caveat)."""
     register_snapshot_source(spark)
-    return spark.readStream.format("snapshot_stream").option("path", path).load()
+    reader = spark.readStream.format("snapshot_stream").option("path", path)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    return reader.load()
