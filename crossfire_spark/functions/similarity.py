@@ -209,8 +209,15 @@ def lsh_signature(
     all-Catalyst form (bits x interpreted zip_with/aggregate folds per
     row) evaluated interpreted and cost ~1.5 s per corpus pass at a
     2000-vector SF; the matmul is milliseconds and the shape carries
-    to any corpus size. Signatures are deterministic (seeded planes,
-    fixed BLAS reduction per build)."""
+    to any corpus size.
+
+    Cross-build determinism: BLAS reduction order differs across
+    builds/machines, so a dot product within ~1e-13 of zero could flip
+    a signature bit between environments. Dots are therefore rounded
+    to 9 decimals before the sign test — every |dot| <= 5e-10 maps to
+    +bit on ANY build (round-half noise sits orders of magnitude below
+    that), so signatures are a pure function of (vector, seed), not of
+    the linked BLAS."""
     from pyspark.sql.functions import pandas_udf
 
     planes = _hyperplanes(bits=bits)  # (bits, dim), seeded
@@ -219,7 +226,7 @@ def lsh_signature(
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
         V = np.stack(v.values).astype(np.float64)
-        hits = (V @ planes.T) >= 0.0
+        hits = np.round(V @ planes.T, 9) >= 0.0
         return pd.Series((hits * weights).sum(axis=1).astype(np.int64))
 
     return embeddings.withColumn("lsh_sig", _sig(F.col(col)))
