@@ -148,7 +148,52 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     return df.select(F.approx_count_distinct(col, rsd).alias("approx"))
 
 
+def h03_matview_rollup(spark, sf_dir):
+    """Continuous aggregate the TimescaleDB/Delta way: the orders
+    rollup is materialized as an incrementally-maintained view over
+    the engine's snapshot table — base lands in two commits, the view
+    is created after the first and *refreshed from the CDC feed only*
+    after the second (no base rescan), then served from the view.
+    The declared result must equal the plain GROUP BY over all orders,
+    which is exactly what the DuckDB oracle computes — so the whole
+    create→commit→refresh→read loop is oracle-checked."""
+    import os
+
+    from crossfire_spark.sources.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    work = _session_workdir("h03_")
+    base = os.path.join(work, "base")
+    view = os.path.join(work, "view")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshot_write(o.where(F.col("o_orderkey") % 2 == 0), base)
+    create_aggregate_view(
+        spark, base, view, keys=["o_orderstatus"], measures=["o_totalprice"]
+    )
+    snapshot_write(o.where(F.col("o_orderkey") % 2 == 1), base)
+    refresh_aggregate_view(spark, base, view)
+    return (
+        snapshot_read(spark, view)
+        .select(
+            "o_orderstatus",
+            F.col("_cnt").alias("n"),
+            F.round("sum_o_totalprice", 2).alias("s"),
+        )
+        .orderBy("o_orderstatus", "n", "s")
+    )
+
+
 EXTENDED_ORACLE_SQL: dict[str, str] = {
+    "h03_matview_rollup": """
+        SELECT o_orderstatus, COUNT(*) n, ROUND(SUM(o_totalprice), 2) s
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus, n, s""",
     "j01_json_extract": """
         SELECT event_type,
                ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) ak,
@@ -182,5 +227,6 @@ EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
     "h02_ohlc": h02_ohlc,
+    "h03_matview_rollup": h03_matview_rollup,
     "r01_range_join": r01_range_join,
 }

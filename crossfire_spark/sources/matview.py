@@ -27,9 +27,11 @@ refresh drops deltas under ``DELTA_TOLERANCE`` rather than
 no-op-merging residue into the view.
 
 COUNT and SUM are self-maintainable under insert+delete; MIN/MAX are
-not (a deleted minimum forces a per-key rescan) — views needing them
-recompute the touched keys from the base, which the same plumbing
-supports but this module deliberately does not hide the cost of.
+not (a deleted minimum forces a per-key rescan). Views created with
+``minmax=[...]`` therefore refresh through ``_refresh_by_rescan``:
+touched keys re-aggregate from the base head via one semi-joined scan
+— the honest cost of the operation, paid only for the keys the change
+range touched, while untouched view files carry over by reference.
 """
 
 from __future__ import annotations
@@ -49,10 +51,19 @@ from crossfire_spark.sources.snapshot import (
 _CNT = "_cnt"
 
 
-def _aggregate(df: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+def _aggregate(
+    df: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    minmax: list[str] | None = None,
+) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(_CNT),
         *[F.sum(c).alias(f"sum_{c}") for c in measures],
+        *[g for c in (minmax or []) for g in (
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        )],
     )
 
 
@@ -62,38 +73,61 @@ def create_aggregate_view(
     view_path: str,
     keys: list[str],
     measures: list[str],
+    minmax: list[str] | None = None,
 ) -> int:
     """Full build: one aggregation pass over the base head, stamped
-    with the base version it represents."""
+    with the base version it represents.
+
+    ``minmax`` columns maintain MIN/MAX alongside COUNT/SUM. They are
+    NOT self-maintainable under deletes (a deleted minimum forces a
+    rescan), so refreshes of a view with ``minmax`` recompute the
+    *touched keys* from the base head — O(touched keys' rows), not a
+    base rescan; the other keys' files still carry over untouched
+    (see ``refresh_aggregate_view``)."""
     base_v = _current_version(base_path)
     if base_v is None:
         raise FileNotFoundError(f"no snapshot log at {base_path}")
-    full = _aggregate(snapshot_read(spark, base_path), keys, measures)
+    minmax = list(minmax or [])
+    full = _aggregate(snapshot_read(spark, base_path), keys, measures, minmax)
     return snapshot_write(
         full,
         view_path,
         mode="overwrite",
-        properties={"base_version": base_v, "keys": keys, "measures": measures},
+        properties={
+            "base_version": base_v,
+            "keys": keys,
+            "measures": measures,
+            "minmax": minmax,
+        },
     )
 
 
-def _view_spec(view_path: str, view_v: int) -> tuple[object, list[str], list[str]]:
-    """(last base version, keys, measures) for the view head. Keys and
-    measures come from the manifest property stamp when present, else
-    are inferred from the view schema itself (every column is either a
-    key, ``_cnt``, or ``sum_<measure>``) — so a maintenance commit
-    that failed to carry the stamp (or a hand-written view) degrades
-    to a rebuild, never a KeyError."""
+def _view_spec(
+    view_path: str, view_v: int
+) -> tuple[object, list[str], list[str], list[str]]:
+    """(last base version, keys, measures, minmax) for the view head.
+    These come from the manifest property stamp when present, else are
+    inferred from the view schema itself (every column is either a
+    key, ``_cnt``, ``sum_<m>``, ``min_<c>`` or ``max_<c>``) — so a
+    maintenance commit that failed to carry the stamp (or a
+    hand-written view) degrades to a rebuild, never a KeyError."""
     import json
 
     m = _read_manifest(view_path, view_v)
     props = m.get("properties", {})
     keys, measures = props.get("keys"), props.get("measures")
+    minmax = props.get("minmax")
     if keys is None or measures is None:
         fields = [f["name"] for f in json.loads(m["schema"])["fields"]]
-        keys = [c for c in fields if c != _CNT and not c.startswith("sum_")]
+        agg_prefixes = ("sum_", "min_", "max_")
+        keys = [
+            c
+            for c in fields
+            if c != _CNT and not c.startswith(agg_prefixes)
+        ]
         measures = [c[len("sum_"):] for c in fields if c.startswith("sum_")]
-    return props.get("base_version"), keys, measures
+        minmax = [c[len("min_"):] for c in fields if c.startswith("min_")]
+    return props.get("base_version"), keys, measures, list(minmax or [])
 
 
 # Copy-on-write survivor delete+insert pairs *almost* cancel: the ±v
@@ -117,12 +151,14 @@ def refresh_aggregate_view(
     view_v = _current_version(view_path)
     if view_v is None:
         raise FileNotFoundError(f"no view at {view_path}; create first")
-    last, keys, measures = _view_spec(view_path, view_v)
+    last, keys, measures, minmax = _view_spec(view_path, view_v)
     base_v = _current_version(base_path)
     if base_v == last:
         return view_v
     if last is None:
-        return create_aggregate_view(spark, base_path, view_path, keys, measures)
+        return create_aggregate_view(
+            spark, base_path, view_path, keys, measures, minmax
+        )
     try:
         ch = snapshot_changes(
             spark, base_path, from_version=last, to_version=base_v
@@ -130,7 +166,13 @@ def refresh_aggregate_view(
     except ValueError:
         # stamped version no longer in the base log (expired): the CDC
         # range is gone, so rebuild from the head instead of failing
-        return create_aggregate_view(spark, base_path, view_path, keys, measures)
+        return create_aggregate_view(
+            spark, base_path, view_path, keys, measures, minmax
+        )
+    if minmax:
+        return _refresh_by_rescan(
+            spark, base_path, view_path, ch, keys, measures, minmax, base_v
+        )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -182,5 +224,49 @@ def refresh_aggregate_view(
         view_path,
         keys,
         delete_keys=deletes,
-        properties={"base_version": base_v, "keys": keys, "measures": measures},
+        properties={
+            "base_version": base_v,
+            "keys": keys,
+            "measures": measures,
+            "minmax": [],
+        },
+    )
+
+
+def _refresh_by_rescan(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    ch: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    minmax: list[str],
+    base_v: int,
+) -> int:
+    """Refresh for views with non-self-maintainable aggregates
+    (MIN/MAX): keys touched by the change range are re-aggregated from
+    the base head (one semi-joined scan — O(touched keys' rows), the
+    honest cost of a deleted minimum), untouched view files carry over
+    by reference through the copy-on-write merge. Keys whose rows all
+    vanished are deleted from the view."""
+    touched = ch.select(*keys).distinct()
+    recomputed = _aggregate(
+        snapshot_read(spark, base_path).join(touched, keys, "left_semi"),
+        keys,
+        measures,
+        minmax,
+    )
+    vanished = touched.join(recomputed.select(*keys), keys, "left_anti")
+    return snapshot_merge(
+        spark,
+        recomputed,
+        view_path,
+        keys,
+        delete_keys=vanished,
+        properties={
+            "base_version": base_v,
+            "keys": keys,
+            "measures": measures,
+            "minmax": minmax,
+        },
     )

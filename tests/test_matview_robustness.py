@@ -125,6 +125,72 @@ def test_all_null_measure_stays_null(spark, tmp_path):
     assert rows["b"] == (1, 5.0)
 
 
+def test_minmax_view_survives_deleted_minimum(spark, tmp_path):
+    """MIN/MAX views refresh by touched-key rescan: deleting the
+    minimum row must surface the next-smallest value — the case plain
+    IVM cannot maintain."""
+    from crossfire_spark.sources.snapshot import snapshot_merge
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "b", 2.0)],
+        "id long, k string, m double",
+    )
+    snapshot_write(df, base)
+    create_aggregate_view(
+        spark, base, view, keys=["k"], measures=["m"], minmax=["m"]
+    )
+    rows = {r.k: r for r in snapshot_read(spark, view).collect()}
+    assert (rows["a"].min_m, rows["a"].max_m) == (1.0, 9.0)
+    # delete the key-a minimum via merge (delete_keys)
+    snapshot_merge(
+        spark,
+        df.limit(0),
+        base,
+        keys=["id"],
+        delete_keys=spark.createDataFrame([(1,)], "id long"),
+    )
+    refresh_aggregate_view(spark, base, view)
+    rows = {r.k: r for r in snapshot_read(spark, view).collect()}
+    assert (rows["a"]._cnt, rows["a"].min_m, rows["a"].max_m) == (2, 5.0, 9.0)
+    assert (rows["b"].min_m, rows["b"].max_m) == (2.0, 2.0)  # untouched
+    # delete ALL remaining key-a rows -> key leaves the view
+    snapshot_merge(
+        spark,
+        df.limit(0),
+        base,
+        keys=["id"],
+        delete_keys=spark.createDataFrame([(2,), (3,)], "id long"),
+    )
+    refresh_aggregate_view(spark, base, view)
+    assert {r.k for r in snapshot_read(spark, view).collect()} == {"b"}
+
+
+def test_minmax_view_append_refresh(spark, tmp_path):
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    snapshot_write(
+        spark.createDataFrame([(1, "a", 3.0)], "id long, k string, m double"),
+        base,
+    )
+    create_aggregate_view(
+        spark, base, view, keys=["k"], measures=["m"], minmax=["m"]
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, "a", 1.0), (3, "c", 7.0)], "id long, k string, m double"
+        ),
+        base,
+    )
+    refresh_aggregate_view(spark, base, view)
+    rows = {r.k: r for r in snapshot_read(spark, view).collect()}
+    assert (rows["a"]._cnt, rows["a"].min_m, rows["a"].max_m, rows["a"].sum_m) == (
+        2, 1.0, 3.0, 4.0,
+    )
+    assert (rows["c"]._cnt, rows["c"].min_m) == (1, 7.0)
+
+
 def test_cluster_validates_column_types(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     path = str(tmp_path / "c")
