@@ -52,15 +52,18 @@ LSH_BUCKET_CAP = 2000
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop every row of a bucket whose population exceeds ``cap``.
 
-    One window count over the bucket keys — the same hash partitioning
-    the downstream bucket self-join needs, so at scale AQE reuses the
-    exchange rather than adding a pass."""
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("_bucket_n") <= cap)
-        .drop("_bucket_n")
+    Shape: aggregate bucket counts (map-side partial, keys only — the
+    shuffle never carries doc ids), keep the over-cap bucket list —
+    tiny by construction on any sane corpus — and broadcast anti-join
+    it back. Cheaper than a count-over-window, which would shuffle the
+    full rows AND sort every partition."""
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .where(F.col("_bucket_n") > cap)
+        .select(*keys)
     )
+    return df.join(F.broadcast(over), keys, "left_anti")
 
 
 def _exact_dup_membership(docs: DataFrame) -> DataFrame:

@@ -232,17 +232,32 @@ def lsh_signature(
     return embeddings.withColumn("lsh_sig", _sig(F.col(col)))
 
 
+# Corpus-side band-bucket ceiling for lsh_topk: a bucket holding
+# more than this many vectors is dropped from candidate generation
+# (same rationale as dedup.LSH_BUCKET_CAP — a degenerate bucket makes
+# the candidate set quadratic-ish in bucket size x queries; recall for
+# queries probing it was already near-random at that density). Sized
+# far above any sane bucket at the benchmark SFs so pinned outputs are
+# unchanged; tune per corpus at scale.
+LSH_TOPK_BUCKET_CAP = 100_000
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = TOPK,
     bands: int = LSH_BANDS,
     bits: int = LSH_BITS,
+    bucket_cap: int = LSH_TOPK_BUCKET_CAP,
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 LSH band with the query, then
     exact cosine re-ranks the candidates. At scale this replaces the
     full corpus scan per query with |bucket| lookups — the corpus side
-    shuffles once on (band, value) and queries stay broadcast."""
+    shuffles once on (band, value) and queries stay broadcast; corpus
+    rows in buckets over ``bucket_cap`` are excluded from candidate
+    generation (see ``LSH_TOPK_BUCKET_CAP``)."""
+    from crossfire_spark.functions.dedup import _cap_buckets
+
     bits_per_band = bits // bands
 
     # materialized once: both the band explode and the post-dedup
@@ -281,6 +296,7 @@ def lsh_topk(
             )
         ).alias("bv"),
     ).select("vec_id", "bv.band", "bv.val")
+    c_b = _cap_buckets(c_b, ["band", "val"], bucket_cap)
     q_b = qsig.select(
         "qid",
         F.explode(
