@@ -621,6 +621,54 @@ def d05_embed_neardup(spark, sf_dir):
     return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup_keep(embeddings: DataFrame, threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """SemDeDup-style within-cluster semantic dedup: inside each
+    cluster (the ``label`` column — in a full pipeline the k-means
+    assignment from ``kmeans_fit``), drop every vector that has a
+    lower-id near-duplicate at cosine >= threshold; keep the rest.
+
+    Scale shape: the all-pairs comparison is *within cluster only* —
+    both sides shuffle once on the cluster key, so the join is
+    co-partitioned and the quadratic term is bounded by the largest
+    cluster (the SemDeDup premise: pick k so clusters stay small; the
+    LSH bucket-cap helper applies if an adversarial cluster blows up).
+    The keep-set is computed as a left-anti join against the distinct
+    dropped ids — no driver materialization anywhere.
+
+    The cosine uses the strict left-fold ``_dot`` so the threshold
+    comparison is bit-identical to the DuckDB oracle."""
+    a = embeddings.select(
+        "label",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = embeddings.select(
+        "label",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    dropped = (
+        a.join(b, ["label"])
+        .where(F.col("va") < F.col("vb"))
+        .where(_dot("ea", "eb") / (F.col("na") * F.col("nb")) >= threshold)
+        .select("vb")
+        .distinct()
+    )
+    return embeddings.join(
+        dropped, embeddings["vec_id"] == dropped["vb"], "left_anti"
+    ).select("vec_id", "label")
+
+
+def d09_semdedup(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return semdedup_keep(em).orderBy("vec_id", "label")
+
+
 def _bm25_sql() -> str:
     from crossfire_spark.functions.text import BM25_B, BM25_K1, BM25_TERMS
 
@@ -655,6 +703,14 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}
         ORDER BY va, vb, sim""",
+    "d09_semdedup": f"""
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (
+            SELECT b.vec_id FROM embeddings a, embeddings b
+            WHERE a.label = b.label AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= {SEMDEDUP_THRESHOLD})
+        ORDER BY vec_id, label""",
     # s02 is hash-dependent (seeded hyperplanes) → rows-only driver
     # check; recall vs s01 pinned in tests/test_similarity.py.
     "s03_ivf_topk": f"""
@@ -685,6 +741,7 @@ SIMILARITY_QUERIES = {
     "s04_ivf_kmeans": s04_ivf_kmeans,
     "s05_hybrid_rrf": s05_hybrid_rrf,
     "d05_embed_neardup": d05_embed_neardup,
+    "d09_semdedup": d09_semdedup,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""

@@ -359,6 +359,111 @@ def t09_bm25(spark, sf_dir):
     )
 
 
+# PII patterns — RE2-safe (no lookaround/backrefs) so the same source
+# compiles identically under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_scrub(df, text_col: str = "text"):
+    """Regex PII redaction over a text column: counts and redacts
+    emails, dashed/dotted phone numbers, and IPv4 addresses.
+
+    Pure Catalyst (`regexp_count` / chained `regexp_replace`) — one
+    narrow projection per row, no shuffle, whole-stage codegen; the
+    plan is a single scan+project at any corpus size. Counts are
+    measured on the original text; redaction applies email → phone →
+    ip in fixed order (emails first so an address inside a mailto
+    URL is not half-eaten by the ip pattern)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return df.withColumns(
+        {
+            "n_email": F.regexp_count(text_col, F.lit(PII_EMAIL_RE)),
+            "n_phone": F.regexp_count(text_col, F.lit(PII_PHONE_RE)),
+            "n_ip": F.regexp_count(text_col, F.lit(PII_IPV4_RE)),
+            "scrubbed": scrubbed,
+        }
+    )
+
+
+def t10_pii_scrub(spark, sf_dir):
+    """PII scrub report: per-doc redaction counts plus an md5
+    fingerprint of the redacted text (the fingerprint keeps the
+    result row narrow while still pinning every redacted byte).
+    The driver corpus is synthetic word salad, so the counts are
+    honestly zero here; the redaction itself is exercised on
+    PII-laden fixtures in tests/test_extensions.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        pii_scrub(d)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            (F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0).alias(
+                "has_pii"
+            ),
+            F.md5(F.col("scrubbed")).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id", "n_email", "n_phone", "n_ip", "has_pii", "scrubbed_fp")
+    )
+
+
+def repetition_features(df, text_col: str = "text"):
+    """Gopher-style intra-document repetition features over word
+    bigrams: total bigram instances, the hottest bigram's count, the
+    fraction of instances held by the hottest bigram
+    (``top_bigram_frac``), and the fraction of instances whose bigram
+    occurs more than once (``dup_bigram_frac``).
+
+    Scale shape: bigrams are built array-side (``transform`` with an
+    index lambda — codegen, no self-join on word position), then one
+    explode + two-level aggregate keyed by doc_id. The shuffle key is
+    (doc_id, bigram), so the reduce is map-side-combinable and never
+    concentrates a document's bigrams on one reducer until the final
+    per-doc fold, which is one row per distinct bigram."""
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(words, 1, F.size(words) - 1),
+        lambda w, i: F.concat_ws(" ", w, F.get(words, i + 1)),
+    )
+    per_bigram = (
+        df.where(F.size(words) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("max_c"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            4,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def t11_repetition(spark, sf_dir):
+    """Intra-document repetition report (the Gopher repetition-filter
+    signal set) over the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_features(d).orderBy(
+        "doc_id", "n_bigrams", "max_c", "top_bigram_frac", "dup_bigram_frac"
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -452,6 +557,32 @@ TEXT_ORACLE_SQL: dict[str, str] = {
               FROM w JOIN v USING (word) CROSS JOIN t)
         SELECT doc_id, ROUND(ROUND(AVG(lp_w), 6) + 1e-9, 2) lp
         FROM s GROUP BY doc_id ORDER BY doc_id, lp""",
+    "t10_pii_scrub": f"""
+        WITH s AS (SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL_RE}')) n_email,
+               len(regexp_extract_all(text, '{PII_PHONE_RE}')) n_phone,
+               len(regexp_extract_all(text, '{PII_IPV4_RE}')) n_ip,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                   '{PII_IPV4_RE}', '<IP>', 'g') scrubbed
+        FROM documents)
+        SELECT doc_id, n_email, n_phone, n_ip,
+               (n_email + n_phone + n_ip > 0) has_pii,
+               md5(scrubbed) scrubbed_fp
+        FROM s ORDER BY doc_id, n_email, n_phone, n_ip, has_pii, scrubbed_fp""",
+    "t11_repetition": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1])) bigram
+               FROM t WHERE len(w) >= 2),
+        c AS (SELECT doc_id, bigram, COUNT(*) c FROM bg GROUP BY doc_id, bigram)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) n_bigrams, MAX(c) max_c,
+               ROUND(MAX(c) * 1.0 / SUM(c), 4) top_bigram_frac,
+               ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 4) dup_bigram_frac
+        FROM c GROUP BY doc_id
+        ORDER BY doc_id, n_bigrams, max_c, top_bigram_frac, dup_bigram_frac""",
     "t09_bm25": f"""
         WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
                    FROM documents),
@@ -481,4 +612,6 @@ TEXT_QUERIES = {
     "t07_chunk_udtf": t07_chunk_udtf,
     "t08_unigram_logprob": t08_unigram_logprob,
     "t09_bm25": t09_bm25,
+    "t10_pii_scrub": t10_pii_scrub,
+    "t11_repetition": t11_repetition,
 }

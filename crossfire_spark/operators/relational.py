@@ -1087,6 +1087,34 @@ def q62(spark, sf_dir):
     ).orderBy("doc_id", "ab_i", "n_union", "n_except", "n_zip")
 
 
+def q63(spark, sf_dir):
+    """Statistical aggregate suite: Pearson correlation, sample
+    covariance/variance/stddev per group — the profile pass a data
+    pipeline runs before modeling. All single-pass co-moment
+    aggregates (Catalyst computes them map-side-combinable like any
+    other DeclarativeAggregate), so the plan is one scan + one
+    shuffle on the group key at any scale. Both engines accumulate
+    co-moments in merge order, so last-bit floats differ; the
+    ROUND(·,6)+1e-9 → 4 dp stabilization used by the engine's other
+    float surfaces applies."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 6) + F.lit(1e-9), 4)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            stab(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+            stab(F.covar_samp("l_discount", "l_tax")).alias("cov_dt"),
+            stab(F.stddev_samp("l_quantity")).alias("sd_q"),
+            stab(F.var_samp("l_discount")).alias("var_d"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("l_returnflag", "corr_qp", "cov_dt", "sd_q", "var_d", "c")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1281,6 +1309,14 @@ ORACLE_SQL: dict[str, str] = {
                 list_filter(a, x -> NOT list_contains(b, x)))) AS INT) n_except,
             CAST(greatest(len(a), len(b)) AS INT) n_zip
         FROM s ORDER BY doc_id, ab_i, n_union, n_except, n_zip""",
+    "q63": """SELECT l_returnflag,
+        ROUND(ROUND(corr(l_quantity, l_extendedprice), 6) + 1e-9, 4) corr_qp,
+        ROUND(ROUND(covar_samp(l_discount, l_tax), 6) + 1e-9, 4) cov_dt,
+        ROUND(ROUND(stddev_samp(l_quantity), 6) + 1e-9, 4) sd_q,
+        ROUND(ROUND(var_samp(l_discount), 6) + 1e-9, 4) var_d,
+        COUNT(*) c
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag, corr_qp, cov_dt, sd_q, var_d, c""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function

@@ -248,3 +248,78 @@ def test_kmeans_corpus_smaller_than_k(spark):
     centroids, history = kmeans_fit(tiny, k=8, n_iter=2)
     assert len(centroids) == 3
     assert len(history) == 2
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """PII redaction on PII-laden rows (the driver corpus is word
+    salad with zero PII, so the regexes are exercised here)."""
+    from crossfire_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.255.3 and 192.168.1.1, backup 555.987.6543"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (1, 1, 0)
+    assert rows[1].scrubbed == "mail me at <EMAIL> or call <PHONE>"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ip) == (0, 1, 2)
+    assert rows[2].scrubbed == "server at <IP> and <IP>, backup <PHONE>"
+    assert rows[3].scrubbed == rows[3].text
+
+
+def test_repetition_features_known_doc(spark):
+    """'a b a b a b' has bigrams [ab, ba, ab, ba, ab]: 5 instances,
+    hottest = 3, every instance duplicated."""
+    from crossfire_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert (rows[1].n_bigrams, rows[1].max_c) == (5, 3)
+    assert rows[1].top_bigram_frac == 0.6
+    assert rows[1].dup_bigram_frac == 1.0
+    assert (rows[2].n_bigrams, rows[2].max_c) == (3, 1)
+    assert rows[2].dup_bigram_frac == 0.0
+    assert 3 not in rows  # single-word doc has no bigrams
+
+
+def test_semdedup_no_near_pair_survives(spark, sf_dir):
+    """Greedy min-id semantics: if two same-label vectors are within
+    the threshold, the larger id must be dropped — so no kept pair
+    within a label is near-duplicate."""
+    from crossfire_spark.functions.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semdedup_keep,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    kept = semdedup_keep(em)
+    k = em.join(kept.select("vec_id"), ["vec_id"]).select(
+        "vec_id", "label", "embedding"
+    )
+    a = k.select(
+        "label",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = k.select(
+        "label",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    import numpy as np
+
+    pairs = (
+        a.join(b, ["label"]).where(F.col("va") < F.col("vb")).collect()
+    )
+    for r in pairs:
+        x, y = np.array(r.ea), np.array(r.eb)
+        sim = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        assert sim < SEMDEDUP_THRESHOLD + 1e-9, (r.va, r.vb, sim)
+    assert kept.count() > 0
