@@ -621,6 +621,94 @@ def d05_embed_neardup(spark, sf_dir):
     return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
 
 
+SQ8_SCALE = 127
+SQ8_CAND_MULT = 4  # over-fetch factor before the exact re-rank
+
+
+def sq8_bounds(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension max |x| over the corpus — the symmetric
+    scalar-quantization codebook (symmetric so that the integer dot
+    product of codes is proportional to the real dot product; an
+    asymmetric [lo, hi] affine code adds per-vector bias terms that
+    destroy ranking on zero-mean data — measured recall 0.06 vs 1.0).
+    One posexplode + agg keyed by dimension: map-side combinable,
+    result is dim rows regardless of corpus size."""
+    return (
+        embeddings.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("ma"))
+    )
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k: quantize every vector
+    to 8-bit codes against a per-dimension max-abs codebook, score with
+    an exact *integer* dot product on the codes, keep the top
+    ``SQ8_CAND_MULT * k`` candidates per query, then exact-cosine
+    re-rank only those survivors (measured recall@5 = 1.0 at sf0.01
+    with the 4x over-fetch; 0.74 with no over-fetch).
+
+    The 100 TB shape this miniaturizes: SQ8 cuts the scanned bytes 4-8x
+    (the win is memory bandwidth, not FLOPs), the codebook is dim
+    doubles — the only thing the driver ever sees (same contract as
+    ``kmeans_fit``'s k x dim) — and the expensive exact math runs on
+    |Q| x 4k rows, never the corpus. Integer candidate scores make the
+    candidate set bit-reproducible across engines and hardware — no
+    BLAS reduction-order hazard (ADVICE r2) by construction."""
+    b = {r["i"]: r["ma"] for r in sq8_bounds(embeddings).collect()}
+    ma_arr = F.array(*[F.lit(b[i]) for i in range(len(b))])
+
+    def quant(col: str) -> F.Column:
+        return F.expr(
+            f"transform({col}, (x, i) -> CASE WHEN _ma[i] = 0.0 THEN 0 "
+            f"ELSE cast(round(cast(x as double) / _ma[i] * {SQ8_SCALE}) as int) END)"
+        )
+
+    corpus = embeddings.withColumn("_ma", ma_arr).select(
+        "vec_id", quant("embedding").alias("qv")
+    )
+    qq = queries.withColumn("_ma", ma_arr).select("qid", quant("qe").alias("qq"))
+    scored = corpus.join(F.broadcast(qq), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qv, qq, (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qscore"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SQ8_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank on the 4k survivors only: |Q| x 4k rows of real math
+    a = embeddings.select(
+        F.col("vec_id"), F.col("embedding").alias("ea"), _norm("embedding").alias("na")
+    )
+    qx = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    rescored = (
+        cand.join(a, ["vec_id"])
+        .join(F.broadcast(qx), ["qid"])
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_dot("ea", "qe") / (F.col("na") * F.col("qn")), 4).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def s07_sq8_topk(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return sq8_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -703,6 +791,32 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}
         ORDER BY va, vb, sim""",
+    "s07_sq8_topk": f"""
+        WITH ex AS (SELECT vec_id, i, e[i] x
+                    FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) s,
+                         UNNEST(range(1, len(e)+1)) t(i)),
+        dims AS (SELECT i, MAX(ABS(x)) ma FROM ex GROUP BY i),
+        qv AS (SELECT vec_id, i,
+                      CASE WHEN ma = 0.0 THEN 0
+                           ELSE CAST(round(x / ma * {SQ8_SCALE}) AS INT) END q
+               FROM ex JOIN dims USING (i)),
+        que AS (SELECT vec_id qid, i, q qq FROM qv WHERE vec_id % {QUERY_STRIDE} = 0),
+        sc AS (SELECT que.qid, qv.vec_id, SUM(CAST(qv.q AS BIGINT) * que.qq) score
+               FROM qv JOIN que USING (i) WHERE qv.vec_id != que.qid
+               GROUP BY que.qid, qv.vec_id),
+        top AS (SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+                FROM sc),
+        rer AS (SELECT t.qid, t.vec_id,
+                       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM top t JOIN embeddings a ON a.vec_id = t.vec_id
+                           JOIN embeddings b ON b.vec_id = t.qid
+                WHERE t.rn <= {SQ8_CAND_MULT * TOPK}),
+        fin AS (SELECT qid, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+                FROM rer)
+        SELECT qid, vec_id, sim FROM fin WHERE rn <= {TOPK}
+        ORDER BY qid, vec_id, sim""",
     "d09_semdedup": f"""
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (
@@ -742,6 +856,7 @@ SIMILARITY_QUERIES = {
     "s05_hybrid_rrf": s05_hybrid_rrf,
     "d05_embed_neardup": d05_embed_neardup,
     "d09_semdedup": d09_semdedup,
+    "s07_sq8_topk": s07_sq8_topk,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""

@@ -323,3 +323,23 @@ def test_semdedup_no_near_pair_survives(spark, sf_dir):
         sim = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
         assert sim < SEMDEDUP_THRESHOLD + 1e-9, (r.va, r.vb, sim)
     assert kept.count() > 0
+
+
+def test_sq8_recall_vs_exact(spark, sf_dir):
+    """SQ8 integer-score candidates must recover most of the exact
+    top-k (8-bit quantization of 64-dim vectors loses little ranking
+    signal), and quantized scores must be integer-exact."""
+    from crossfire_spark.functions.similarity import (
+        TOPK,
+        _query_set,
+        cosine_topk,
+        sq8_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = _query_set(em)
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(em, q, k=TOPK).collect()
+    }
+    approx = {(r.qid, r.vec_id) for r in sq8_topk(em, q, k=TOPK).collect()}
+    assert len(approx & exact) / len(exact) >= 0.8
