@@ -388,6 +388,45 @@ def st10_snapshot_source_stream(spark, sf_dir):
     )
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream replaying the documents parquet — the
+    continuous-ingest face of the text-pipeline operators."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def st11_stream_pii(spark, sf_dir):
+    """Streaming PII sanitization — the stateless ETL shape none of
+    st01-st10 covers: a pure append-mode projection (regex redaction,
+    ``functions.text.pii_scrub``) run by the streaming engine. No
+    state store, no watermark, no shuffle until the verification
+    ORDER BY: at scale this is the classic continuous-sanitize job
+    whose throughput is bounded only by source read + codegen'd regex.
+    Oracle = the identical batch SQL (t10), because a stateless map
+    over a replayed table is batching-invariant."""
+    from crossfire_spark.functions.text import pii_scrub
+
+    s = pii_scrub(documents_stream(spark, sf_dir)).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0).alias(
+            "has_pii"
+        ),
+        F.md5(F.col("scrubbed")).alias("scrubbed_fp"),
+    )
+    sink = run_stream_to_memory(s, mode="append", state_partitions=None)
+    return sink.orderBy(
+        "doc_id", "n_email", "n_phone", "n_ip", "has_pii", "scrubbed_fp"
+    )
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
     "st08_stream_dedup": """
         SELECT event_id, user_id, event_type, ts, ROUND(value, 2) v
@@ -437,4 +476,11 @@ STREAMING_QUERIES = {
     "st08_stream_dedup": st08_stream_dedup,
     "st09_snapshot_merge_stream": st09_snapshot_merge_stream,
     "st10_snapshot_source_stream": st10_snapshot_source_stream,
+    "st11_stream_pii": st11_stream_pii,
 }
+
+# st11's oracle is the t10 batch SQL verbatim: a stateless projection
+# replayed through the streaming engine must equal its batch run.
+from crossfire_spark.functions.text import TEXT_ORACLE_SQL as _TEXT_ORACLE_SQL  # noqa: E402
+
+STREAMING_ORACLE_SQL["st11_stream_pii"] = _TEXT_ORACLE_SQL["t10_pii_scrub"]
