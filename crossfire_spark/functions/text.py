@@ -464,6 +464,77 @@ def t11_repetition(spark, sf_dir):
     )
 
 
+CDC_WINDOW = 8
+CDC_MOD = 61
+
+
+def cdc_chunks(df, text_col: str = "text", window: int = CDC_WINDOW, mod: int = CDC_MOD):
+    """Content-defined chunking (the primitive under chunk-level dedup
+    and delta storage): split each document at positions where the
+    rolling sum of the trailing ``window`` character codes hits
+    0 mod ``mod`` — so chunk boundaries follow *content*, and an
+    insertion early in a document only perturbs boundaries locally
+    (fixed-size chunking would shift every downstream chunk; the
+    locality property is pinned in tests).
+
+    Scale shape: an Arrow ``mapInPandas`` kernel — per-row numpy
+    cumsum for the rolling window, one md5 per emitted chunk; no
+    shuffle at all (chunking is embarrassingly per-document), output
+    is (doc_id, chunk_id, n_chars, fp) so downstream chunk-dedup
+    groups on ``fp`` without ever shuffling text. A production CDC
+    adds min/max chunk-size clamps inside the same kernel (sequential
+    suppression — deliberately omitted here so the boundary predicate
+    stays position-independent and the operator keeps an exact
+    relational DuckDB oracle).
+
+    Boundary definition (1-based positions p): a chunk ends at p iff
+    p >= window and sum(code[p-window+1..p]) % mod == 0."""
+    import numpy as np
+
+    schema = "doc_id long, chunk_id int, n_chars bigint, fp string"
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids, cids, lens, fps = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                n = len(text)
+                if n == 0:
+                    continue
+                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                if n >= window:
+                    cum = np.concatenate(([0], np.cumsum(codes)))
+                    ws = cum[window:] - cum[:-window]
+                    # 1-based boundary positions; boundary at p ends a chunk
+                    bpos = np.flatnonzero(ws % mod == 0) + window
+                else:
+                    bpos = np.empty(0, dtype=np.int64)
+                starts = np.concatenate(([0], bpos))
+                ends = np.concatenate((bpos, [n]))
+                for cid, (s, e) in enumerate(zip(starts, ends)):
+                    if s >= e:  # boundary on the final char: no empty chunk
+                        continue
+                    chunk = text[s:e]
+                    doc_ids.append(doc_id)
+                    cids.append(cid)
+                    lens.append(e - s)
+                    fps.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "chunk_id": cids, "n_chars": lens, "fp": fps}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, schema=schema)
+
+
+def t12_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the documents table."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return cdc_chunks(d).orderBy("doc_id", "chunk_id", "n_chars", "fp")
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -583,6 +654,32 @@ TEXT_ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 4) dup_bigram_frac
         FROM c GROUP BY doc_id
         ORDER BY doc_id, n_bigrams, max_c, top_bigram_frac, dup_bigram_frac""",
+    # exact relational restatement of the CDC boundary predicate: the
+    # rolling window sum is a ROWS BETWEEN frame; chunk_id is the
+    # running count of prior boundaries; the fingerprint re-assembles
+    # the chunk with an ordered string_agg. (The engine runs the
+    # mapInPandas kernel; this is the oracle, not the plan.)
+    "t12_cdc_chunks": f"""
+        WITH ch AS (SELECT doc_id, cs[p] c, p
+                    FROM (SELECT doc_id, regexp_extract_all(text, '.') cs FROM documents) s,
+                         UNNEST(range(1, len(cs)+1)) t(p)),
+        w AS (SELECT doc_id, p, c,
+                     SUM(unicode(c)) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) ws,
+                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) cnt
+              FROM ch),
+        b AS (SELECT doc_id, p, c,
+                     CASE WHEN cnt = {CDC_WINDOW} AND ws % {CDC_MOD} = 0 THEN 1 ELSE 0 END brk
+              FROM w),
+        cid AS (SELECT doc_id, p, c,
+                       COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) chunk_id
+                FROM b)
+        SELECT doc_id, CAST(chunk_id AS INT) chunk_id, COUNT(*) n_chars,
+               md5(string_agg(c, '' ORDER BY p)) fp
+        FROM cid GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id, n_chars, fp""",
     "t09_bm25": f"""
         WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
                    FROM documents),
@@ -614,4 +711,5 @@ TEXT_QUERIES = {
     "t09_bm25": t09_bm25,
     "t10_pii_scrub": t10_pii_scrub,
     "t11_repetition": t11_repetition,
+    "t12_cdc_chunks": t12_cdc_chunks,
 }

@@ -343,3 +343,31 @@ def test_sq8_recall_vs_exact(spark, sf_dir):
     }
     approx = {(r.qid, r.vec_id) for r in sq8_topk(em, q, k=TOPK).collect()}
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_cdc_chunking_locality(spark):
+    """The CDC property fixed-size chunking lacks: prepending bytes
+    perturbs chunk boundaries only near the edit — the chunk
+    fingerprint sequence of the untouched tail is preserved."""
+    from crossfire_spark.functions.text import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while carrying "
+        "a surprisingly heavy payload of mixed punctuation, numbers "
+        "12345 and 67890, and enough additional text to produce a "
+        "healthy handful of content-defined chunks in a single pass "
+        "so the suffix-stability property has something to bite on."
+    ) * 3
+    edited = "INSERTED PREFIX >> " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    fps1 = [r.fp for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 1]
+    fps2 = [r.fp for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 2]
+    assert len(fps1) >= 4, f"want several chunks, got {len(fps1)}"
+    # common suffix must cover all but the first (edit-adjacent) chunks
+    k = 0
+    while k < min(len(fps1), len(fps2)) and fps1[-1 - k] == fps2[-1 - k]:
+        k += 1
+    assert k >= len(fps1) - 2, (len(fps1), len(fps2), k)
