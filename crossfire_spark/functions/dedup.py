@@ -632,7 +632,76 @@ def d08_source_overlap(spark, sf_dir):
     )
 
 
+def chunk_dedup_report(docs: DataFrame) -> DataFrame:
+    """Chunk-level dedup (keep-first) over content-defined chunks —
+    the modern dedup granularity: boilerplate shared *inside*
+    otherwise-distinct pages is removed without dropping the pages.
+
+    Semantics: chunks come from :func:`functions.text.cdc_chunks`;
+    for each fingerprint the occurrence with the smallest
+    (doc_id, chunk_id) is kept, every other occurrence is a duplicate.
+    Output is the per-document retention report (chunk and char
+    counts + kept fraction).
+
+    Scale shape: the keep-first rule is an *aggregate* — per-fp
+    ``min(struct(doc_id, chunk_id))`` — not a row_number window: it
+    combines map-side and never sorts a fingerprint's occurrence list,
+    so a hot boilerplate chunk (millions of occurrences of one fp) is
+    a partial-agg cell, not a fat sorted window partition. One shuffle
+    on the 32-hex fp, one on doc_id for the report; text itself never
+    shuffles (the kernel emitted fingerprints only)."""
+    from crossfire_spark.functions.text import cdc_chunks
+
+    chunks = cdc_chunks(docs)
+    first = chunks.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("first")
+    )
+    marked = chunks.join(first, "fp").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("chunk_id") == F.col("first.chunk_id")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
+        F.round(
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            / F.sum("n_chars"),
+            4,
+        ).alias("kept_frac"),
+    )
+
+
+def d10_chunk_dedup(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return chunk_dedup_report(d).orderBy(
+        "doc_id", "n_chunks", "n_kept", "chars_total", "chars_kept", "kept_frac"
+    )
+
+
+def _d10_sql() -> str:
+    from crossfire_spark.functions.text import CDC_CHUNKS_SQL_CTE
+
+    return f"""
+        WITH {CDC_CHUNKS_SQL_CTE},
+        rn AS (SELECT doc_id, chunk_id, n_chars, fp,
+                      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) r
+               FROM chunks)
+        SELECT doc_id, COUNT(*) n_chunks,
+               CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+               CAST(SUM(n_chars) AS BIGINT) chars_total,
+               CAST(SUM(CASE WHEN r = 1 THEN n_chars ELSE 0 END) AS BIGINT) chars_kept,
+               ROUND(SUM(CASE WHEN r = 1 THEN n_chars ELSE 0 END) * 1.0 / SUM(n_chars), 4) kept_frac
+        FROM rn GROUP BY doc_id
+        ORDER BY doc_id, n_chunks, n_kept, chars_total, chars_kept, kept_frac"""
+
+
 DEDUP_ORACLE_SQL: dict[str, str] = {
+    "d10_chunk_dedup": _d10_sql(),
     "d01_dedup_bag": """
         WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp, doc_id FROM documents)
         SELECT fp, COUNT(*) c, MIN(doc_id) keep FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp, c, keep""",
@@ -694,4 +763,5 @@ DEDUP_QUERIES = {
     "d06_dup_clusters": d06_dup_clusters,
     "d07_contamination": d07_contamination,
     "d08_source_overlap": d08_source_overlap,
+    "d10_chunk_dedup": d10_chunk_dedup,
 }

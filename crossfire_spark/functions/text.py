@@ -659,27 +659,7 @@ TEXT_ORACLE_SQL: dict[str, str] = {
     # running count of prior boundaries; the fingerprint re-assembles
     # the chunk with an ordered string_agg. (The engine runs the
     # mapInPandas kernel; this is the oracle, not the plan.)
-    "t12_cdc_chunks": f"""
-        WITH ch AS (SELECT doc_id, cs[p] c, p
-                    FROM (SELECT doc_id, regexp_extract_all(text, '.') cs FROM documents) s,
-                         UNNEST(range(1, len(cs)+1)) t(p)),
-        w AS (SELECT doc_id, p, c,
-                     SUM(unicode(c)) OVER (PARTITION BY doc_id ORDER BY p
-                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) ws,
-                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
-                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) cnt
-              FROM ch),
-        b AS (SELECT doc_id, p, c,
-                     CASE WHEN cnt = {CDC_WINDOW} AND ws % {CDC_MOD} = 0 THEN 1 ELSE 0 END brk
-              FROM w),
-        cid AS (SELECT doc_id, p, c,
-                       COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) chunk_id
-                FROM b)
-        SELECT doc_id, CAST(chunk_id AS INT) chunk_id, COUNT(*) n_chars,
-               md5(string_agg(c, '' ORDER BY p)) fp
-        FROM cid GROUP BY doc_id, chunk_id
-        ORDER BY doc_id, chunk_id, n_chars, fp""",
+    "t12_cdc_chunks": None,  # assigned below from CDC_CHUNKS_SQL_CTE
     "t09_bm25": f"""
         WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
                    FROM documents),
@@ -713,3 +693,31 @@ TEXT_QUERIES = {
     "t11_repetition": t11_repetition,
     "t12_cdc_chunks": t12_cdc_chunks,
 }
+
+# Shared CTE producing (doc_id, chunk_id, n_chars, fp) — t12's oracle
+# body, reused by the chunk-level dedup oracle (functions.dedup d10).
+CDC_CHUNKS_SQL_CTE = f"""
+        ch AS (SELECT doc_id, cs[p] c, p
+               FROM (SELECT doc_id, regexp_extract_all(text, '.') cs FROM documents) s,
+                    UNNEST(range(1, len(cs)+1)) t(p)),
+        w AS (SELECT doc_id, p, c,
+                     SUM(unicode(c)) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) ws,
+                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN {CDC_WINDOW - 1} PRECEDING AND CURRENT ROW) cnt
+              FROM ch),
+        b AS (SELECT doc_id, p, c,
+                     CASE WHEN cnt = {CDC_WINDOW} AND ws % {CDC_MOD} = 0 THEN 1 ELSE 0 END brk
+              FROM w),
+        cid AS (SELECT doc_id, p, c,
+                       COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) chunk_id
+                FROM b),
+        chunks AS (SELECT doc_id, CAST(chunk_id AS INT) chunk_id, COUNT(*) n_chars,
+                          md5(string_agg(c, '' ORDER BY p)) fp
+                   FROM cid GROUP BY doc_id, chunk_id)"""
+
+TEXT_ORACLE_SQL["t12_cdc_chunks"] = f"""
+        WITH {CDC_CHUNKS_SQL_CTE}
+        SELECT doc_id, chunk_id, n_chars, fp FROM chunks
+        ORDER BY doc_id, chunk_id, n_chars, fp"""

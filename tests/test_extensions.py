@@ -371,3 +371,28 @@ def test_cdc_chunking_locality(spark):
     while k < min(len(fps1), len(fps2)) and fps1[-1 - k] == fps2[-1 - k]:
         k += 1
     assert k >= len(fps1) - 2, (len(fps1), len(fps2), k)
+
+
+def test_chunk_dedup_drops_shared_boilerplate(spark):
+    """A document sharing a long tail with an earlier document loses
+    those chunks (keep-first), while the earlier doc keeps everything."""
+    from crossfire_spark.functions.dedup import chunk_dedup_report
+
+    shared = (
+        "this long shared boilerplate passage appears across pages and "
+        "is exactly what chunk-level dedup removes without dropping the "
+        "pages themselves; it must span several content-defined chunks "
+        "to make the point, so here come more distinct words: alpha "
+        "bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+        "five six seven eight nine ten eleven twelve thirteen fourteen."
+    )
+    df = spark.createDataFrame(
+        [(1, shared), (2, "a unique preamble before >> " + shared)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in chunk_dedup_report(df).collect()}
+    assert rows[1].n_kept == rows[1].n_chunks  # first doc keeps all
+    assert rows[2].n_kept < rows[2].n_chunks   # shared tail dropped
+    assert rows[2].kept_frac < 1.0
