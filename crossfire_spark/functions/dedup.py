@@ -169,19 +169,47 @@ def d02_ngram_jaccard(spark, sf_dir):
     return exact_jaccard_pairs(d).orderBy("doc_a", "doc_b", "j")
 
 
+def _rotl64(col: F.Column, r: int) -> F.Column:
+    r = r % 64
+    if r == 0:
+        return col
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
 def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """One row per doc with k minhash columns ``m0..m{k-1}``.
 
-    k permutations approximated by ``xxhash64(shingle, seed)``. Flat
-    columns instead of an exploded (doc, seed) table: each hash is a
-    native codegen'd function call (not a lambda — higher-order
-    functions evaluate interpreted) and the k mins aggregate map-side
-    in one pass, so the shuffle carries docs x k longs, never
-    shingles x k rows."""
+    k permutations derived from TWO base hashes per shingle
+    (Kirsch–Mitzenmacher-style): ``h_i = rotl(h1, 7i) ^ rotl(h2, i)
+    ^ C_i`` with per-i golden-ratio constants — so each shingle pays
+    2 ``xxhash64`` evaluations + k bitwise ops instead of k full
+    string hashes (bitwise-only derivation because ANSI mode makes
+    ``h1 + i*h2`` throw on the guaranteed long overflow). This also
+    shrinks the generated code ~10x: 128 inlined string-hash bodies
+    blew up janino compile time and the codegen class cache.
+
+    Flat columns instead of an exploded (doc, seed) table: each
+    derived hash is a codegen'd expression (not a lambda —
+    higher-order functions evaluate interpreted) and the k mins
+    aggregate map-side in one pass, so the shuffle carries docs x k
+    longs, never shingles x k rows."""
     sh = _shingles(docs)
-    hashed = sh.select(
+    base = sh.select(
         "doc_id",
-        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(k)],
+        F.xxhash64("shingle").alias("_h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("_h2"),
+    )
+    gold = 0x9E3779B97F4A7C15
+    consts = [_i64((i * gold) & 0xFFFFFFFFFFFFFFFF) for i in range(k)]
+    hashed = base.select(
+        "doc_id",
+        *[
+            _rotl64(F.col("_h1"), 7 * i)
+            .bitwiseXOR(_rotl64(F.col("_h2"), i))
+            .bitwiseXOR(F.lit(consts[i]))
+            .alias(f"h{i}")
+            for i in range(k)
+        ],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
