@@ -535,6 +535,77 @@ def t12_cdc_chunks(spark, sf_dir):
     return cdc_chunks(d).orderBy("doc_id", "chunk_id", "n_chars", "fp")
 
 
+MIX_MOD = 5  # target weight = 1 + (source number % MIX_MOD)
+
+
+def _hash_u16(col: F.Column) -> F.Column:
+    """Deterministic uniform-ish value in [0, 65536) from the first 4
+    hex chars of md5 — built only from substr/instr so the identical
+    expression runs on DuckDB (no engine-specific hash)."""
+    h = F.md5(col.cast("string"))
+    digits = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        for i in range(4)
+    ]
+    return (
+        digits[0] * 4096 + digits[1] * 256 + digits[2] * 16 + digits[3]
+    )
+
+
+def mixture_sample_report(docs, weights_col: F.Column | None = None):
+    """Training-mixture construction (the Pile/Dolma reweighting
+    step): given per-source target weights, compute the largest
+    mixture achievable by *downsampling only* (scale = min over
+    sources of count/weight — the binding source keeps every doc),
+    then sample each source at rate = weight*scale/count with a
+    deterministic md5 bucket, and report per-source kept counts.
+
+    Scale shape: two aggregates on the source key (both map-side
+    combinable), a 1-row scale broadcast, a |sources|-row rate table
+    broadcast into the sampling filter — the corpus is scanned once
+    and never shuffled (the filter is a projection); no driver
+    round-trip anywhere. Determinism: the sampling coin is a pure
+    md5 expression, so the kept set is reproducible across runs,
+    engines and cluster sizes — resumable mixture builds."""
+    if weights_col is None:
+        weights_col = 1 + (
+            F.regexp_extract("source", "([0-9]+)", 1).cast("int") % MIX_MOD
+        )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wts = counts.withColumn("w", weights_col)
+    scale = wts.agg(F.min(F.col("c") / F.col("w")).alias("scale"))
+    rates = wts.crossJoin(F.broadcast(scale)).select(
+        "source",
+        "c",
+        "w",
+        (F.col("w") * F.col("scale") / F.col("c")).alias("rate"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(_hash_u16(F.col("doc_id")) / F.lit(65536.0) < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            F.col("w").alias("target_w"),
+            F.round("rate", 4).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def t13_mixture_sample(spark, sf_dir):
+    """Mixture resampling report over the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample_report(d).orderBy(
+        "source", "n_docs", "target_w", "rate", "n_kept"
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -692,6 +763,7 @@ TEXT_QUERIES = {
     "t10_pii_scrub": t10_pii_scrub,
     "t11_repetition": t11_repetition,
     "t12_cdc_chunks": t12_cdc_chunks,
+    "t13_mixture_sample": t13_mixture_sample,
 }
 
 # Shared CTE producing (doc_id, chunk_id, n_chars, fp) — t12's oracle
@@ -721,3 +793,27 @@ TEXT_ORACLE_SQL["t12_cdc_chunks"] = f"""
         WITH {CDC_CHUNKS_SQL_CTE}
         SELECT doc_id, chunk_id, n_chars, fp FROM chunks
         ORDER BY doc_id, chunk_id, n_chars, fp"""
+
+_U16_SQL = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+TEXT_ORACLE_SQL["t13_mixture_sample"] = f"""
+        WITH counts AS (SELECT source, COUNT(*) c FROM documents GROUP BY source),
+        wts AS (SELECT source, c,
+                       1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % {MIX_MOD}) w
+                FROM counts),
+        sc AS (SELECT MIN(c * 1.0 / w) scale FROM wts),
+        rates AS (SELECT source, c, w, w * scale / c rate FROM wts CROSS JOIN sc),
+        sampled AS (SELECT d.source, COUNT(*) n_kept
+                    FROM documents d JOIN rates r ON d.source = r.source
+                    WHERE {_U16_SQL} / 65536.0 < r.rate
+                    GROUP BY d.source)
+        SELECT r.source, CAST(r.c AS BIGINT) n_docs, r.w target_w,
+               ROUND(r.rate, 4) rate,
+               COALESCE(s.n_kept, 0) n_kept
+        FROM rates r LEFT JOIN sampled s ON r.source = s.source
+        ORDER BY r.source, n_docs, target_w, rate, n_kept"""

@@ -396,3 +396,21 @@ def test_chunk_dedup_drops_shared_boilerplate(spark):
     assert rows[1].n_kept == rows[1].n_chunks  # first doc keeps all
     assert rows[2].n_kept < rows[2].n_chunks   # shared tail dropped
     assert rows[2].kept_frac < 1.0
+
+
+def test_mixture_sample_binding_source_keeps_all(spark, sf_dir):
+    """Downsampling-only semantics: the binding source (max count/w)
+    has rate 1.0 and keeps every document; output is deterministic
+    across invocations (md5 coin, no RNG)."""
+    from crossfire_spark.functions.text import t13_mixture_sample
+
+    rows = t13_mixture_sample(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0 < r.rate <= 1.0
+        assert r.n_kept <= r.n_docs
+        if r.rate == 1.0:
+            assert r.n_kept == r.n_docs, r
+    assert any(r.rate == 1.0 for r in rows), "no binding source"
+    again = t13_mixture_sample(spark, sf_dir).collect()
+    assert rows == again
