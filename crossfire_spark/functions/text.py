@@ -289,6 +289,65 @@ def t08_unigram_logprob(spark, sf_dir):
     )
 
 
+def _bigram_instances(df, text_col: str = "text"):
+    """(doc_id, prev, cur) word-bigram instances via the indexed
+    ``transform`` lambda (array-side build, no positional self-join)."""
+    words = F.split(F.lower(text_col), " ")
+    pairs = F.transform(
+        F.slice(words, 1, F.size(words) - 1),
+        lambda w, i: F.struct(
+            w.alias("prev"), F.get(words, i + 1).alias("cur")
+        ),
+    )
+    return (
+        df.where(F.size(words) >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+
+
+def t14_bigram_lm(spark, sf_dir):
+    """Bigram language-model quality score — the shape of the
+    CCNet/KenLM perplexity filter, one order up from t08's unigram
+    proxy: score each document by its mean log P(cur|prev) under the
+    corpus's own add-one-smoothed bigram model,
+    P(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V).
+
+    Scale shape: the model is two aggregates (bigram counts, unigram
+    counts) + a scalar vocab size; scoring joins the instance stream
+    to the model on (prev, cur) — one shuffle each side, map-side
+    combinable counts. At 100 TB the model would be a capped top-K
+    bigram table (the long tail smooths to the +1 floor anyway), which
+    broadcasts; here it shuffle-joins, which is the same plan AQE
+    picks either way. Float discipline: one division and one ln() per
+    distinct bigram, mean stabilized ROUND(·,6)+1e-9 → 2 dp."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    inst = _bigram_instances(d)
+    bi = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    uni = inst.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = (
+        bi.join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        inst.join(model, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(F.round(F.round(F.avg("lp"), 6) + F.lit(1e-9), 2).alias("lp"))
+        .orderBy("doc_id", "lp")
+    )
+
+
 BM25_TERMS = ("merge", "vector", "stream")
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -764,6 +823,7 @@ TEXT_QUERIES = {
     "t11_repetition": t11_repetition,
     "t12_cdc_chunks": t12_cdc_chunks,
     "t13_mixture_sample": t13_mixture_sample,
+    "t14_bigram_lm": t14_bigram_lm,
 }
 
 # Shared CTE producing (doc_id, chunk_id, n_chars, fp) — t12's oracle
@@ -793,6 +853,23 @@ TEXT_ORACLE_SQL["t12_cdc_chunks"] = f"""
         WITH {CDC_CHUNKS_SQL_CTE}
         SELECT doc_id, chunk_id, n_chars, fp FROM chunks
         ORDER BY doc_id, chunk_id, n_chars, fp"""
+
+TEXT_ORACLE_SQL["t14_bigram_lm"] = """
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        inst AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(w)),
+                                              i -> struct_pack(prev := w[i], cur := w[i+1]))) bg
+                 FROM t WHERE len(w) >= 2),
+        i2 AS (SELECT doc_id, bg.prev prev, bg.cur cur FROM inst),
+        bi AS (SELECT prev, cur, COUNT(*) c2 FROM i2 GROUP BY prev, cur),
+        uni AS (SELECT prev, COUNT(*) c1 FROM i2 GROUP BY prev),
+        vocab AS (SELECT COUNT(DISTINCT word) v
+                  FROM (SELECT unnest(string_split(lower(text), ' ')) word FROM documents)),
+        model AS (SELECT prev, cur, ln((c2 + 1.0) / (c1 + v)) lp
+                  FROM bi JOIN uni USING (prev) CROSS JOIN vocab)
+        SELECT i2.doc_id, ROUND(ROUND(AVG(m.lp), 6) + 1e-9, 2) lp
+        FROM i2 JOIN model m ON i2.prev = m.prev AND i2.cur = m.cur
+        GROUP BY i2.doc_id ORDER BY doc_id, lp"""
 
 _U16_SQL = (
     "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
