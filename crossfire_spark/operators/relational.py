@@ -1115,6 +1115,61 @@ def q63(spark, sf_dir):
     )
 
 
+def q64(spark, sf_dir):
+    """Sequential funnel (view -> click -> purchase, first-touch):
+    each stage is the user's earliest qualifying event strictly after
+    the previous stage's timestamp. Three per-user aggregates chained
+    by left joins — every stage shuffles once on user_id and the
+    stages after the first operate on the shrinking converted set.
+    The decorrelated form of the classic 'sequence EXISTS' funnel."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "tv", "tc", "tp", F.col("tp").isNotNull().alias("converted"))
+        .orderBy("user_id", "tv", "tc", "tp", "converted")
+    )
+
+
+def q65(spark, sf_dir):
+    """Retention cohort matrix: cohort = day of a user's first event;
+    for offsets 0..7 count the distinct cohort users active on
+    cohort_day + k. Two per-user aggregates + one distinct-activity
+    set, joined on user_id — the standard cohort triangle, fully
+    relational (no per-cohort loop)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    first = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    act = e.select("user_id", day.alias("d")).distinct()
+    k = F.datediff(F.col("d"), F.col("d0"))
+    return (
+        act.join(first, "user_id")
+        .where((k >= 0) & (k <= 7))
+        .groupBy(F.col("d0").alias("cohort"), k.alias("k"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .orderBy("cohort", "k", "n")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1317,6 +1372,22 @@ ORACLE_SQL: dict[str, str] = {
         COUNT(*) c
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag, corr_qp, cov_dt, sd_q, var_d, c""",
+    "q64": """WITH v AS (SELECT user_id, MIN(ts) tv FROM events WHERE event_type='view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) tc FROM events e JOIN v USING (user_id)
+              WHERE e.event_type='click' AND e.ts > v.tv GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) tp FROM events e JOIN c USING (user_id)
+              WHERE e.event_type='purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        SELECT v.user_id, v.tv, c.tc, p.tp, (p.tp IS NOT NULL) converted
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        ORDER BY user_id, tv, tc, tp, converted""",
+    "q65": """WITH f AS (SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) d0
+                  FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) d FROM events)
+        SELECT f.d0 cohort, CAST(date_diff('day', f.d0, act.d) AS INT) k,
+               COUNT(DISTINCT act.user_id) n
+        FROM act JOIN f USING (user_id)
+        WHERE date_diff('day', f.d0, act.d) BETWEEN 0 AND 7
+        GROUP BY f.d0, k ORDER BY cohort, k, n""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
@@ -1375,6 +1446,15 @@ SPARK_SQL_OVERRIDES: dict[str, str] = {
             size(array_except(a, b)) n_except,
             size(zip_with(a, b, (x, y) -> x = y)) n_zip
         FROM s ORDER BY doc_id, ab_i, n_union, n_except, n_zip""",
+    # Spark spells date_diff('day', a, b) as datediff(b, a).
+    "q65": """WITH f AS (SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) d0
+                  FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) d FROM events)
+        SELECT f.d0 cohort, CAST(datediff(act.d, f.d0) AS INT) k,
+               COUNT(DISTINCT act.user_id) n
+        FROM act JOIN f USING (user_id)
+        WHERE datediff(act.d, f.d0) BETWEEN 0 AND 7
+        GROUP BY f.d0, k ORDER BY cohort, k, n""",
     # Spark shifts dates with date_add, not integer +.
     "q60": """WITH RECURSIVE cal(d) AS (
             SELECT DATE'1995-01-01'
