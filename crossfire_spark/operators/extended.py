@@ -190,6 +190,24 @@ def h03_matview_rollup(spark, sf_dir):
 
 
 EXTENDED_ORACLE_SQL: dict[str, str] = {
+    "v01_constraint_report": """
+        WITH base AS (SELECT
+                CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) null_custkey,
+                CAST(COUNT(*) FILTER (o_totalprice < 0) AS BIGINT) neg_totalprice,
+                CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT) bad_status,
+                CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) dup_orderkey
+            FROM orders),
+        fk AS (SELECT CAST(COUNT(*) AS BIGINT) orphan_custkey FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        m AS (SELECT * FROM base CROSS JOIN fk),
+        s(rule, violations) AS (
+            SELECT 'fk_custkey_exists', orphan_custkey FROM m
+            UNION ALL SELECT 'no_duplicate_orderkey', dup_orderkey FROM m
+            UNION ALL SELECT 'not_null_custkey', null_custkey FROM m
+            UNION ALL SELECT 'status_accepted_values', bad_status FROM m
+            UNION ALL SELECT 'totalprice_non_negative', neg_totalprice FROM m)
+        SELECT rule, violations, (violations = 0) ok FROM s
+        ORDER BY rule, violations, ok""",
     "h03_matview_rollup": """
         SELECT o_orderstatus, COUNT(*) n, ROUND(SUM(o_totalprice), 2) s
         FROM orders GROUP BY o_orderstatus
@@ -223,10 +241,71 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
         ORDER BY h, event_type, open_v, close_v, lo, hi, volume""",
 }
 
+def constraint_report(o: DataFrame, c: DataFrame) -> DataFrame:
+    """Declarative data-quality constraint report (the Deequ/Delta-
+    constraints shape): evaluate a constraint suite against the orders
+    table in as few passes as the constraints allow and emit one row
+    per constraint (name, violation metric, pass flag).
+
+    Scale shape: the four row-local constraints (not-null, range,
+    accepted-values) plus the uniqueness check are ONE aggregate over
+    one scan — each constraint is a count_if / distinct-count column,
+    map-side combinable; only referential integrity needs a second
+    input (left-anti join against the broadcast customer key set).
+    Adding a constraint adds a column, not a pass — the property that
+    makes a validation suite affordable at 100 TB."""
+    base = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+        F.count_if(F.col("o_totalprice") < 0).alias("neg_totalprice"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "bad_status"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    wide = base.crossJoin(F.broadcast(fk))
+    rows = [
+        ("fk_custkey_exists", "orphan_custkey"),
+        ("no_duplicate_orderkey", "dup_orderkey"),
+        ("not_null_custkey", "null_custkey"),
+        ("status_accepted_values", "bad_status"),
+        ("totalprice_non_negative", "neg_totalprice"),
+    ]
+    stacked = ", ".join(f"'{name}', {col}" for name, col in rows)
+    return (
+        wide.select(
+            F.expr(f"stack({len(rows)}, {stacked}) as (rule, violations)")
+        )
+        .select(
+            "rule",
+            "violations",
+            (F.col("violations") == 0).alias("ok"),
+        )
+        .orderBy("rule", "violations", "ok")
+    )
+
+
+def v01_constraint_report(spark, sf_dir):
+    return constraint_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
     "h02_ohlc": h02_ohlc,
     "h03_matview_rollup": h03_matview_rollup,
     "r01_range_join": r01_range_join,
+    "v01_constraint_report": v01_constraint_report,
 }

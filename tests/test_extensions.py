@@ -414,3 +414,28 @@ def test_mixture_sample_binding_source_keeps_all(spark, sf_dir):
     assert any(r.rate == 1.0 for r in rows), "no binding source"
     again = t13_mixture_sample(spark, sf_dir).collect()
     assert rows == again
+
+
+def test_constraint_report_counts_violations(spark):
+    """Each constraint must count its own violation class (corrupted
+    rows: null FK, negative price, bad status, duplicate key, orphan)."""
+    from crossfire_spark.operators.extended import constraint_report
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0),
+            (1, 10, "O", 100.0),     # duplicate o_orderkey
+            (2, None, "F", 50.0),    # null custkey
+            (3, 99, "X", -5.0),      # orphan FK + bad status + negative
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    got = {r.rule: r.violations for r in constraint_report(orders, customer).collect()}
+    assert got == {
+        "fk_custkey_exists": 2,  # custkey 99 AND the NULL (anti-join keeps both)
+        "no_duplicate_orderkey": 1,
+        "not_null_custkey": 1,
+        "status_accepted_values": 1,
+        "totalprice_non_negative": 1,
+    }
