@@ -680,7 +680,10 @@ def chunk_dedup_report(docs: DataFrame) -> DataFrame:
     shuffles (the kernel emitted fingerprints only)."""
     from crossfire_spark.functions.text import cdc_chunks
 
-    chunks = cdc_chunks(docs)
+    # materialize the kernel output once: both the keep-first aggregate
+    # and the report join consume it — without this the Arrow chunking
+    # kernel runs twice over the corpus (PLANS.md showed 2 arrowPy).
+    chunks = cdc_chunks(docs).localCheckpoint()
     first = chunks.groupBy("fp").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("first")
     )

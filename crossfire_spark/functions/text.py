@@ -323,8 +323,12 @@ def t14_bigram_lm(spark, sf_dir):
     distinct bigram, mean stabilized ROUND(·,6)+1e-9 → 2 dp."""
     d = spread(load_table(spark, sf_dir, "documents"))
     inst = _bigram_instances(d)
-    bi = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    uni = inst.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # the model table is vocab-bounded; materialize it once so the
+    # model-side joins (bi |x| uni) do not re-derive the corpus
+    # instance stream — c1(prev) = sum_cur c2(prev, cur) also comes
+    # from the materialized bigram table, not a third corpus pass.
+    bi = inst.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint()
+    uni = bi.groupBy("prev").agg(F.sum("c2").alias("c1"))
     vocab = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
