@@ -1118,33 +1118,47 @@ def q63(spark, sf_dir):
 def q64(spark, sf_dir):
     """Sequential funnel (view -> click -> purchase, first-touch):
     each stage is the user's earliest qualifying event strictly after
-    the previous stage's timestamp. Three per-user aggregates chained
-    by left joins — every stage shuffles once on user_id and the
-    stages after the first operate on the shrinking converted set.
-    The decorrelated form of the classic 'sequence EXISTS' funnel."""
-    e = _t(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
+    the previous stage's timestamp. Computed as three chained
+    whole-partition window mins over ONE shuffle of events on
+    user_id (each stage's min references the previous stage's
+    column, so the three passes share the partitioning and add no
+    exchange), folded to one row per user by a same-key aggregate —
+    one scan, one shuffle, however many stages the funnel has. The
+    join-chain form (stage aggregates left-joined back) re-derives
+    the events scan per stage; this is the decorrelated
+    'sequence EXISTS' funnel a 100 TB events table needs."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        staged.groupBy("user_id")
+        .agg(
+            F.min("tv").alias("tv"), F.min("tc").alias("tc"), F.min("tp").alias("tp")
+        )
+        .where(F.col("tv").isNotNull())
         .select("user_id", "tv", "tc", "tp", F.col("tp").isNotNull().alias("converted"))
         .orderBy("user_id", "tv", "tc", "tp", "converted")
     )
