@@ -634,7 +634,12 @@ def mixture_sample_report(docs, weights_col: F.Column | None = None):
         weights_col = 1 + (
             F.regexp_extract("source", "([0-9]+)", 1).cast("int") % MIX_MOD
         )
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    # |sources|-row aggregate consumed by three downstream branches
+    # (weights, scale, report) — materialize once so the corpus is
+    # scanned exactly twice (counts + sampling), not once per branch.
+    counts = (
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     wts = counts.withColumn("w", weights_col)
     scale = wts.agg(F.min(F.col("c") / F.col("w")).alias("scale"))
     rates = wts.crossJoin(F.broadcast(scale)).select(
