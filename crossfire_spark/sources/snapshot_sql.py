@@ -12,6 +12,10 @@ or time travel, just parsing:
   → ``snapshot_merge`` (upsert / delete / insert-only per the WHEN
   clauses)
 - ``INSERT INTO | INSERT OVERWRITE t SELECT ...`` → ``snapshot_write``
+- ``UPDATE t SET c = expr[, ...] [WHERE cond]`` and
+  ``DELETE FROM t [WHERE cond]`` → copy-on-write rewrite of the head
+  (read → apply → overwrite-commit, operation stamped on the
+  manifest) — the Delta-style row-level DML forms
 - ``DESCRIBE HISTORY t`` → ``snapshot_history`` as a DataFrame
 
 Dialect bounds (documented, validated): MERGE ON must be a
@@ -55,6 +59,47 @@ _INSERT_RE = re.compile(
     r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<target>\w+)\s+(?P<select>SELECT\s+.+)$"
 )
 _HISTORY_RE = re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\s+(?P<target>\w+)\s*$")
+_DELETE_RE = re.compile(
+    r"(?is)^\s*DELETE\s+FROM\s+(?P<target>\w+)(?:\s+WHERE\s+(?P<cond>.+))?$"
+)
+_UPDATE_RE = re.compile(
+    r"(?is)^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+))?$"
+)
+
+
+def _parse_set_list(sets: str, columns: list[str]) -> dict[str, str]:
+    """Parse ``c1 = e1, c2 = e2`` — split on top-level commas only
+    (expressions may contain commas inside parentheses/quotes)."""
+    out: dict[str, str] = {}
+    depth = 0
+    in_str: str | None = None
+    parts, cur = [], []
+    for ch in sets:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    for part in parts:
+        if "=" not in part:
+            raise ValueError(f"unsupported SET fragment: {part!r}")
+        col, expr = part.split("=", 1)
+        col = col.strip()
+        if col not in columns:
+            raise ValueError(f"UPDATE SET references unknown column {col!r}")
+        out[col] = expr.strip()
+    return out
 _ON_EQ_RE = re.compile(r"(?i)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 
@@ -122,6 +167,37 @@ def snapshot_sql(
         df = spark.sql(m.group("select"))
         mode = "append" if m.group("mode").upper() == "INTO" else "overwrite"
         return snapshot_write(df, tables[m.group("target")], mode=mode)
+
+    m = _DELETE_RE.match(s)
+    if m:
+        path = tables[m.group("target")]
+        df = snapshot_read(spark, path)
+        cond = m.group("cond")
+        remaining = df.where(f"NOT ({cond})") if cond else df.limit(0)
+        return snapshot_write(
+            remaining, path, mode="overwrite", properties={"dml": "delete"}
+        )
+
+    m = _UPDATE_RE.match(s)
+    if m:
+        from pyspark.sql import functions as F
+
+        path = tables[m.group("target")]
+        df = snapshot_read(spark, path)
+        cond = m.group("cond")
+        assigns = _parse_set_list(m.group("sets"), df.columns)
+        gate = F.expr(cond) if cond else F.lit(True)
+        updated = df.withColumns(
+            {
+                c: F.when(gate, F.expr(e).cast(df.schema[c].dataType)).otherwise(
+                    F.col(c)
+                )
+                for c, e in assigns.items()
+            }
+        )
+        return snapshot_write(
+            updated, path, mode="overwrite", properties={"dml": "update"}
+        )
 
     m = _MERGE_RE.match(s)
     if m:

@@ -171,3 +171,59 @@ def test_dialect_bounds_raise(spark, snap):
             " WHEN NOT MATCHED THEN UPDATE SET *",
             {"t": path},
         )
+
+
+def test_update_dml(spark, snap):
+    docs, path = snap
+    n0 = docs.count()
+    v = snapshot_sql(
+        spark,
+        "UPDATE t SET text = upper(text), lang = 'xx' WHERE doc_id < 5",
+        {"t": path},
+    )
+    assert v == 1
+    head = snapshot_read(spark, path)
+    assert head.count() == n0  # row-preserving
+    changed = head.where(F.col("doc_id") < 5)
+    assert changed.where(F.col("lang") != "xx").count() == 0
+    assert changed.where(F.col("text") != F.upper(F.col("text"))).count() == 0
+    untouched = head.where(F.col("doc_id") >= 5)
+    assert untouched.where(F.col("lang") == "xx").count() == 0
+    # history records the DML kind
+    hist = snapshot_sql(spark, "DESCRIBE HISTORY t", {"t": path})
+    assert hist.where(F.col("version") == 1).first().operation == "overwrite"
+
+
+def test_update_set_list_with_commas_inside_exprs(spark, snap):
+    docs, path = snap
+    v = snapshot_sql(
+        spark,
+        "UPDATE t SET text = concat(lang, ':', text) WHERE doc_id = 1",
+        {"t": path},
+    )
+    assert v == 1
+    row = snapshot_read(spark, path).where(F.col("doc_id") == 1).first()
+    assert row.text.startswith(row.lang + ":")
+
+
+def test_delete_dml(spark, snap):
+    docs, path = snap
+    n0 = docs.count()
+    n_en = docs.where(F.col("lang") == "en").count()
+    v = snapshot_sql(spark, "DELETE FROM t WHERE lang = 'en'", {"t": path})
+    assert v == 1
+    head = snapshot_read(spark, path)
+    assert head.count() == n0 - n_en
+    assert head.where(F.col("lang") == "en").count() == 0
+    # unconditional DELETE empties the table but keeps schema + history
+    v2 = snapshot_sql(spark, "DELETE FROM t", {"t": path})
+    assert v2 == 2
+    head2 = snapshot_read(spark, path)
+    assert head2.count() == 0
+    assert head2.columns == docs.columns
+
+
+def test_update_unknown_column_raises(spark, snap):
+    docs, path = snap
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_sql(spark, "UPDATE t SET nope = 1", {"t": path})
