@@ -181,6 +181,46 @@ def minhash_pairs_from_index(
     ).where(F.col("j").isNotNull())
 
 
+# -------------------------------------------------------------- SQ8
+
+
+def build_sq8_index(embeddings: DataFrame, path: str) -> None:
+    """One-time SQ8 build: the per-dimension max-abs codebook (dim
+    rows) and the quantized 8-bit code table, committed to the
+    snapshot sink. Query traffic scans the 4-8x-smaller code table —
+    the corpus of full vectors is touched only for the |Q| x 4k-row
+    exact re-rank."""
+    from crossfire_spark.functions.similarity import sq8_bounds, sq8_quantize
+
+    bounds_df = sq8_bounds(embeddings)
+    snapshot_write(bounds_df, os.path.join(path, "bounds"))
+    b = {r["i"]: r["ma"] for r in bounds_df.collect()}
+    snapshot_write(
+        sq8_quantize(embeddings, "vec_id", "embedding", b),
+        os.path.join(path, "codes"),
+    )
+
+
+def query_sq8_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+) -> DataFrame:
+    """SQ8 ANN top-k against a persisted index: integer candidate
+    scores come from the stored code table, queries quantize against
+    the stored codebook, exact re-rank re-reads only candidate
+    vectors. Identical output to :func:`similarity.sq8_topk` over the
+    same corpus (same codes, same ranking keys)."""
+    from crossfire_spark.functions.similarity import sq8_topk
+
+    bounds_df = snapshot_read(spark, os.path.join(path, "bounds"))
+    codes = snapshot_read(spark, os.path.join(path, "codes"))
+    b = {r["i"]: r["ma"] for r in bounds_df.collect()}
+    return sq8_topk(embeddings, queries, k=k, bounds=b, corpus_codes=codes)
+
+
 # --------------------------------------------------- declared queries
 
 
@@ -201,8 +241,26 @@ def s06_ivf_index(spark, sf_dir):
     )
 
 
+def s08_sq8_index(spark, sf_dir):
+    """The persisted-index face of s07: build the SQ8 codebook + code
+    tables into a session-scoped snapshot once, answer the query from
+    them. Same integer candidate scores and exact re-rank as s07 →
+    same DuckDB oracle."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import _query_set
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    path = os.path.join(_session_workdir("s08_"), "sq8")
+    build_sq8_index(em, path)
+    return query_sq8_index(spark, path, em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
+
+
 ANN_INDEX_QUERIES = {
     "s06_ivf_index": s06_ivf_index,
+    "s08_sq8_index": s08_sq8_index,
 }
 
 
@@ -212,7 +270,11 @@ def _oracle() -> dict[str, str]:
     # (persisted index tables vs recompute) differs.
     from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
 
-    return {"s06_ivf_index": SIMILARITY_ORACLE_SQL["s03_ivf_topk"]}
+    return {
+        "s06_ivf_index": SIMILARITY_ORACLE_SQL["s03_ivf_topk"],
+        # s08 must equal s07 exactly (same codes, same ranking).
+        "s08_sq8_index": SIMILARITY_ORACLE_SQL["s07_sq8_topk"],
+    }
 
 
 ANN_INDEX_ORACLE_SQL = _oracle()

@@ -640,7 +640,29 @@ def sq8_bounds(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
+def sq8_quantize(
+    df: DataFrame, id_col: str, vec_col: str, bounds: dict[int, float]
+) -> DataFrame:
+    """(id, qv) 8-bit codes for a vector column against a per-dim
+    max-abs codebook — the shared kernel of the ad-hoc s07 path and
+    the persisted-index path (functions.ann_index)."""
+    ma_arr = F.array(*[F.lit(bounds[i]) for i in range(len(bounds))])
+    quant = F.expr(
+        f"transform({vec_col}, (x, i) -> CASE WHEN _ma[i] = 0.0 THEN 0 "
+        f"ELSE cast(round(cast(x as double) / _ma[i] * {SQ8_SCALE}) as int) END)"
+    )
+    return df.withColumn("_ma", ma_arr).select(
+        F.col(id_col), quant.alias("qv")
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    bounds: dict[int, float] | None = None,
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
     """Scalar-quantized (SQ8) approximate top-k: quantize every vector
     to 8-bit codes against a per-dimension max-abs codebook, score with
     an exact *integer* dot product on the codes, keep the top
@@ -655,19 +677,14 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
     |Q| x 4k rows, never the corpus. Integer candidate scores make the
     candidate set bit-reproducible across engines and hardware — no
     BLAS reduction-order hazard (ADVICE r2) by construction."""
-    b = {r["i"]: r["ma"] for r in sq8_bounds(embeddings).collect()}
-    ma_arr = F.array(*[F.lit(b[i]) for i in range(len(b))])
-
-    def quant(col: str) -> F.Column:
-        return F.expr(
-            f"transform({col}, (x, i) -> CASE WHEN _ma[i] = 0.0 THEN 0 "
-            f"ELSE cast(round(cast(x as double) / _ma[i] * {SQ8_SCALE}) as int) END)"
-        )
-
-    corpus = embeddings.withColumn("_ma", ma_arr).select(
-        "vec_id", quant("embedding").alias("qv")
+    if bounds is None:
+        bounds = {r["i"]: r["ma"] for r in sq8_bounds(embeddings).collect()}
+    corpus = (
+        corpus_codes
+        if corpus_codes is not None
+        else sq8_quantize(embeddings, "vec_id", "embedding", bounds)
     )
-    qq = queries.withColumn("_ma", ma_arr).select("qid", quant("qe").alias("qq"))
+    qq = sq8_quantize(queries, "qid", "qe", bounds).withColumnRenamed("qv", "qq")
     scored = corpus.join(F.broadcast(qq), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",

@@ -101,3 +101,27 @@ def test_ivf_rebuild_is_new_version(spark, sf_dir, tmp_path):
     build_ivf_index(em, path)
     build_ivf_index(em, path)
     assert len(snapshot_versions(os.path.join(path, "centroids"))) == 2
+
+
+def test_sq8_index_build_query(spark, sf_dir, tmp_path):
+    """Index-served SQ8 top-k must equal the ad-hoc s07 pipeline, and
+    the query plan must read the persisted code table."""
+    import os
+
+    from crossfire_spark.functions.ann_index import (
+        build_sq8_index,
+        query_sq8_index,
+    )
+    from crossfire_spark.functions.similarity import _query_set, sq8_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sq8")
+    build_sq8_index(em, path)
+    q = _query_set(em)
+    adhoc = sorted(tuple(r) for r in sq8_topk(em, q).collect())
+    served = query_sq8_index(spark, path, em, q)
+    assert sorted(tuple(r) for r in served.collect()) == adhoc
+    assert "codes" in _formatted_plan(served)
+    # query twice: second answer identical (stable persisted codes)
+    again = query_sq8_index(spark, path, em, q)
+    assert sorted(tuple(r) for r in again.collect()) == adhoc
