@@ -128,3 +128,24 @@ def test_t09_bm25_model_broadcasts_and_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(t09_bm25(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_scan_counts_stay_bounded(spark, sf_dir):
+    """Re-derived subplans appear as extra scans of the same source —
+    the multi-pass hazard at 100 TB. Pin the ceilings for the queries
+    that were specifically rewritten to be single-pass (the formatted
+    plan under AQE lists each scan up to twice, so ceilings are 2x
+    the logical pass count)."""
+    from crossfire_spark.functions.dedup import d10_chunk_dedup
+    from crossfire_spark.functions.text import t13_mixture_sample, t14_bigram_lm
+    from crossfire_spark.operators.relational import q64
+
+    for fn, max_scans in [
+        (q64, 2),                # one shuffle, one scan
+        (t13_mixture_sample, 2), # counts checkpointed; sampling scan only
+        (t14_bigram_lm, 4),      # scoring instances + vocab
+        (d10_chunk_dedup, 2),    # kernel materialized once
+    ]:
+        plan = _plan(fn(spark, sf_dir))
+        n = plan.count("Scan parquet")
+        assert n <= max_scans, f"{fn.__name__}: {n} scans > {max_scans}"
