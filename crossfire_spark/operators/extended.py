@@ -190,6 +190,22 @@ def h03_matview_rollup(spark, sf_dir):
 
 
 EXTENDED_ORACLE_SQL: dict[str, str] = {
+    "h04_gap_fill": """
+        WITH hourly AS (SELECT event_type, DATE_TRUNC('hour', ts) h,
+                               COUNT(*) c, ROUND(SUM(value),2) s
+                        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+        bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM hourly),
+        spine AS (SELECT et.event_type, gs.h
+                  FROM (SELECT DISTINCT event_type FROM events) et,
+                       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) h
+                        FROM bounds) gs),
+        j AS (SELECT sp.event_type, sp.h, COALESCE(hr.c, 0) c, hr.s
+              FROM spine sp LEFT JOIN hourly hr
+                ON sp.event_type = hr.event_type AND sp.h = hr.h)
+        SELECT event_type, h, CAST(c AS BIGINT) c, (c = 0) filled,
+               last_value(s IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s_locf
+        FROM j ORDER BY event_type, h, c, filled, s_locf""",
     "v01_constraint_report": """
         WITH base AS (SELECT
                 CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) null_custkey,
@@ -294,6 +310,50 @@ def constraint_report(o: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
+def h04_gap_fill(spark, sf_dir):
+    """Time-bucket gap filling with LOCF — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` surface: generate the complete
+    hourly spine per event_type across the observed range, zero-fill
+    counts for missing buckets, and carry the last observed sum
+    forward (last_value IGNORE NULLS).
+
+    Scale shape: the spine is |types| x |hours| rows — calendar-
+    bounded metadata, generated declaratively (sequence + explode)
+    from a 1-row bounds aggregate, never driver-side; the left join
+    runs spine-vs-hourly (both aggregate-cardinality, the raw events
+    table is touched once by the hourly rollup); LOCF is one window
+    per series key over already-aggregated rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.withColumn("h", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            "h",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            (F.coalesce("c", F.lit(0)) == 0).alias("filled"),
+            F.last("s", ignorenulls=True).over(w).alias("s_locf"),
+        )
+        .orderBy("event_type", "h", "c", "filled", "s_locf")
+    )
+
+
 def v01_constraint_report(spark, sf_dir):
     return constraint_report(
         load_table(spark, sf_dir, "orders"),
@@ -306,6 +366,7 @@ EXTENDED_QUERIES = {
     "h01_time_rollup": h01_time_rollup,
     "h02_ohlc": h02_ohlc,
     "h03_matview_rollup": h03_matview_rollup,
+    "h04_gap_fill": h04_gap_fill,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
 }
