@@ -714,6 +714,53 @@ def d10_chunk_dedup(spark, sf_dir):
     )
 
 
+def dedup_savings_report(docs: DataFrame) -> DataFrame:
+    """End-to-end dedup *apply* summary — after all the pair/cluster
+    reports (d02/d03/d06), this is the step a pipeline actually ships:
+    keep each near-dup cluster's min-doc_id survivor (plus every
+    unclustered doc) and report, per source, how many documents and
+    characters the dedup saves. The budget table a 100 TB curation run
+    puts in front of "should we pay for near-dedup on this crawl".
+
+    Semantics: clusters are the transitive closure of the exact-
+    Jaccard edge set (the oracled d02/d06 semantics, so this stays
+    fully DuckDB-checkable); survivor = cluster_id = min doc_id.
+
+    Scale shape: cluster membership is |clustered docs| rows — tiny
+    vs the corpus — so the left join is a broadcast; the report is
+    one map-side-combinable aggregate on source. Text never shuffles
+    (the CC runs on the fingerprint-derived edge set)."""
+    cc = connected_components(exact_jaccard_pairs(docs))
+    kept = F.col("cluster_id").isNull() | (
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+            F.round(
+                F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+                / F.sum("n_chars"),
+                4,
+            ).alias("kept_frac"),
+        )
+    )
+
+
+def d11_dedup_savings(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_savings_report(d).orderBy(
+        "source", "n_docs", "n_kept", "chars_total", "chars_kept", "kept_frac"
+    )
+
+
 def _d10_sql() -> str:
     from crossfire_spark.functions.text import CDC_CHUNKS_SQL_CTE
 
@@ -784,6 +831,33 @@ DEDUP_ORACLE_SQL: dict[str, str] = {
                         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
         SELECT n doc_id, MIN(m) cluster_id FROM reach GROUP BY n
         ORDER BY doc_id, cluster_id""",
+    "d11_dedup_savings": f"""
+        WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN ns x ON doc_a = x.doc_id JOIN ns y ON doc_b = y.doc_id
+                  WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        reach(n, m) AS (SELECT a, a FROM edges
+                        UNION
+                        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        cc AS (SELECT n doc_id, MIN(m) cluster_id FROM reach GROUP BY n)
+        SELECT d.source, COUNT(*) n_docs,
+               CAST(SUM(CASE WHEN cc.cluster_id IS NULL OR d.doc_id = cc.cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+               CAST(SUM(d.n_chars) AS BIGINT) chars_total,
+               CAST(SUM(CASE WHEN cc.cluster_id IS NULL OR d.doc_id = cc.cluster_id
+                             THEN d.n_chars ELSE 0 END) AS BIGINT) chars_kept,
+               ROUND(SUM(CASE WHEN cc.cluster_id IS NULL OR d.doc_id = cc.cluster_id
+                              THEN d.n_chars ELSE 0 END) * 1.0 / SUM(d.n_chars), 4) kept_frac
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        GROUP BY d.source
+        ORDER BY d.source, n_docs, n_kept, chars_total, chars_kept, kept_frac""",
 }
 
 DEDUP_QUERIES = {
@@ -795,4 +869,5 @@ DEDUP_QUERIES = {
     "d07_contamination": d07_contamination,
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
+    "d11_dedup_savings": d11_dedup_savings,
 }

@@ -674,6 +674,60 @@ def t13_mixture_sample(spark, sf_dir):
     )
 
 
+SPLIT_TRAIN_LIM = 52429  # 80% of 65536
+SPLIT_VAL_LIM = 58982  # +10%
+
+
+def _u16_sql(operand: str) -> str:
+    """DuckDB rendering of :func:`_hash_u16` over an arbitrary string
+    operand (must match the Spark expression digit-for-digit)."""
+    return (
+        f"((instr('0123456789abcdef', substr(md5({operand}), 1, 1)) - 1) * 4096"
+        f" + (instr('0123456789abcdef', substr(md5({operand}), 2, 1)) - 1) * 256"
+        f" + (instr('0123456789abcdef', substr(md5({operand}), 3, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5({operand}), 4, 1)) - 1))"
+    )
+
+
+def split_assign(docs) -> "DataFrame":
+    """Leakage-safe train/val/test assignment: the split coin is
+    hashed from the document's order-invariant bag-of-words
+    fingerprint (the d01 dedup key), so every exact/bag duplicate of
+    a text lands in the SAME split — the train/test contamination
+    channel through duplicated documents is closed by construction.
+    ``rep`` is the duplicate group's min doc_id (its survivor).
+
+    Scale shape: fingerprint + md5-bucket + split label are pure
+    per-row projections (no shuffle); only the group-rep window
+    shuffles, on the 32-hex fingerprint. Determinism: md5 both
+    engines, no RNG — assignments are reproducible across runs,
+    engines and cluster sizes, the property a resumable data build
+    needs."""
+    from pyspark.sql import Window
+
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+        )
+    )
+    bucket = _hash_u16(F.col("fp"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LIM, "train")
+        .when(bucket < SPLIT_VAL_LIM, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "fp", "rep", split.alias("split"))
+    )
+
+
+def t15_split_assign(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return split_assign(d).orderBy("doc_id", "fp", "rep", "split")
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -833,7 +887,21 @@ TEXT_QUERIES = {
     "t12_cdc_chunks": t12_cdc_chunks,
     "t13_mixture_sample": t13_mixture_sample,
     "t14_bigram_lm": t14_bigram_lm,
+    "t15_split_assign": t15_split_assign,
 }
+
+TEXT_ORACLE_SQL["t15_split_assign"] = f"""
+        WITH f AS (SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+            FROM documents),
+        g AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) rep,
+                     {_u16_sql('fp')} b
+              FROM f)
+        SELECT doc_id, fp, rep,
+               CASE WHEN b < {SPLIT_TRAIN_LIM} THEN 'train'
+                    WHEN b < {SPLIT_VAL_LIM} THEN 'val'
+                    ELSE 'test' END split
+        FROM g ORDER BY doc_id, fp, rep, split"""
 
 # Shared CTE producing (doc_id, chunk_id, n_chars, fp) — t12's oracle
 # body, reused by the chunk-level dedup oracle (functions.dedup d10).

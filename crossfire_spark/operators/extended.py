@@ -255,6 +255,47 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
                COUNT(*) volume
         FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
         ORDER BY h, event_type, open_v, close_v, lo, hi, volume""",
+    "h05_sessionize": """
+        WITH b AS (SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END boundary
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id, value,
+                SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+            FROM b)
+        SELECT user_id, CAST(sess AS BIGINT) sess, COUNT(*) n_events,
+               MIN(ts) t_start, MAX(ts) t_end,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 dur_s,
+               ROUND(SUM(value), 2) sum_value
+        FROM s GROUP BY user_id, sess
+        ORDER BY user_id, sess, n_events, t_start, t_end, dur_s, sum_value""",
+    "h06_time_weighted": """
+        WITH d AS (SELECT event_type, value,
+                lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                    - epoch_us(ts) dur_us
+            FROM events)
+        SELECT event_type,
+               ROUND(ROUND(SUM(value * dur_us) / SUM(dur_us), 6) + 1e-9, 4) twa,
+               COUNT(*) n_obs, SUM(dur_us) / 1e6 span_s
+        FROM d WHERE dur_us IS NOT NULL GROUP BY event_type
+        ORDER BY event_type, twa, n_obs, span_s""",
+    "v02_drift_report": """
+        WITH counts AS (SELECT source, LEAST(FLOOR(n_chars / 100), 9) b, COUNT(*) c
+                        FROM documents GROUP BY source, LEAST(FLOOR(n_chars / 100), 9)),
+        totals AS (SELECT source, SUM(c) n FROM counts GROUP BY source),
+        grid AS (SELECT t.source, t.n, gs.b
+                 FROM totals t, (SELECT unnest(range(0, 10)) b) gs),
+        dist AS (SELECT g.source, g.b, COALESCE(c.c, 0) * 1.0 / g.n + 1e-6 p
+                 FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.b = c.b),
+        ref AS (SELECT b, p p_ref FROM dist WHERE source = 'src0')
+        SELECT d.source,
+               ROUND(ROUND(SUM((d.p - r.p_ref) * ln(d.p / r.p_ref)), 6) + 1e-9, 4) psi,
+               CAST(t.n AS BIGINT) n_docs
+        FROM dist d JOIN ref r ON d.b = r.b JOIN totals t ON d.source = t.source
+        GROUP BY d.source, t.n
+        ORDER BY d.source, psi, n_docs""",
 }
 
 def constraint_report(o: DataFrame, c: DataFrame) -> DataFrame:
@@ -361,12 +402,155 @@ def v01_constraint_report(spark, sf_dir):
     )
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min, in exact integer microseconds
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Batch sessionization — gap-based session assignment (the batch
+    twin of the streaming session window st03): a new session starts
+    when a user's inter-event gap exceeds ``gap_us``; session index =
+    running count of boundaries (lag + cumulative sum over one
+    user-partitioned window).
+
+    Scale shape: ONE shuffle of events on ``user_id``; both window
+    passes and the per-session aggregate reuse that partitioning
+    (the agg keys are (user_id, sess), a superset of the window key,
+    so no second exchange). Timestamps compare in exact integer
+    microseconds (``unix_micros``) — no float in the boundary
+    predicate, so every engine draws identical session borders."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    boundary = (
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us)
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("sess", F.sum(boundary).over(run))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1e6)
+            ).alias("dur_s"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def h05_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e).orderBy(
+        "user_id", "sess", "n_events", "t_start", "t_end", "dur_s", "sum_value"
+    )
+
+
+def time_weighted_avg(events: DataFrame, series_key: str = "event_type") -> DataFrame:
+    """Time-weighted average per series — the TimescaleDB
+    ``time_weight('LOCF', ...)`` surface: each observation's value
+    holds until the next observation in its series, so the average
+    weights each value by its holding duration (the final observation
+    carries no weight). One window pass (``lead`` over the series
+    partitioning) + one aggregate on the same key — one shuffle total.
+
+    Durations are exact integer microseconds; the weighted sum is the
+    only float reduction, stabilized by the engine's standard
+    round(round(x, 6) + 1e-9, 4) discipline."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_key).orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dur = F.lead(us).over(w) - us  # NULL on the last observation
+    weighted = events.select(
+        series_key, "value", dur.alias("dur_us")
+    ).where(F.col("dur_us").isNotNull())
+    twa = F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
+    return weighted.groupBy(series_key).agg(
+        F.round(F.round(twa, 6) + F.lit(1e-9), 4).alias("twa"),
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("dur_us") / F.lit(1e6)).alias("span_s"),
+    )
+
+
+def h06_time_weighted(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(e).orderBy("event_type", "twa", "n_obs", "span_s")
+
+
+DRIFT_BUCKETS = 10
+DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket; bucket 9 is open-ended
+DRIFT_EPS = 1e-6
+DRIFT_REF_SOURCE = "src0"
+
+
+def drift_report(docs: DataFrame) -> DataFrame:
+    """Population-stability-index (PSI) drift report — the pipeline-
+    observability check that a new crawl/dump still looks like the
+    reference corpus: bucket ``n_chars`` into fixed-width bins,
+    compare each source's distribution against ``DRIFT_REF_SOURCE``,
+    PSI = Σ_b (q_b − p_b)·ln(q_b/p_b) with add-ε smoothing.
+    PSI < 0.1 is conventionally "no shift", > 0.25 "action".
+
+    Scale shape: the corpus collapses to |sources|×10 bucket counts in
+    one map-side-combinable aggregate; everything after (the bucket
+    grid, the reference join, the PSI fold) is metadata-sized. The
+    grid is sources × a literal 10-row range — no driver loop."""
+    bucket = F.least(
+        F.floor(F.col("n_chars") / DRIFT_BUCKET_WIDTH),
+        F.lit(DRIFT_BUCKETS - 1),
+    ).cast("long")
+    counts = (
+        docs.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = totals.select("source", "n").crossJoin(
+        F.broadcast(
+            counts.sparkSession.range(DRIFT_BUCKETS).select(
+                F.col("id").alias("b")
+            )
+        )
+    )
+    dist = grid.join(counts, ["source", "b"], "left").select(
+        "source",
+        "b",
+        (F.coalesce("c", F.lit(0)) / F.col("n") + DRIFT_EPS).alias("p"),
+    )
+    ref = dist.where(F.col("source") == DRIFT_REF_SOURCE).select(
+        "b", F.col("p").alias("p_ref")
+    )
+    psi = F.sum((F.col("p") - F.col("p_ref")) * F.log(F.col("p") / F.col("p_ref")))
+    return (
+        dist.join(F.broadcast(ref), "b")
+        .groupBy("source")
+        .agg(F.round(F.round(psi, 6) + F.lit(1e-9), 4).alias("psi"))
+        .join(totals, "source")
+        .select("source", "psi", F.col("n").alias("n_docs"))
+    )
+
+
+def v02_drift_report(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return drift_report(d).orderBy("source", "psi", "n_docs")
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
     "h02_ohlc": h02_ohlc,
     "h03_matview_rollup": h03_matview_rollup,
     "h04_gap_fill": h04_gap_fill,
+    "h05_sessionize": h05_sessionize,
+    "h06_time_weighted": h06_time_weighted,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
+    "v02_drift_report": v02_drift_report,
 }

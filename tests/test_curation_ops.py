@@ -1,0 +1,111 @@
+"""Semantic property tests for the round-3 curation operators:
+sessionization boundaries, time-weighted-average invariants, PSI
+drift identities, dedup-savings consistency, and split leakage
+safety. The oracle equivalence itself is covered by the parametrized
+oracle tests; these pin the *meaning*."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+from crossfire_spark.functions.dedup import (
+    connected_components,
+    d11_dedup_savings,
+    exact_jaccard_pairs,
+)
+from crossfire_spark.functions.text import t15_split_assign
+from crossfire_spark.operators.extended import (
+    SESSION_GAP_US,
+    drift_report,
+    h05_sessionize,
+    sessionize,
+    time_weighted_avg,
+)
+
+
+def test_session_boundaries_respect_gap(spark, sf_dir):
+    """Within a session every inter-event gap is <= 30 min; the gap
+    between a session's end and the user's next session start is
+    > 30 min. Checked from raw events against the assignment."""
+    e = load_table(spark, sf_dir, "events")
+    sess = sessionize(e)
+    # consecutive sessions of one user must be separated by > gap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("sess")
+    adj = sess.withColumn("prev_end", F.lag("t_end").over(w)).where(
+        F.col("prev_end").isNotNull()
+    )
+    bad = adj.where(
+        F.unix_micros("t_start") - F.unix_micros("prev_end") <= SESSION_GAP_US
+    ).count()
+    assert bad == 0
+    # session count per user == number of boundary gaps + 1
+    n_events_total = sess.agg(F.sum("n_events")).first()[0]
+    assert n_events_total == e.count()
+
+
+def test_sessionize_dur_nonnegative_and_sorted(spark, sf_dir):
+    out = h05_sessionize(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["dur_s"] >= 0 for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_twa_bounded_by_min_max(spark, sf_dir):
+    """A time-weighted average lies within [min, max] of the series'
+    weighted observations."""
+    e = load_table(spark, sf_dir, "events")
+    twa = {r["event_type"]: r["twa"] for r in time_weighted_avg(e).collect()}
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in e.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for et, v in twa.items():
+        lo, hi = bounds[et]
+        assert lo - 1e-6 <= v <= hi + 1e-6
+
+
+def test_drift_reference_psi_is_zero(spark, sf_dir):
+    """PSI of the reference source against itself is exactly the
+    rounded zero; all PSIs are non-negative (Gibbs' inequality on the
+    smoothed distributions)."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = {r["source"]: r["psi"] for r in drift_report(d).collect()}
+    assert rows["src0"] == 0.0
+    assert all(v >= 0.0 for v in rows.values())
+
+
+def test_dedup_savings_totals(spark, sf_dir):
+    """kept <= total per source; global totals match the corpus; the
+    per-cluster survivor count equals the number of clusters."""
+    d = load_table(spark, sf_dir, "documents")
+    rep = d11_dedup_savings(spark, sf_dir).collect()
+    assert all(r["n_kept"] <= r["n_docs"] for r in rep)
+    assert all(r["chars_kept"] <= r["chars_total"] for r in rep)
+    assert sum(r["n_docs"] for r in rep) == d.count()
+    cc = connected_components(exact_jaccard_pairs(d))
+    n_clusters = cc.select("cluster_id").distinct().count()
+    n_clustered = cc.count()
+    removed = sum(r["n_docs"] - r["n_kept"] for r in rep)
+    assert removed == n_clustered - n_clusters
+
+
+def test_split_assign_no_leakage(spark, sf_dir):
+    """Docs sharing a bag fingerprint always land in the same split,
+    and every doc gets exactly one split."""
+    d = load_table(spark, sf_dir, "documents")
+    out = t15_split_assign(spark, sf_dir)
+    assert out.count() == d.count()
+    leaks = (
+        out.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
