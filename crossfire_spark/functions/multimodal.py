@@ -33,6 +33,26 @@ from pyspark.sql import types as T
 
 from crossfire_spark.catalog import load_table, spread
 
+# mapInPandas kernels in this module close over module-level codec
+# functions (encode_ppm / decode_image / resize_nearest). Register the
+# module for pickle-BY-VALUE so those closures carry the codecs with
+# them instead of requiring crossfire_spark on every executor's
+# sys.path — true when the driver runs from the repo root, false for a
+# host application running elsewhere. The codecs are deliberately
+# stdlib+numpy-only, so the by-value payload is a few KB.
+def _register_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: by-reference (driver must run in-repo)
+
+
+_register_by_value()
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -128,6 +128,20 @@ def _list_data_files(data_dir: str, batch_rel: str) -> dict[str, dict]:
     return out
 
 
+def _file_rows(path: str, files: list[str]) -> dict[str, int]:
+    """Per-file parquet row count from the footer (driver-side
+    metadata read of freshly written local files, same discipline as
+    :func:`_file_stats`). Recorded on the manifest so ``COUNT(*)``
+    — the most common query against any table — is answerable from
+    metadata alone at any scale."""
+    import pyarrow.parquet as pq
+
+    return {
+        rel: pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        for rel in files
+    }
+
+
 def _file_stats(
     path: str, files: list[str], cols: list[str]
 ) -> dict[str, dict[str, list]]:
@@ -214,12 +228,14 @@ def snapshot_write(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(data_dir)
     new_files = _list_data_files(data_dir, os.path.join(_DATA, batch))
+    new_rows = _file_rows(path, sorted(new_files))
     for _ in range(max_retries):
         parent = _current_version(path)
         files = dict(new_files)
         schema_json = df.schema.json()
         scols = list(stats_cols or [])
         stats: dict[str, dict] = {}
+        rows: dict[str, int] = dict(new_rows)
         if mode == "append" and parent is not None:
             parent_manifest = _read_manifest(path, parent)
             parent_parts = parent_manifest.get("partition_by", [])
@@ -250,6 +266,7 @@ def snapshot_write(
                 set(scols) | set(parent_manifest.get("stats_cols", []))
             )
             stats.update(parent_manifest.get("file_stats", {}))
+            rows = {**parent_manifest.get("file_rows", {}), **rows}
         if scols:
             stats.update(_file_stats(path, sorted(new_files), scols))
         version = 0 if parent is None else parent + 1
@@ -262,6 +279,7 @@ def snapshot_write(
             "partition_by": part_cols,
             "stats_cols": scols,
             "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
+            "file_rows": {f: rows[f] for f in sorted(files) if f in rows},
             "schema": schema_json,
             "properties": dict(properties or {}),
         }
@@ -337,6 +355,46 @@ def snapshot_read(
         ]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     return _read_files(spark, path, files, schema, part_cols)
+
+
+def snapshot_count(
+    path: str,
+    version: int | None = None,
+    where: dict[str, object] | None = None,
+) -> int:
+    """Exact ``COUNT(*)`` from manifest metadata — zero data IO.
+
+    The aggregate-pushdown fast path every table format grows
+    eventually: per-file row counts were recorded at commit time, so
+    the answer is a manifest read however large the table is;
+    ``where`` (equality on partition columns) prunes files from the
+    manifest's partition values first, exactly like ``snapshot_read``.
+    Files from manifests written before row counts were recorded fall
+    back to one driver-side footer read each."""
+    if version is None:
+        version = _current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot log at {path}")
+    manifest = _read_manifest(path, version)
+    files = manifest["files"]
+    fparts = manifest.get("file_partitions") or dict.fromkeys(files, {})
+    if where:
+        part_cols = manifest.get("partition_by", [])
+        unknown = sorted(set(where) - set(part_cols))
+        if unknown:
+            raise ValueError(
+                f"where keys {unknown} are not partition columns {part_cols}"
+            )
+        files = [
+            f
+            for f in files
+            if all(fparts[f].get(k) == str(v) for k, v in where.items())
+        ]
+    rows = manifest.get("file_rows", {})
+    missing = [f for f in files if f not in rows]
+    if missing:
+        rows = {**rows, **_file_rows(path, missing)}
+    return sum(rows[f] for f in files)
 
 
 def _read_files(spark, path, files, schema, part_cols):

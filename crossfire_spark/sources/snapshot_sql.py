@@ -17,6 +17,10 @@ or time travel, just parsing:
   (read → apply → overwrite-commit, operation stamped on the
   manifest) — the Delta-style row-level DML forms
 - ``DESCRIBE HISTORY t`` → ``snapshot_history`` as a DataFrame
+- ``OPTIMIZE t [ZORDER BY (c1, c2)]`` → ``snapshot_compact`` /
+  ``snapshot_cluster`` (the Delta OPTIMIZE maintenance verbs)
+- ``VACUUM t [RETAIN n VERSIONS]`` → ``snapshot_expire`` (returns the
+  number of data files deleted)
 
 Dialect bounds (documented, validated): MERGE ON must be a
 conjunction of ``t.k = s.k`` equalities (the snapshot merge is keyed,
@@ -65,6 +69,19 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"(?is)^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<cond>.+))?$"
+)
+_COUNT_RE = re.compile(
+    r"(?is)^\s*SELECT\s+COUNT\(\s*\*\s*\)(?:\s+(?:AS\s+)?(?P<alias>\w+))?"
+    r"\s+FROM\s+(?P<target>\w+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?\s*$"
+)
+_OPTIMIZE_RE = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+(?P<target>\w+)"
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\))?\s*$"
+)
+_VACUUM_RE = re.compile(
+    r"(?is)^\s*VACUUM\s+(?P<target>\w+)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$"
 )
 
 
@@ -161,6 +178,43 @@ def snapshot_sql(
             "version int, parent int, operation string, n_files int,"
             " partition_by string",
         )
+
+    m = _COUNT_RE.match(s)
+    if m and m.group("target") in tables:
+        # aggregate pushdown: a bare COUNT(*) never scans data — the
+        # per-file row counts recorded at commit time answer it from
+        # one manifest read (snapshot_count), at any table size.
+        from crossfire_spark.sources.snapshot import snapshot_count
+
+        ver = m.group("ver")
+        n = snapshot_count(
+            tables[m.group("target")],
+            version=int(ver) if ver is not None else None,
+        )
+        alias = m.group("alias") or "count(1)"
+        return spark.createDataFrame([(n,)], f"`{alias}` long")
+
+    m = _OPTIMIZE_RE.match(s)
+    if m:
+        from crossfire_spark.sources.snapshot import (
+            snapshot_cluster,
+            snapshot_compact,
+        )
+
+        path = tables[m.group("target")]
+        cols = m.group("cols")
+        if cols:
+            return snapshot_cluster(
+                spark, path, [c.strip() for c in cols.split(",")]
+            )
+        return snapshot_compact(spark, path)
+
+    m = _VACUUM_RE.match(s)
+    if m:
+        from crossfire_spark.sources.snapshot import snapshot_expire
+
+        keep = int(m.group("keep") or 1)
+        return snapshot_expire(tables[m.group("target")], keep_last=keep)
 
     m = _INSERT_RE.match(s)
     if m:

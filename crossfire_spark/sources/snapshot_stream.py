@@ -200,7 +200,26 @@ class SnapshotStreamSource(DataSource):
 
 
 def register_snapshot_source(spark: SparkSession) -> None:
-    """Idempotently register the source with the session."""
+    """Idempotently register the source with the session.
+
+    The class is registered for pickle-BY-VALUE first: Spark ships the
+    DataSource to worker processes via cloudpickle, and a by-reference
+    pickle would require ``crossfire_spark`` on every executor's
+    ``sys.path`` — true when the driver runs from the repo root, false
+    for a host application running elsewhere. This module is
+    deliberately self-contained (stdlib + pyarrow + pyspark only), so
+    shipping it by value is a few KB and removes the deployment
+    constraint."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(
+            sys.modules[SnapshotStreamSource.__module__]
+        )
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference
     spark.dataSource.register(SnapshotStreamSource)
 
 

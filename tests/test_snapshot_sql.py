@@ -227,3 +227,76 @@ def test_update_unknown_column_raises(spark, snap):
     docs, path = snap
     with pytest.raises(ValueError, match="unknown column"):
         snapshot_sql(spark, "UPDATE t SET nope = 1", {"t": path})
+
+
+def test_optimize_and_vacuum_sql(spark, snap):
+    import os
+
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_versions,
+    )
+
+    docs, path = snap
+    n0 = docs.count()
+    # a second commit so compaction has several files to merge
+    snapshot_write(docs.limit(10), path)
+    v = snapshot_sql(spark, "OPTIMIZE t", {"t": path})
+    assert v == _current_version(path)
+    head = _read_manifest(path, v)
+    assert head["operation"] == "overwrite"
+    assert snapshot_read(spark, path).count() == n0 + 10
+    # vacuum to the head only: history collapses, data files shrink
+    deleted = snapshot_sql(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": path})
+    assert deleted > 0
+    assert snapshot_versions(path) == [v]
+    assert snapshot_read(spark, path).count() == n0 + 10
+    # the surviving files all exist
+    for f in _read_manifest(path, v)["files"]:
+        assert os.path.exists(os.path.join(path, f))
+
+
+def test_optimize_zorder_sql(spark, snap):
+    docs, path = snap
+    v = snapshot_sql(spark, "OPTIMIZE t ZORDER BY (doc_id)", {"t": path})
+    from crossfire_spark.sources.snapshot import _read_manifest
+
+    m = _read_manifest(path, v)
+    assert "doc_id" in m["stats_cols"]
+    assert snapshot_read(spark, path).count() == docs.count()
+
+
+def test_count_star_metadata_fast_path(spark, snap):
+    docs, path = snap
+    n0 = docs.count()
+    out = snapshot_sql(spark, "SELECT COUNT(*) AS n FROM t", {"t": path})
+    assert out.collect()[0]["n"] == n0
+    snapshot_write(docs.limit(7), path)
+    assert (
+        snapshot_sql(spark, "SELECT COUNT(*) AS n FROM t", {"t": path})
+        .collect()[0]["n"]
+        == n0 + 7
+    )
+    # time travel still answers from the pinned manifest
+    assert (
+        snapshot_sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 0", {"t": path}
+        )
+        .collect()[0]["n"]
+        == n0
+    )
+
+
+def test_snapshot_count_partition_pruning(spark, snap, tmp_path):
+    from crossfire_spark.sources.snapshot import snapshot_count
+
+    docs, _ = snap
+    path = str(tmp_path / "parted")
+    snapshot_write(docs, path, partition_by=["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lang in langs:
+        assert snapshot_count(path, where={"lang": lang}) == docs.where(
+            F.col("lang") == lang
+        ).count()
+    assert snapshot_count(path) == docs.count()
