@@ -221,7 +221,117 @@ def query_sq8_index(
     return sq8_topk(embeddings, queries, k=k, bounds=b, corpus_codes=codes)
 
 
+# ------------------------------------------------ text inverted index
+
+
+def build_text_index(docs: DataFrame, path: str) -> None:
+    """One-time inverted-index build over ``documents``: the classic
+    sparse-retrieval index (Lucene's shape on engine tables).
+
+    - ``<root>/postings``  (word, doc_id, tf) — range-clustered and
+      sorted on ``word`` with per-file min/max word stats, so a query
+      for a handful of terms zone-map-prunes to the few files whose
+      word range covers them (the file-level analog of a term
+      dictionary seek);
+    - ``<root>/doclens``   (doc_id, dl) — per-doc token counts;
+    - ``<root>/stats``     (n, avgdl) — the 1-row corpus model.
+
+    Build cost is the one tokenize+count pass every BM25 query was
+    paying (t09); query traffic now reuses it. Rebuilds are new
+    snapshot versions — pinned readers keep a consistent index."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    postings = words.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_parts = max(2, postings.sparkSession.sparkContext.defaultParallelism // 4)
+    snapshot_write(
+        postings.repartitionByRange(n_parts, "word").sortWithinPartitions(
+            "word", "doc_id"
+        ),
+        os.path.join(path, "postings"),
+        stats_cols=["word"],
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    snapshot_write(dl, os.path.join(path, "doclens"))
+    snapshot_write(
+        dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")),
+        os.path.join(path, "stats"),
+    )
+
+
+def query_text_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """BM25 top-k from the persisted index — no corpus scan: postings
+    are zone-map-pruned to the files covering the query terms'
+    word range, IDF/avgdl come from the stored stats, and only
+    matched docs' lengths join in. Identical scoring pipeline (and
+    stabilized rounding) to ``text.t09_bm25``, so the same oracle
+    pins it."""
+    from crossfire_spark.functions.text import BM25_B, BM25_K1
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    tf = snapshot_read(
+        spark,
+        os.path.join(path, "postings"),
+        ranges={"word": (min(terms), max(terms))},
+    ).where(F.col("word").isin(*terms))
+    stats = snapshot_read(spark, os.path.join(path, "stats"))
+    dl = snapshot_read(spark, os.path.join(path, "doclens"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.join(F.broadcast(stats)).select(
+        "word",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.round(F.sum("contrib"), 6) + F.lit(1e-9), 4).alias("s")
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", "s")
+    )
+
+
 # --------------------------------------------------- declared queries
+
+
+def t16_bm25_index(spark, sf_dir):
+    """The persisted-index face of t09: tokenize once into an inverted
+    index (snapshot tables), answer the fixed 3-term BM25 query from
+    the index. Same scoring and rounding as t09 → same DuckDB
+    oracle."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.text import BM25_TERMS
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    path = os.path.join(_session_workdir("t16_"), "text_index")
+    build_text_index(d, path)
+    return query_text_index(spark, path, list(BM25_TERMS))
 
 
 def s06_ivf_index(spark, sf_dir):
@@ -261,6 +371,7 @@ def s08_sq8_index(spark, sf_dir):
 ANN_INDEX_QUERIES = {
     "s06_ivf_index": s06_ivf_index,
     "s08_sq8_index": s08_sq8_index,
+    "t16_bm25_index": t16_bm25_index,
 }
 
 
@@ -269,11 +380,15 @@ def _oracle() -> dict[str, str]:
     # so it shares s03's oracle verbatim; only the execution path
     # (persisted index tables vs recompute) differs.
     from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
+    from crossfire_spark.functions.text import TEXT_ORACLE_SQL
 
     return {
         "s06_ivf_index": SIMILARITY_ORACLE_SQL["s03_ivf_topk"],
         # s08 must equal s07 exactly (same codes, same ranking).
         "s08_sq8_index": SIMILARITY_ORACLE_SQL["s07_sq8_topk"],
+        # t16 must equal t09 exactly (same scoring and rounding); only
+        # the execution path (inverted index vs corpus scan) differs.
+        "t16_bm25_index": TEXT_ORACLE_SQL["t09_bm25"],
     }
 
 

@@ -125,3 +125,38 @@ def test_sq8_index_build_query(spark, sf_dir, tmp_path):
     # query twice: second answer identical (stable persisted codes)
     again = query_sq8_index(spark, path, em, q)
     assert sorted(tuple(r) for r in again.collect()) == adhoc
+
+
+def test_text_index_build_query(spark, sf_dir, tmp_path):
+    """Inverted-index BM25 equals the corpus-scan BM25 (t09); repeated
+    queries reuse the index; postings zone maps prune files for a
+    narrow term range."""
+    from crossfire_spark.functions.ann_index import (
+        build_text_index,
+        query_text_index,
+    )
+    from crossfire_spark.functions.text import BM25_TERMS, t09_bm25
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tix")
+    build_text_index(d, path)
+    expect = [tuple(r) for r in t09_bm25(spark, sf_dir).collect()]
+    got1 = [
+        tuple(r)
+        for r in query_text_index(spark, path, list(BM25_TERMS)).collect()
+    ]
+    got2 = [
+        tuple(r)
+        for r in query_text_index(spark, path, list(BM25_TERMS)).collect()
+    ]
+    assert got1 == expect
+    assert got2 == expect
+    # the postings table carries per-file word stats for pruning
+    post = os.path.join(path, "postings")
+    m = _read_manifest(post, _current_version(post))
+    assert m["stats_cols"] == ["word"]
+    assert any(st.get("word") for st in m["file_stats"].values())
