@@ -427,7 +427,79 @@ def st11_stream_pii(spark, sf_dir):
     )
 
 
+def st12_stream_matview(spark, sf_dir):
+    """Streaming continuous aggregate — the TimescaleDB/Databricks
+    "materialized view over a stream" surface built from engine
+    pieces: every micro-batch (1) append-commits to a snapshot base
+    table and (2) advances the incrementally-maintained aggregate
+    view (``sources.matview``) from the base's CDC feed alone — no
+    base rescan, however many batches have accumulated. The declared
+    result reads the VIEW and must equal the plain GROUP BY over all
+    events — so the whole stream→commit→refresh loop is oracle-
+    checked for any batching of the source.
+
+    Scale shape: a micro-batch refresh costs O(batch rows) + a
+    copy-on-write touch of the view files holding changed keys;
+    |event_type| keys means the view itself is tiny forever. The
+    source is split into multiple files with maxFilesPerTrigger=1 so
+    several genuine micro-batch refreshes run (one parquet file would
+    collapse to a single batch)."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.sources.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from crossfire_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    work = _session_workdir("st12_")
+    src = os.path.join(work, "in")
+    base = os.path.join(work, "base")
+    view = os.path.join(work, "view")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        snapshot_write(batch_df, base)
+        if not snapshot_versions(view):
+            create_aggregate_view(
+                s, base, view, keys=["event_type"], measures=["value"]
+            )
+        else:
+            refresh_aggregate_view(s, base, view)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        snapshot_read(spark, view)
+        .select(
+            "event_type",
+            F.col("_cnt").alias("n"),
+            F.round("sum_value", 2).alias("s"),
+        )
+        .orderBy("event_type", "n", "s")
+    )
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
+    "st12_stream_matview": """
+        SELECT event_type, COUNT(*) n, ROUND(SUM(value), 2) s
+        FROM events GROUP BY event_type
+        ORDER BY event_type, n, s""",
     "st08_stream_dedup": """
         SELECT event_id, user_id, event_type, ts, ROUND(value, 2) v
         FROM events ORDER BY event_id, user_id, event_type, ts, v""",
@@ -477,6 +549,7 @@ STREAMING_QUERIES = {
     "st09_snapshot_merge_stream": st09_snapshot_merge_stream,
     "st10_snapshot_source_stream": st10_snapshot_source_stream,
     "st11_stream_pii": st11_stream_pii,
+    "st12_stream_matview": st12_stream_matview,
 }
 
 # st11's oracle is the t10 batch SQL verbatim: a stateless projection
