@@ -728,6 +728,52 @@ def t15_split_assign(spark, sf_dir):
     return split_assign(d).orderBy("doc_id", "fp", "rep", "split")
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_keywords(docs, k: int = TFIDF_TOPK) -> "DataFrame":
+    """Per-document keyword extraction by TF-IDF — the feature every
+    corpus-exploration/labeling pipeline wants next to langid and
+    quality: score = tf · ln((N+1)/(df+1)) (add-1 smoothed IDF), keep
+    each document's top-``k`` terms (ties broken alphabetically).
+
+    Scale shape: one shuffle builds (doc, word, tf); document
+    frequencies collapse to a vocabulary-sized table that joins back
+    by **broadcast** (the corpus side never reshuffles for the
+    model); the top-k is a per-doc row_number window on the doc key.
+    Every score is a product of exact integers through ln — no
+    float accumulation — so engines agree to the stabilized 4 dp."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "word").withColumn(
+        "score",
+        F.round(F.round(F.col("tf") * F.col("idf"), 6) + F.lit(1e-9), 4),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "rk", "word", "score")
+    )
+
+
+def t17_tfidf_keywords(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d).orderBy("doc_id", "rk", "word", "score")
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -888,7 +934,26 @@ TEXT_QUERIES = {
     "t13_mixture_sample": t13_mixture_sample,
     "t14_bigram_lm": t14_bigram_lm,
     "t15_split_assign": t15_split_assign,
+    "t17_tfidf_keywords": t17_tfidf_keywords,
 }
+
+TEXT_ORACLE_SQL["t17_tfidf_keywords"] = f"""
+        WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                       FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) tf FROM words GROUP BY doc_id, word),
+        nd AS (SELECT COUNT(DISTINCT doc_id) n FROM documents),
+        dfreq AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
+        idf AS (SELECT word, ln((n + 1) * 1.0 / (df + 1)) idf FROM dfreq CROSS JOIN nd),
+        scored AS (SELECT t.doc_id, t.word,
+                          ROUND(ROUND(t.tf * i.idf, 6) + 1e-9, 4) score
+                   FROM tf t JOIN idf i ON t.word = i.word),
+        ranked AS (SELECT doc_id, word, score,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, word) rk
+                   FROM scored)
+        SELECT doc_id, CAST(rk AS INT) rk, word, score
+        FROM ranked WHERE rk <= {TFIDF_TOPK}
+        ORDER BY doc_id, rk, word, score"""
 
 TEXT_ORACLE_SQL["t15_split_assign"] = f"""
         WITH f AS (SELECT doc_id,

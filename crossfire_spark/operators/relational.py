@@ -1184,6 +1184,28 @@ def q65(spark, sf_dir):
     )
 
 
+def q66(spark, sf_dir):
+    """Rank-family window suite — NTILE quartiles, PERCENT_RANK and
+    CUME_DIST per status group (the distribution-rank functions the
+    declared surface didn't cover; rank/dense_rank/row_number live in
+    q16/q33). The ORDER BY inside the window is made unique with the
+    key column, so every rank value is deterministic in any engine;
+    percent_rank/cume_dist are exact rationals of row counts, so the
+    doubles agree bit-for-bit. One shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("q4"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderkey", "o_orderstatus", "o_totalprice", "q4", "pr", "cd")
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1402,6 +1424,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM act JOIN f USING (user_id)
         WHERE date_diff('day', f.d0, act.d) BETWEEN 0 AND 7
         GROUP BY f.d0, k ORDER BY cohort, k, n""",
+    "q66": """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        NTILE(4) OVER w q4,
+        ROUND(PERCENT_RANK() OVER w, 6) pr,
+        ROUND(CUME_DIST() OVER w, 6) cd
+        FROM orders WHERE o_orderkey < 4000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey, o_orderstatus, o_totalprice, q4, pr, cd""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
