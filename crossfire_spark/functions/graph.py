@@ -1,0 +1,165 @@
+"""Iterative graph analytics on DataFrames (no GraphX/GraphFrames
+dependency — plain joins + aggregates, the way Spark SQL users run
+graph algorithms at scale).
+
+``connected_components`` lives in ``functions.dedup`` (duplicate
+clustering); this module adds **PageRank**, the other canonical
+message-passing workload. A fixed iteration count keeps the operator
+fully deterministic and lets the DuckDB oracle state the SAME
+computation as an unrolled chain of join+aggregate CTEs — the
+iterative engine loop is therefore exactly oracle-checked, not just
+sanity-checked.
+
+Scale shape per iteration: one equi-join of ranks to edges on the
+source key + one aggregate on the destination key — two shuffles over
+edge-cardinality rows, the textbook distributed PageRank step. Ranks
+are ``localCheckpoint``-ed each round so the lineage (and codegen
+plan) stays O(1) deep instead of O(iterations); dangling mass is
+redistributed uniformly (the standard correction) computed as a 1-row
+broadcast aggregate.
+
+The declared graph is synthesized closed-form from ``documents``
+(node i links to (7i+1) mod N and (13i+3) mod N): every edge is a
+pure projection, so the oracle builds the identical graph and the
+operator is pinned end-to-end at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crossfire_spark.catalog import load_table
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMP,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list ``(src, dst)``.
+
+    Nodes = union of srcs and dsts; rank starts uniform at 1/N;
+    each round every node sends rank/out_degree along its out-edges,
+    and ``rank = (1-d)/N + d * (received + dangling/N)`` where
+    ``dangling`` is the total rank of nodes with no out-edges
+    (uniformly redistributed). Returns (node, rank).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # scalar: drives the uniform terms
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge weight = 1/out_degree(src), constant across iterations
+    w_edges = edges.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    has_out = w_edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(iters):
+        # rank mass parked on dangling nodes (no out-edges): 1-row agg
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            w_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("recv"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("recv", F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # O(1) lineage depth per round
+        )
+    return ranks
+
+
+def doc_link_graph(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table:
+    node i → (7i+1) mod N and i → (13i+3) mod N (N = max id + 1).
+    Closed-form, so the oracle reconstructs the identical graph."""
+    n = docs.select(F.max("doc_id").alias("m"))
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 7 + 1) % (F.col("m") + 1),
+                    (F.col("doc_id") * 13 + 3) % (F.col("m") + 1),
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def g01_pagerank(spark, sf_dir):
+    """PageRank over the synthetic document link graph, 3 fixed
+    iterations — oracled by the identical computation unrolled as
+    DuckDB CTEs. Ranks are stabilized (ROUND(·,9)+1e-12 → 6 dp):
+    per-node received sums accumulate in engine-specific order."""
+    d = load_table(spark, sf_dir, "documents")
+    ranks = pagerank(doc_link_graph(d))
+    return ranks.select(
+        "node",
+        F.round(F.round(F.col("rank"), 9) + F.lit(1e-12), 6).alias("rank"),
+    ).orderBy("node", "rank")
+
+
+def _pr_oracle() -> str:
+    # the identical computation unrolled: r0 uniform; each iteration
+    # one join+aggregate; dangling mass redistributed uniformly.
+    it = """
+        recv{i} AS (SELECT e.dst node, SUM(r.rank * e.w) recv
+                    FROM we e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+        dang{i} AS (SELECT COALESCE(SUM(rank), 0) dm FROM r{p}
+                    WHERE node NOT IN (SELECT src FROM we)),
+        r{i} AS (SELECT n.node,
+                        (1 - {d}) / nn.n + {d} * (COALESCE(v.recv, 0) + g.dm / nn.n) rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN dang{i} g
+                 LEFT JOIN recv{i} v ON n.node = v.node)"""
+    steps = ",".join(
+        it.format(i=i, p=i - 1, d=PR_DAMP) for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT COUNT(*) * 1.0 n FROM nodes),
+        deg AS (SELECT src, COUNT(*) c FROM e GROUP BY src),
+        we AS (SELECT e.src, e.dst, 1.0 / d.c w FROM e JOIN deg d ON e.src = d.src),
+        r0 AS (SELECT node, 1.0 / nn.n rank FROM nodes CROSS JOIN nn),
+        {steps}
+        SELECT node, ROUND(ROUND(rank, 9) + 1e-12, 6) rank
+        FROM r{PR_ITERS} ORDER BY node, rank"""
+
+
+GRAPH_QUERIES = {"g01_pagerank": g01_pagerank}
+GRAPH_ORACLE_SQL = {"g01_pagerank": _pr_oracle()}

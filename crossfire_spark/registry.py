@@ -89,6 +89,12 @@ def all_queries() -> dict[str, Builder]:
         out.update(STREAM_JOIN_QUERIES)
     except ImportError:
         pass
+    try:
+        from crossfire_spark.functions.graph import GRAPH_QUERIES
+
+        out.update(GRAPH_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -162,6 +168,12 @@ def all_oracle_sql() -> dict[str, str]:
         from crossfire_spark.streaming.joins import STREAM_JOIN_ORACLE_SQL
 
         out.update(STREAM_JOIN_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crossfire_spark.functions.graph import GRAPH_ORACLE_SQL
+
+        out.update(GRAPH_ORACLE_SQL)
     except ImportError:
         pass
     return out

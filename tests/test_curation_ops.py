@@ -109,3 +109,17 @@ def test_split_assign_no_leakage(spark, sf_dir):
     assert leaks == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Total rank mass stays 1 (damping + dangling redistribution
+    conserve it) and every rank is positive; the synthetic graph has
+    every doc as a node."""
+    from crossfire_spark.functions.graph import doc_link_graph, pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    ranks = pagerank(doc_link_graph(d)).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in ranks)
+    assert len(ranks) == d.count()
