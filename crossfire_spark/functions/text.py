@@ -748,7 +748,14 @@ def tfidf_keywords(docs, k: int = TFIDF_TOPK) -> "DataFrame":
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, word, tf) feeds BOTH the document-frequency aggregate and
+    # the scoring join — materialize once so the corpus tokenize runs
+    # one pass, not one per consumer (PLANS.md showed 3 scans without)
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(

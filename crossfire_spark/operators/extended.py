@@ -506,10 +506,13 @@ def drift_report(docs: DataFrame) -> DataFrame:
         F.floor(F.col("n_chars") / DRIFT_BUCKET_WIDTH),
         F.lit(DRIFT_BUCKETS - 1),
     ).cast("long")
+    # |sources|x10 rows feeding three consumers (totals, grid, dist) —
+    # materialize once so the corpus is scanned exactly once
     counts = (
         docs.select("source", bucket.alias("b"))
         .groupBy("source", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
     grid = totals.select("source", "n").crossJoin(
