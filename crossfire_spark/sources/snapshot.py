@@ -128,6 +128,28 @@ def _list_data_files(data_dir: str, batch_rel: str) -> dict[str, dict]:
     return out
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Validate ``df`` against every CHECK expression in one combined
+    aggregate (a count_if column per constraint — adding a constraint
+    adds a column, not a pass). Raises with per-constraint violation
+    counts; NULL predicate results count as violations (a CHECK must
+    prove the row valid)."""
+    if not constraints:
+        return
+    row = df.agg(
+        *[
+            F.count_if(~F.coalesce(F.expr(expr), F.lit(False))).alias(name)
+            for name, expr in sorted(constraints.items())
+        ]
+    ).first()
+    bad = {n: row[n] for n in sorted(constraints) if row[n] > 0}
+    if bad:
+        detail = ", ".join(
+            f"{n} ({constraints[n]!r}): {c} rows" for n, c in bad.items()
+        )
+        raise ValueError(f"CHECK constraint violation: {detail}")
+
+
 def _file_rows(path: str, files: list[str]) -> dict[str, int]:
     """Per-file parquet row count from the footer (driver-side
     metadata read of freshly written local files, same discipline as
@@ -220,6 +242,18 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     part_cols = list(partition_by or [])
+    # CHECK constraints are table-level semantics: they survive every
+    # write mode (like Delta) until dropped, and every incoming batch
+    # is validated BEFORE any data lands — one combined aggregate over
+    # the batch, however many constraints the table carries.
+    head_v = _current_version(path)
+    table_constraints: dict[str, str] = {}
+    if head_v is not None:
+        table_constraints = dict(
+            _read_manifest(path, head_v).get("constraints", {})
+        )
+    if table_constraints:
+        _enforce_constraints(df, table_constraints)
     os.makedirs(os.path.join(path, _LOG), exist_ok=True)
     batch = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, _DATA, batch)
@@ -238,6 +272,11 @@ def snapshot_write(
         rows: dict[str, int] = dict(new_rows)
         if mode == "append" and parent is not None:
             parent_manifest = _read_manifest(path, parent)
+            # re-read under contention: a concurrent ADD CONSTRAINT
+            # must not be dropped by this commit's stamp
+            table_constraints = dict(
+                parent_manifest.get("constraints", {})
+            ) or table_constraints
             parent_parts = parent_manifest.get("partition_by", [])
             if parent_parts != part_cols:
                 raise ValueError(
@@ -282,6 +321,7 @@ def snapshot_write(
             "file_rows": {f: rows[f] for f in sorted(files) if f in rows},
             "schema": schema_json,
             "properties": dict(properties or {}),
+            "constraints": table_constraints,
         }
         tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
@@ -466,6 +506,9 @@ def snapshot_merge(
         raise ValueError(
             "merge batch schema must match the table schema exactly"
         )
+    # the upsert batch must satisfy the table's CHECK constraints
+    # (survivor rows were validated when they were written)
+    _enforce_constraints(df, m.get("constraints", {}))
     part_cols = m.get("partition_by", [])
     fparts = m.get("file_partitions") or dict.fromkeys(m["files"], {})
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -533,6 +576,10 @@ def snapshot_merge(
     stats = {f: fstats.get(f, {}) for f in keep}
     if scols:
         stats.update(_file_stats(path, sorted(new_files), scols))
+    rows = {
+        f: n for f, n in m.get("file_rows", {}).items() if f in keep
+    }
+    rows.update(_file_rows(path, sorted(new_files)))
     manifest = {
         "version": head + 1,
         "parent": head,
@@ -542,8 +589,10 @@ def snapshot_merge(
         "partition_by": part_cols,
         "stats_cols": scols,
         "file_stats": {f: stats.get(f, {}) for f in sorted(files)},
+        "file_rows": {f: rows[f] for f in sorted(files) if f in rows},
         "schema": m["schema"],
         "properties": dict(properties or {}),
+        "constraints": dict(m.get("constraints", {})),
     }
     tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
@@ -558,6 +607,66 @@ def snapshot_merge(
             f"concurrent commit at {path} v{head + 1}: merge was computed "
             "against a stale head — rerun the merge"
         ) from None
+
+
+def _metadata_commit(path: str, operation: str, **updates) -> int:
+    """Commit a new version that changes only table metadata: the head
+    manifest's file set carries over by reference, ``updates`` replace
+    top-level manifest fields. One JSON write, zero data IO."""
+    head = _current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    m = _read_manifest(path, head)
+    m.update(updates)
+    m["version"] = head + 1
+    m["parent"] = head
+    m["operation"] = operation
+    tmp = os.path.join(path, _LOG, f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    try:
+        os.link(tmp, _manifest_path(path, head + 1))
+        os.unlink(tmp)
+        return head + 1
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent commit at {path} v{head + 1}: rerun"
+        ) from None
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT name CHECK (expr) — the Delta constraint
+    surface: existing head data is validated first (one aggregate
+    scan; a table already violating the rule must not silently gain
+    it), then the constraint lands as a metadata-only commit. Every
+    subsequent write/merge batch is validated against it before any
+    data commits; drops are metadata-only too."""
+    head = _current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    m = _read_manifest(path, head)
+    cons = dict(m.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    _enforce_constraints(snapshot_read(spark, path), {name: expr})
+    cons[name] = expr
+    return _metadata_commit(path, "add_constraint", constraints=cons)
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """DROP CONSTRAINT name — metadata-only commit."""
+    head = _current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    m = _read_manifest(path, head)
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    return _metadata_commit(path, "drop_constraint", constraints=cons)
 
 
 def snapshot_history(path: str) -> list[dict]:

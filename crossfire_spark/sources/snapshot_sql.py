@@ -21,6 +21,10 @@ or time travel, just parsing:
   ``snapshot_cluster`` (the Delta OPTIMIZE maintenance verbs)
 - ``VACUUM t [RETAIN n VERSIONS]`` → ``snapshot_expire`` (returns the
   number of data files deleted)
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+  ``ALTER TABLE t DROP CONSTRAINT name`` → table CHECK constraints
+  (validated against head data on add; every later write/merge batch
+  is validated before committing)
 
 Dialect bounds (documented, validated): MERGE ON must be a
 conjunction of ``t.k = s.k`` equalities (the snapshot merge is keyed,
@@ -69,6 +73,14 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"(?is)^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<cond>.+))?$"
+)
+_ADD_CON_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+ADD\s+CONSTRAINT"
+    r"\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$"
+)
+_DROP_CON_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+DROP\s+CONSTRAINT"
+    r"\s+(?P<name>\w+)\s*$"
 )
 _COUNT_RE = re.compile(
     r"(?is)^\s*SELECT\s+COUNT\(\s*\*\s*\)(?:\s+(?:AS\s+)?(?P<alias>\w+))?"
@@ -177,6 +189,22 @@ def snapshot_sql(
             ],
             "version int, parent int, operation string, n_files int,"
             " partition_by string",
+        )
+
+    m = _ADD_CON_RE.match(s)
+    if m:
+        from crossfire_spark.sources.snapshot import snapshot_add_constraint
+
+        return snapshot_add_constraint(
+            spark, tables[m.group("target")], m.group("name"), m.group("expr")
+        )
+
+    m = _DROP_CON_RE.match(s)
+    if m:
+        from crossfire_spark.sources.snapshot import snapshot_drop_constraint
+
+        return snapshot_drop_constraint(
+            tables[m.group("target")], m.group("name")
         )
 
     m = _COUNT_RE.match(s)

@@ -300,3 +300,65 @@ def test_snapshot_count_partition_pruning(spark, snap, tmp_path):
             F.col("lang") == lang
         ).count()
     assert snapshot_count(path) == docs.count()
+
+
+def test_check_constraints_lifecycle(spark, snap):
+    import pytest as _pytest
+
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_merge,
+    )
+
+    docs, path = snap
+    # add via SQL: validated against head data, metadata-only commit
+    v = snapshot_sql(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT docid_nonneg CHECK (doc_id >= 0)",
+        {"t": path},
+    )
+    m = _read_manifest(path, v)
+    assert m["operation"] == "add_constraint"
+    assert m["constraints"] == {"docid_nonneg": "doc_id >= 0"}
+    # a conforming append carries the constraint forward
+    ok = spark.createDataFrame([(30_000_001, "en", "fine")], schema=docs.schema)
+    v2 = snapshot_write(ok, path)
+    assert _read_manifest(path, v2)["constraints"] == {
+        "docid_nonneg": "doc_id >= 0"
+    }
+    # a violating append must not commit anything
+    bad = spark.createDataFrame([(-5, "en", "nope")], schema=docs.schema)
+    with _pytest.raises(ValueError, match="docid_nonneg"):
+        snapshot_write(bad, path)
+    assert _current_version(path) == v2
+    # a violating merge batch is rejected too
+    with _pytest.raises(ValueError, match="docid_nonneg"):
+        snapshot_merge(spark, bad, path, keys=["doc_id"])
+    assert _current_version(path) == v2
+    # NULL predicate result counts as a violation
+    nullrow = spark.createDataFrame([(None, "en", "null id")], schema=docs.schema)
+    with _pytest.raises(ValueError, match="docid_nonneg"):
+        snapshot_write(nullrow, path)
+    # adding a constraint the existing data violates must fail
+    with _pytest.raises(ValueError, match="lang_en"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t ADD CONSTRAINT lang_en CHECK (lang = 'zz')",
+            {"t": path},
+        )
+    # drop, then the formerly-bad append commits
+    snapshot_sql(spark, "ALTER TABLE t DROP CONSTRAINT docid_nonneg", {"t": path})
+    v3 = snapshot_write(bad, path)
+    assert _read_manifest(path, v3)["constraints"] == {}
+
+
+def test_count_fast_path_after_merge(spark, snap):
+    from crossfire_spark.sources.snapshot import snapshot_count, snapshot_merge
+
+    docs, path = snap
+    n0 = docs.count()
+    batch = docs.limit(3).withColumn("text", F.lit("M"))
+    snapshot_merge(spark, batch, path, keys=["doc_id"])
+    # merge commits now record file_rows: metadata count stays exact
+    assert snapshot_count(path) == n0
