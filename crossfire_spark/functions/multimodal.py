@@ -136,6 +136,43 @@ def decode_ppm(content: bytes):
     return data.reshape(h, w, 3)
 
 
+AUDIO_SR = 8000
+
+
+def encode_wav(samples, sr: int = AUDIO_SR) -> bytes:
+    """Encode unsigned-8-bit mono PCM samples as a real RIFF/WAV file
+    via the stdlib ``wave`` codec — genuine container format, zero
+    external dependencies."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sr)
+        w.writeframes(np.asarray(samples, dtype=np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes):
+    """Decode a RIFF/WAV byte stream → (samples uint8 array, sample
+    rate) via the stdlib ``wave`` codec (8-bit mono PCM)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError("only 8-bit mono PCM supported")
+        sr = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.uint8), sr
+
+
 def decode_image(content: bytes):
     """REAL image decode → (H, W, 3) uint8 numpy array.
 
@@ -439,6 +476,80 @@ def image_stats(media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H)
     )
 
 
+AUDIO_MAX_SAMPLES = 400
+
+
+def synthesize_wav_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic real WAV clips for the 'audio' documents
+    (doc_id % 3 == 1, the m01 kind convention): sample i of clip d is
+    (d·(i+1)) mod 251, n = min(n_chars, 400) samples — every byte of
+    the PCM payload is a closed-form function of (doc_id, i), so a
+    decoder's output is DuckDB-checkable while the bytes round-trip a
+    genuine RIFF/WAV container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(int(nch), AUDIO_MAX_SAMPLES)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * (i + 1)) % 251).astype(np.uint8)
+                out.append(encode_wav(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    return docs.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "n_chars"
+    ).mapInPandas(kernel, schema="media_id long, content binary")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → waveform stats over a binary audio column:
+    stdlib WAV codec, then vectorized numpy RMS / peak / zero-crossing
+    analysis — the audio twin of ``image_stats``. Centered at the
+    8-bit midpoint 128; a zero crossing is a strict sign change
+    between consecutive samples."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, sr = decode_wav(bytes(content))
+                c = samples.astype(np.int64) - 128
+                rms = float(np.sqrt((c * c).mean()))
+                peak = int(np.abs(c).max())
+                zc = int(((c[:-1] * c[1:]) < 0).sum())
+                rows.append(
+                    (mid, len(samples), sr, round(round(rms, 6) + 1e-9, 4), peak, zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sr", "rms", "peak", "zc"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, n_samples long, sr long, rms double,"
+        " peak long, zc long",
+    )
+
+
+def m05_audio_decode(spark, sf_dir):
+    """Real-codec audio pipeline: synthesize actual RIFF/WAV bytes per
+    'audio' document, decode them with the stdlib wave codec, and
+    report sample count / rate / RMS / peak / zero crossings.
+    Closed-form PCM makes every output value a function of
+    (doc_id, i) → full DuckDB oracle over a genuine encode→decode
+    round trip (the audio twin of m04)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_stats(synthesize_wav_audio(docs)).orderBy(
+        "media_id", "n_samples", "sr", "rms", "peak", "zc"
+    )
+
+
 def m04_image_decode(spark, sf_dir):
     """Real-codec pipeline: synthesize actual PPM bytes per document,
     decode them with the real parser, resize, and report dimensions +
@@ -457,6 +568,7 @@ MULTIMODAL_QUERIES = {
     "m02_image_resize": m02_image_resize,
     "m03_frame_sample": m03_frame_sample,
     "m04_image_decode": m04_image_decode,
+    "m05_audio_decode": m05_audio_decode,
 }
 # All three kernels are deterministic functions of the byte stream,
 # so all three mapInPandas pipelines get full DuckDB oracles: m01
@@ -509,4 +621,22 @@ MULTIMODAL_ORACLE_SQL: dict[str, str] = {
                CAST((doc_id * 3) % 251 AS DOUBLE) mean_b
         FROM documents
         ORDER BY media_id, width, height, rz_w, rz_h, mean_r, mean_g, mean_b""",
+    # m05: closed-form PCM → RMS/peak/zero-crossings restate exactly
+    # in SQL over a generated sample index; the Spark side really
+    # round-trips a RIFF/WAV container through the stdlib codec.
+    "m05_audio_decode": f"""
+        WITH d AS (SELECT doc_id, LEAST(n_chars, {AUDIO_MAX_SAMPLES}) n
+                   FROM documents WHERE doc_id % 3 = 1),
+        s AS (SELECT d.doc_id, d.n, t.i,
+                     (d.doc_id * (t.i + 1)) % 251 - 128 c
+              FROM d, unnest(range(0, d.n)) t(i)),
+        x AS (SELECT doc_id, n, i, c,
+                     lead(c) OVER (PARTITION BY doc_id ORDER BY i) nx
+              FROM s)
+        SELECT doc_id media_id, n n_samples, CAST({AUDIO_SR} AS BIGINT) sr,
+               ROUND(ROUND(sqrt(AVG(c * c)), 6) + 1e-9, 4) rms,
+               MAX(ABS(c)) peak,
+               CAST(COUNT(*) FILTER (c * nx < 0) AS BIGINT) zc
+        FROM x GROUP BY doc_id, n
+        ORDER BY media_id, n_samples, sr, rms, peak, zc""",
 }

@@ -17,6 +17,8 @@ or time travel, just parsing:
   (read → apply → overwrite-commit, operation stamped on the
   manifest) — the Delta-style row-level DML forms
 - ``DESCRIBE HISTORY t`` → ``snapshot_history`` as a DataFrame
+- ``DESCRIBE DETAIL t`` → one row of head metadata (version, files,
+  rows, partitioning, stats columns, constraints) with zero data IO
 - ``OPTIMIZE t [ZORDER BY (c1, c2)]`` → ``snapshot_compact`` /
   ``snapshot_cluster`` (the Delta OPTIMIZE maintenance verbs)
 - ``VACUUM t [RETAIN n VERSIONS]`` → ``snapshot_expire`` (returns the
@@ -67,6 +69,7 @@ _INSERT_RE = re.compile(
     r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<target>\w+)\s+(?P<select>SELECT\s+.+)$"
 )
 _HISTORY_RE = re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\s+(?P<target>\w+)\s*$")
+_DETAIL_RE = re.compile(r"(?is)^\s*DESCRIBE\s+DETAIL\s+(?P<target>\w+)\s*$")
 _DELETE_RE = re.compile(
     r"(?is)^\s*DELETE\s+FROM\s+(?P<target>\w+)(?:\s+WHERE\s+(?P<cond>.+))?$"
 )
@@ -189,6 +192,39 @@ def snapshot_sql(
             ],
             "version int, parent int, operation string, n_files int,"
             " partition_by string",
+        )
+
+    m = _DETAIL_RE.match(s)
+    if m:
+        # one row of head-table metadata (the Delta DESCRIBE DETAIL
+        # shape): everything answers from the manifest + row counts,
+        # zero data IO.
+        import json as _json
+
+        from crossfire_spark.sources.snapshot import (
+            _current_version,
+            _read_manifest,
+            snapshot_count,
+        )
+
+        path = tables[m.group("target")]
+        v = _current_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot log at {path}")
+        man = _read_manifest(path, v)
+        return spark.createDataFrame(
+            [
+                (
+                    v,
+                    len(man["files"]),
+                    snapshot_count(path),
+                    ",".join(man.get("partition_by", [])),
+                    ",".join(man.get("stats_cols", [])),
+                    _json.dumps(man.get("constraints", {}), sort_keys=True),
+                )
+            ],
+            "version int, n_files int, n_rows long, partition_by string,"
+            " stats_cols string, constraints string",
         )
 
     m = _ADD_CON_RE.match(s)

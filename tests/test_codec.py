@@ -72,3 +72,22 @@ def test_m04_pipeline(spark, sf_dir):
         assert (r.mean_r, r.mean_g, r.mean_b) == (
             float(i % 251), float((2 * i) % 251), float((3 * i) % 251)
         )
+
+
+def test_wav_roundtrip():
+    """encode_wav -> decode_wav is the identity on 8-bit mono PCM and
+    the bytes are a genuine RIFF/WAV container."""
+    import numpy as np
+
+    from crossfire_spark.functions.multimodal import (
+        AUDIO_SR,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.arange(256, dtype=np.uint8)
+    blob = encode_wav(samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    out, sr = decode_wav(blob)
+    assert sr == AUDIO_SR
+    assert np.array_equal(out, samples)

@@ -362,3 +362,16 @@ def test_count_fast_path_after_merge(spark, snap):
     snapshot_merge(spark, batch, path, keys=["doc_id"])
     # merge commits now record file_rows: metadata count stays exact
     assert snapshot_count(path) == n0
+
+
+def test_describe_detail(spark, snap):
+    docs, path = snap
+    snapshot_sql(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT pos CHECK (doc_id >= 0)",
+        {"t": path},
+    )
+    row = snapshot_sql(spark, "DESCRIBE DETAIL t", {"t": path}).collect()[0]
+    assert row["n_rows"] == docs.count()
+    assert row["version"] >= 1
+    assert "pos" in row["constraints"]
