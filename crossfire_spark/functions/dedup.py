@@ -761,6 +761,47 @@ def d11_dedup_savings(spark, sf_dir):
     )
 
 
+def fuzzy_match_report(customers: DataFrame) -> DataFrame:
+    """Entity-resolution blocking + edit-distance matching — the
+    fuzzy twin of the exact/fingerprint dedup tiers: candidate pairs
+    come from a *blocking key* (market segment + name length), then
+    ``levenshtein`` scores each candidate and pairs within distance 1
+    count as probable duplicate entities. Reported per segment.
+
+    Scale shape: the all-pairs explosion is bounded by the block — the
+    join is an equi-join on the blocking key (one shuffle), never a
+    cartesian of the table; candidate count is Σ|block|², the knob a
+    production ER pipeline tunes by sharpening the key. levenshtein
+    is a codegen'd JVM kernel; nothing leaves the executors but the
+    per-segment counts."""
+    a = customers.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+        "c_mktsegment",
+        F.length("c_name").alias("len"),
+    )
+    b = customers.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+        "c_mktsegment",
+        F.length("c_name").alias("len"),
+    )
+    pairs = a.join(b, ["c_mktsegment", "len"]).where(F.col("ka") < F.col("kb"))
+    lev = F.levenshtein("na", "nb")
+    return pairs.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(lev <= 1).alias("n_matches"),
+        F.count_if(lev <= 2).alias("n_near"),
+    )
+
+
+def d12_fuzzy_match(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_match_report(c).orderBy(
+        "c_mktsegment", "n_pairs", "n_matches", "n_near"
+    )
+
+
 def _d10_sql() -> str:
     from crossfire_spark.functions.text import CDC_CHUNKS_SQL_CTE
 
@@ -870,4 +911,18 @@ DEDUP_QUERIES = {
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
+    "d12_fuzzy_match": d12_fuzzy_match,
 }
+
+DEDUP_ORACLE_SQL["d12_fuzzy_match"] = """
+        WITH c AS (SELECT c_custkey, c_name, c_mktsegment, length(c_name) len
+                   FROM customer),
+        p AS (SELECT a.c_mktsegment, levenshtein(a.c_name, b.c_name) lev
+              FROM c a JOIN c b
+                ON a.c_mktsegment = b.c_mktsegment AND a.len = b.len
+               AND a.c_custkey < b.c_custkey)
+        SELECT c_mktsegment, COUNT(*) n_pairs,
+               CAST(COUNT(*) FILTER (lev <= 1) AS BIGINT) n_matches,
+               CAST(COUNT(*) FILTER (lev <= 2) AS BIGINT) n_near
+        FROM p GROUP BY c_mktsegment
+        ORDER BY c_mktsegment, n_pairs, n_matches, n_near"""

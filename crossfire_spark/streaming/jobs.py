@@ -495,7 +495,68 @@ def st12_stream_matview(spark, sf_dir):
     )
 
 
+def st13_stream_quality(spark, sf_dir):
+    """Streaming data-quality monitor via the Observation API — the
+    counters ride the stream itself (computed by the tasks during the
+    pass the sink already does, delivered per micro-batch through
+    query progress), never a second scan of the data. The declared
+    result is the across-batch total per metric, which must equal the
+    batch aggregate over the whole table for ANY batching — exactly
+    what the oracle states.
+
+    Scale shape: observe() metrics are accumulator-style aggregates —
+    zero extra shuffle, zero extra scan, constant driver traffic per
+    batch (one row of counters). This is the v01 constraint-report
+    discipline applied to a continuous pipeline; the sink here is
+    noop because the metrics ARE the product."""
+    from crossfire_spark.catalog import load_table
+
+    work = _session_workdir("st13_")
+    src = os.path.join(work, "in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    observed = stream.observe(
+        "quality",
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count_if(F.col("value") > 50).alias("high_value"),
+        F.count_if(F.col("event_type") == "error").alias("errors"),
+        F.count_if(F.col("user_id").isNull()).alias("null_user"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"rows_total": 0, "high_value": 0, "errors": 0, "null_user": 0}
+    for p in q.recentProgress:
+        om = (p.get("observedMetrics") or {}).get("quality")
+        if om:
+            for k in totals:
+                totals[k] += int(om[k])
+    return spark.createDataFrame(
+        sorted(totals.items()), "metric string, n long"
+    ).orderBy("metric", "n")
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
+    "st13_stream_quality": """
+        SELECT 'errors' metric, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) n FROM events
+        UNION ALL
+        SELECT 'high_value', CAST(COUNT(*) FILTER (value > 50) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'null_user', CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'rows_total', CAST(COUNT(*) AS BIGINT) FROM events
+        ORDER BY metric, n""",
     "st12_stream_matview": """
         SELECT event_type, COUNT(*) n, ROUND(SUM(value), 2) s
         FROM events GROUP BY event_type
@@ -550,6 +611,7 @@ STREAMING_QUERIES = {
     "st10_snapshot_source_stream": st10_snapshot_source_stream,
     "st11_stream_pii": st11_stream_pii,
     "st12_stream_matview": st12_stream_matview,
+    "st13_stream_quality": st13_stream_quality,
 }
 
 # st11's oracle is the t10 batch SQL verbatim: a stateless projection
