@@ -813,35 +813,67 @@ def snapshot_cluster(
     driver-side proportional to rows."""
     df = snapshot_read(spark, path)
     head = _read_manifest(path, _current_version(path))
-    # approxQuantile (and the generated cast-to-double bucket exprs)
-    # only work on numeric columns — validate up front with a clear
-    # error instead of an opaque quantile/NULL-comparison failure.
     dtypes = dict(df.dtypes)
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
     for c in cols:
         if c not in dtypes:
             raise ValueError(f"snapshot_cluster: no such column {c!r}")
-        if not (dtypes[c] in numeric or dtypes[c].startswith("decimal")):
+        if not (
+            dtypes[c] in numeric
+            or dtypes[c].startswith("decimal")
+            or dtypes[c] in ("string", "date", "timestamp")
+        ):
             raise ValueError(
                 f"snapshot_cluster: column {c!r} has type {dtypes[c]}; "
-                "Z-order clustering supports numeric columns only "
-                "(sort-cluster on strings/dates via snapshot_write of "
-                "a sorted frame instead)"
+                "Z-order clustering supports numeric, string, date and "
+                "timestamp columns"
             )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     zkey = None
     for ci, c in enumerate(cols):
-        cuts = df.stat.approxQuantile(c, probs, 0.01)
-        # bucket id = count of cutpoints below the value — a flat
-        # codegen'd comparison chain (2^bits literals per column);
-        # backtick-quote so names needing escaping survive the expr
-        cq = f"`{c.replace('`', '``')}`"
-        cmp_expr = "+".join(
-            f"(CASE WHEN cast({cq} as double) > {float(x)!r} THEN 1 ELSE 0 END)"
-            for x in cuts
-        ) or "0"
-        bucket = F.expr(f"({cmp_expr})")
+        if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
+            cuts = df.stat.approxQuantile(c, probs, 0.01)
+            # bucket id = count of cutpoints below the value — a flat
+            # codegen'd comparison chain (2^bits literals per column);
+            # backtick-quote so names needing escaping survive the expr
+            cq = f"`{c.replace('`', '``')}`"
+            cmp_expr = "+".join(
+                f"(CASE WHEN cast({cq} as double) > {float(x)!r} THEN 1 ELSE 0 END)"
+                for x in cuts
+            ) or "0"
+            bucket = F.expr(f"({cmp_expr})")
+        else:
+            # string/date/timestamp: approxQuantile doesn't apply, so
+            # boundaries are evenly-ranked DISTINCT values (one sorted
+            # pass over the distinct set — bounded by column
+            # cardinality, the clustering-column norm; a pathological
+            # high-cardinality key pays a distinct-sort, not a full
+            # table sort). Comparisons are Column ops against literal
+            # values — no SQL string interpolation, no quoting hazard.
+            from pyspark.sql import Window as _W
+
+            dv = df.select(c).where(F.col(c).isNotNull()).distinct()
+            n_dv = dv.count()
+            step = max(1, n_dv // n_buckets)
+            ranked = dv.withColumn(
+                "_rn", F.row_number().over(_W.orderBy(F.col(c)))
+            )
+            cuts = [
+                r[c]
+                for r in ranked.where(
+                    (F.col("_rn") % step == 0) & (F.col("_rn") < n_dv)
+                )
+                .orderBy("_rn")
+                .limit(n_buckets - 1)
+                .collect()
+            ]
+            bucket = None
+            for x in cuts:
+                piece = (F.col(c) > F.lit(x)).cast("int")
+                bucket = piece if bucket is None else bucket + piece
+            if bucket is None:
+                bucket = F.lit(0)
         # spread this column's bits to positions ci, ci+len, ci+2*len …
         spread_bits = None
         for b in range(bits):

@@ -192,10 +192,35 @@ def test_minmax_view_append_refresh(spark, tmp_path):
 
 
 def test_cluster_validates_column_types(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     path = str(tmp_path / "c")
-    snapshot_write(docs, path)
-    with pytest.raises(ValueError, match="numeric columns only"):
-        snapshot_cluster(spark, path, cols=["lang"])
+    snapshot_write(docs.withColumn("arr", F.array("doc_id")), path)
+    with pytest.raises(ValueError, match="numeric, string, date"):
+        snapshot_cluster(spark, path, cols=["arr"])
     with pytest.raises(ValueError, match="no such column"):
         snapshot_cluster(spark, path, cols=["nope"])
+
+
+def test_cluster_zorder_on_string_column(spark, sf_dir, tmp_path):
+    """String Z-order: distinct-rank boundaries, no SQL literal
+    interpolation; data survives, per-file min/max stats on the
+    string column enable zone-map pruning."""
+    from crossfire_spark.sources.snapshot import _current_version, _read_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    path = str(tmp_path / "cz")
+    snapshot_write(docs, path)
+    v = snapshot_cluster(spark, path, cols=["source", "doc_id"], bits=3)
+    out = snapshot_read(spark, path)
+    assert out.count() == docs.count()
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    m = _read_manifest(path, _current_version(path))
+    assert v == m["version"]
+    assert "source" in m["stats_cols"]
+    assert any(st.get("source") for st in m["file_stats"].values())
