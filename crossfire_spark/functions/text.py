@@ -781,6 +781,77 @@ def t17_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(d).orderBy("doc_id", "rk", "word", "score")
 
 
+def t18_corpus_build(spark, sf_dir):
+    """End-to-end training-corpus build — the whole curation pipeline
+    as ONE declared, fully-oracled operator: quality filter (the t05
+    rule gate) → exact dedup keep-first (md5 text fingerprint, min
+    doc_id survives) → leakage-safe split assignment (the t15 md5
+    coin on the bag fingerprint) → per-split shard report (docs,
+    whitespace tokens, chars). The composition is what a user
+    actually ships; each stage reuses the exact expressions of its
+    standalone query so the pipeline stays bit-identical to the
+    DuckDB restatement.
+
+    Scale shape: filter and fingerprints are map-side projections;
+    the only shuffles are the two fingerprint windows (keep-first,
+    group-rep) and the 3-row final aggregate. Text never shuffles —
+    windows key on 32-hex fingerprints."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.lower("text"), " "))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
+    )
+    inlist = ",".join(f"'{m}'" for m in _EN_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(lower(text), ' '), w -> w IN ({inlist})))"
+    )
+    ok = (
+        (n_chars >= 100)
+        & (n_words >= 20)
+        & (n_punct * 20 <= n_chars)
+        & (n_stop * 10 >= n_words)
+    )
+    kept = d.where(ok)
+    fp_exact = F.md5(F.lower("text"))
+    fp_bag = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+        )
+    )
+    staged = kept.select(
+        "doc_id",
+        "text",
+        fp_exact.alias("fpe"),
+        fp_bag.alias("fpb"),
+    )
+    surv = staged.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("fpe"))
+    ).where(F.col("doc_id") == F.col("rep"))
+    bucket = _hash_u16(F.col("fpb"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LIM, "train")
+        .when(bucket < SPLIT_VAL_LIM, "val")
+        .otherwise("test")
+    )
+    return (
+        surv.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split", "n_docs", "n_tokens", "n_chars")
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -942,7 +1013,35 @@ TEXT_QUERIES = {
     "t14_bigram_lm": t14_bigram_lm,
     "t15_split_assign": t15_split_assign,
     "t17_tfidf_keywords": t17_tfidf_keywords,
+    "t18_corpus_build": t18_corpus_build,
 }
+
+TEXT_ORACLE_SQL["t18_corpus_build"] = f"""
+        WITH f AS (SELECT doc_id, text,
+               length(text) n_chars,
+               len(string_split(lower(text), ' ')) n_words,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) n_punct,
+               {_STOP_SQL} n_stop
+            FROM documents),
+        kept AS (SELECT doc_id, text FROM f
+                 WHERE n_chars >= 100 AND n_words >= 20
+                   AND n_punct * 20 <= n_chars AND n_stop * 10 >= n_words),
+        staged AS (SELECT doc_id, text, md5(lower(text)) fpe,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fpb
+            FROM kept),
+        surv AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fpe) rep
+                                FROM staged) s WHERE doc_id = rep),
+        lab AS (SELECT CASE WHEN {_u16_sql('fpb')} < {SPLIT_TRAIN_LIM} THEN 'train'
+                            WHEN {_u16_sql('fpb')} < {SPLIT_VAL_LIM} THEN 'val'
+                            ELSE 'test' END split,
+                       len(string_split(text, ' ')) n_tok,
+                       length(text) n_chars
+                FROM surv)
+        SELECT split, COUNT(*) n_docs,
+               CAST(SUM(n_tok) AS BIGINT) n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) n_chars
+        FROM lab GROUP BY split
+        ORDER BY split, n_docs, n_tokens, n_chars"""
 
 TEXT_ORACLE_SQL["t17_tfidf_keywords"] = f"""
         WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word

@@ -105,7 +105,7 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 138 and len(osql) == 132
+    assert len(qs) == 139 and len(osql) == 133
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
