@@ -181,6 +181,85 @@ def minhash_pairs_from_index(
     ).where(F.col("j").isNotNull())
 
 
+def minhash_batch_vs_index(
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = D_LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental near-dedup: a NEW batch against a persisted corpus
+    index — the shape a continuously-ingesting pipeline actually runs
+    ("is this crawl page a near-dup of anything we already hold?").
+
+    Only the batch is shingled and signed (O(batch), never O(corpus));
+    its band signatures equi-join the STORED corpus signature bands
+    (one shuffle keyed on the 16-byte band signature — at 100 TB the
+    corpus side is a static indexed table, the batch side a sliver);
+    exact-Jaccard verification re-reads text for candidate documents
+    only, on both sides. Output: (batch_id, corpus_id, j) at corpus
+    exact-dup-representative level, j >= threshold.
+
+    Corpus-side hot buckets are capped exactly like the self-join path
+    (``LSH_BUCKET_CAP``) so a boilerplate-heavy index cannot blow up
+    the candidate fan-out of any batch."""
+    from crossfire_spark.functions.dedup import _cap_buckets, band_table
+
+    membership = snapshot_read(spark, os.path.join(path, "membership"))
+    signatures = snapshot_read(spark, os.path.join(path, "signatures"))
+    batch = batch_docs.select("doc_id", "text")
+    batch_wide = minhash_signatures_wide(batch, k).localCheckpoint()
+    corpus_bands = _cap_buckets(
+        band_table(signatures, k, bands), ["band", "bsig"], bucket_cap
+    ).select(F.col("doc_id").alias("corpus_id"), "band", "bsig")
+    batch_bands = band_table(batch_wide, k, bands).select(
+        F.col("doc_id").alias("batch_id"), "band", "bsig"
+    )
+    candidates = (
+        batch_bands.join(corpus_bands, ["band", "bsig"])
+        .select(
+            F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # verify against the union text set: ids are globally unique, so
+    # one shingle table serves both sides of each candidate pair
+    reps = corpus_docs.select("doc_id", "text").join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = _verify_jaccard(batch.unionByName(reps), candidates, threshold)
+    return pairs.select(
+        F.col("doc_a").alias("batch_id"),
+        F.col("doc_b").alias("corpus_id"),
+        "j",
+    )
+
+
+def d13_incremental_dedup(spark, sf_dir):
+    """Incremental-dedup face of d03: index 90% of the corpus once,
+    then near-dedup the held-out 10% "new batch" against the index —
+    signatures computed for the batch only. Hash-dependent candidate
+    set → rows-only driver check; soundness and index-parity are
+    pinned in tests/test_ann_index.py."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    path = os.path.join(_session_workdir("d13_"), "mh")
+    build_minhash_index(corpus, path)
+    return minhash_batch_vs_index(spark, path, batch, corpus).orderBy(
+        "batch_id", "corpus_id", "j"
+    )
+
+
 # -------------------------------------------------------------- SQ8
 
 
@@ -369,6 +448,7 @@ def s08_sq8_index(spark, sf_dir):
 
 
 ANN_INDEX_QUERIES = {
+    "d13_incremental_dedup": d13_incremental_dedup,
     "s06_ivf_index": s06_ivf_index,
     "s08_sq8_index": s08_sq8_index,
     "t16_bm25_index": t16_bm25_index,

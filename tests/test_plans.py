@@ -100,12 +100,13 @@ def test_registry_contract_consistency():
     assert rows_only == [
         "d03_minhash_lsh",
         "d04_simhash",
+        "d13_incremental_dedup",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 139 and len(osql) == 133
+    assert len(qs) == 140 and len(osql) == 133
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
