@@ -281,6 +281,31 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
                COUNT(*) n_obs, SUM(dur_us) / 1e6 span_s
         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type
         ORDER BY event_type, twa, n_obs, span_s""",
+    "v03_table_diff": """
+        WITH u AS (SELECT o_orderkey k,
+                ((instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096
+                 + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256
+                 + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1)) % 16 bucket,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) ck
+            FROM orders),
+        a AS (SELECT bucket, COUNT(*) n_a, CAST(SUM(ck) AS BIGINT) ck_a
+              FROM u GROUP BY bucket),
+        u2 AS (SELECT u.bucket,
+                CASE WHEN o.o_orderkey % 101 = 0
+                     THEN CAST(ROUND((o.o_totalprice + 1) * 100) AS BIGINT)
+                     ELSE u.ck END ck
+            FROM u JOIN orders o ON u.k = o.o_orderkey
+            WHERE o.o_orderkey % 97 <> 0),
+        b AS (SELECT bucket, COUNT(*) n_b, CAST(SUM(ck) AS BIGINT) ck_b
+              FROM u2 GROUP BY bucket)
+        SELECT COALESCE(a.bucket, b.bucket) bucket,
+               COALESCE(n_a, 0) n_a, COALESCE(n_b, 0) n_b,
+               COALESCE(ck_a, 0) ck_a, COALESCE(ck_b, 0) ck_b,
+               (COALESCE(n_a, 0) = COALESCE(n_b, 0)
+                AND COALESCE(ck_a, 0) = COALESCE(ck_b, 0)) "match"
+        FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+        ORDER BY bucket, n_a, n_b, ck_a, ck_b, "match" """,
     "v02_drift_report": """
         WITH counts AS (SELECT source, LEAST(FLOOR(n_chars / 100), 9) b, COUNT(*) c
                         FROM documents GROUP BY source, LEAST(FLOOR(n_chars / 100), 9)),
@@ -545,6 +570,69 @@ def v02_drift_report(spark, sf_dir):
     return drift_report(d).orderBy("source", "psi", "n_docs")
 
 
+DIFF_BUCKETS = 16
+
+
+def table_diff(
+    a: DataFrame, b: DataFrame, key: str, checksum: F.Column
+) -> DataFrame:
+    """Bucketed data reconciliation — the "did the migration copy
+    everything" diff between two tables sharing a key: rows hash into
+    ``DIFF_BUCKETS`` buckets by an engine-agnostic md5 coin on the
+    key, each side collapses to per-bucket (row count, checksum), and
+    the report flags buckets whose counts or checksums disagree.
+
+    Scale shape: each side is ONE map-side-combinable aggregate down
+    to 16 rows — the tables are never joined row-to-row, so a 100 TB
+    reconciliation moves 32 rows over the network; mismatched buckets
+    then scope the expensive row-level investigation to 1/16th of the
+    key space per bad bucket. Checksums are integer sums (exact,
+    order-independent), never float accumulation."""
+    from crossfire_spark.functions.text import _hash_u16
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        bucket = _hash_u16(F.col(key)) % DIFF_BUCKETS
+        return df.select(
+            bucket.alias("bucket"), checksum.alias("_ck"), F.col(key)
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("_ck").alias(f"ck_{tag}"),
+        )
+
+    return (
+        side(a, "a")
+        .join(side(b, "b"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("ck_a", F.lit(0)).alias("ck_a"),
+            F.coalesce("ck_b", F.lit(0)).alias("ck_b"),
+            (
+                (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+                & (F.coalesce("ck_a", F.lit(0)) == F.coalesce("ck_b", F.lit(0)))
+            ).alias("match"),
+        )
+    )
+
+
+def v03_table_diff(spark, sf_dir):
+    """Reconciliation of orders against a deterministically-drifted
+    copy (every 97th key dropped, every 101st price bumped) — the
+    diff must localize exactly those injected discrepancies."""
+    o = load_table(spark, sf_dir, "orders")
+    drifted = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ck = F.round(F.col("o_totalprice") * 100).cast("long")
+    return table_diff(o, drifted, "o_orderkey", ck).orderBy(
+        "bucket", "n_a", "n_b", "ck_a", "ck_b", "match"
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -556,4 +644,5 @@ EXTENDED_QUERIES = {
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,
+    "v03_table_diff": v03_table_diff,
 }

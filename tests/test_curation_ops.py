@@ -123,3 +123,28 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert abs(total - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in ranks)
     assert len(ranks) == d.count()
+
+
+def test_table_diff_localizes_drift(spark, sf_dir):
+    """Identical tables diff clean (every bucket matches); the
+    drifted copy's mismatched buckets are exactly those holding an
+    injected discrepancy."""
+    from crossfire_spark.functions.text import _hash_u16
+    from crossfire_spark.operators.extended import (
+        DIFF_BUCKETS,
+        table_diff,
+        v03_table_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    ck = F.round(F.col("o_totalprice") * 100).cast("long")
+    clean = table_diff(o, o, "o_orderkey", ck).collect()
+    assert all(r["match"] for r in clean)
+    assert sum(r["n_a"] for r in clean) == o.count()
+
+    out = {r["bucket"]: r["match"] for r in v03_table_diff(spark, sf_dir).collect()}
+    bad_keys = o.where(
+        (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 101 == 0)
+    ).select((_hash_u16(F.col("o_orderkey")) % DIFF_BUCKETS).alias("b"))
+    expected_bad = {r["b"] for r in bad_keys.distinct().collect()}
+    assert {b for b, m in out.items() if not m} == expected_bad

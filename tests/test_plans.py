@@ -106,7 +106,7 @@ def test_registry_contract_consistency():
         "s02_lsh_topk",
         "s04_ivf_kmeans",
     ]
-    assert len(qs) == 140 and len(osql) == 133
+    assert len(qs) == 141 and len(osql) == 134
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
