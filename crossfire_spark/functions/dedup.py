@@ -774,29 +774,40 @@ def d11_dedup_savings(spark, sf_dir):
 def fuzzy_match_report(customers: DataFrame) -> DataFrame:
     """Entity-resolution blocking + edit-distance matching — the
     fuzzy twin of the exact/fingerprint dedup tiers: candidate pairs
-    come from a *blocking key* (market segment + name length), then
-    ``levenshtein`` scores each candidate and pairs within distance 1
-    count as probable duplicate entities. Reported per segment.
+    come from a *blocking key* (market segment + name-prefix-all-
+    but-2 + length), then ``levenshtein`` scores each candidate and
+    pairs within distance 1/2 count as probable duplicate entities.
+    Reported per segment.
 
     Scale shape: the all-pairs explosion is bounded by the block — the
     join is an equi-join on the blocking key (one shuffle), never a
-    cartesian of the table; candidate count is Σ|block|², the knob a
-    production ER pipeline tunes by sharpening the key. levenshtein
-    is a codegen'd JVM kernel; nothing leaves the executors but the
+    cartesian of the table; candidate count is Σ|block|², THE knob a
+    production ER pipeline tunes (the first cut keyed on
+    (segment, length) alone put ~3k names per block = 22M levenshtein
+    calls at sf0.1; the prefix bound caps blocks at the last-2-chars
+    fan-out). Like all blocking, recall is bounded by the key: pairs
+    differing outside the last two characters never meet — the
+    documented trade every ER pipeline makes. levenshtein is a
+    codegen'd JVM kernel; nothing leaves the executors but the
     per-segment counts."""
+    prefix = F.expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))")
     a = customers.select(
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("na"),
         "c_mktsegment",
+        prefix.alias("pfx"),
         F.length("c_name").alias("len"),
     )
     b = customers.select(
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
         "c_mktsegment",
+        prefix.alias("pfx"),
         F.length("c_name").alias("len"),
     )
-    pairs = a.join(b, ["c_mktsegment", "len"]).where(F.col("ka") < F.col("kb"))
+    pairs = a.join(b, ["c_mktsegment", "pfx", "len"]).where(
+        F.col("ka") < F.col("kb")
+    )
     lev = F.levenshtein("na", "nb")
     return pairs.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -925,12 +936,14 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLE_SQL["d12_fuzzy_match"] = """
-        WITH c AS (SELECT c_custkey, c_name, c_mktsegment, length(c_name) len
+        WITH c AS (SELECT c_custkey, c_name, c_mktsegment,
+                          substring(c_name, 1, greatest(length(c_name) - 2, 0)) pfx,
+                          length(c_name) len
                    FROM customer),
         p AS (SELECT a.c_mktsegment, levenshtein(a.c_name, b.c_name) lev
               FROM c a JOIN c b
-                ON a.c_mktsegment = b.c_mktsegment AND a.len = b.len
-               AND a.c_custkey < b.c_custkey)
+                ON a.c_mktsegment = b.c_mktsegment AND a.pfx = b.pfx
+               AND a.len = b.len AND a.c_custkey < b.c_custkey)
         SELECT c_mktsegment, COUNT(*) n_pairs,
                CAST(COUNT(*) FILTER (lev <= 1) AS BIGINT) n_matches,
                CAST(COUNT(*) FILTER (lev <= 2) AS BIGINT) n_near
