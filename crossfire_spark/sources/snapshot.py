@@ -136,12 +136,18 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
     prove the row valid)."""
     if not constraints:
         return
-    row = df.agg(
-        *[
+    try:
+        checks = [
             F.count_if(~F.coalesce(F.expr(expr), F.lit(False))).alias(name)
             for name, expr in sorted(constraints.items())
         ]
-    ).first()
+        row = df.agg(*checks).first()
+    except Exception as e:  # unresolved column etc. (additive batches)
+        raise ValueError(
+            "CHECK constraint could not be evaluated against this batch "
+            f"(a merge_schema append must still carry every constrained "
+            f"column): {e}"
+        ) from e
     bad = {n: row[n] for n in sorted(constraints) if row[n] > 0}
     if bad:
         detail = ", ".join(

@@ -375,3 +375,34 @@ def test_describe_detail(spark, snap):
     assert row["n_rows"] == docs.count()
     assert row["version"] >= 1
     assert "pos" in row["constraints"]
+
+
+def test_constraints_survive_maintenance_and_gate_evolution(spark, snap):
+    import pytest as _pytest
+
+    from crossfire_spark.sources.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_compact,
+    )
+
+    docs, path = snap
+    snapshot_sql(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT pos CHECK (doc_id >= 0)",
+        {"t": path},
+    )
+    # maintenance rewrites carry the constraint set forward
+    snapshot_write(docs.limit(5), path)
+    snapshot_compact(spark, path)
+    m = _read_manifest(path, _current_version(path))
+    assert m["constraints"] == {"pos": "doc_id >= 0"}
+    # a violating append is still rejected after compaction
+    bad = spark.createDataFrame([(-1, "en", "x")], schema=docs.schema)
+    with _pytest.raises(ValueError, match="pos"):
+        snapshot_write(bad, path)
+    # an additive batch that drops the constrained column fails with
+    # a clear message, not an opaque analysis error
+    extra = spark.createDataFrame([("en", "y", 1.5)], "lang string, text string, extra double")
+    with _pytest.raises(ValueError, match="constrained"):
+        snapshot_write(extra, path, merge_schema=True)
