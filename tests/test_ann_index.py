@@ -193,3 +193,29 @@ def test_incremental_dedup_sound_and_complete_vs_exact(spark, sf_dir):
         assert abs(exact[key] - j) < 1e-6
         assert j >= JACCARD_THRESHOLD
         assert a % 10 == 0 and b % 10 != 0  # batch x corpus only
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ ANN: deterministic across runs, high recall vs exact cosine
+    at the tuned settings, and every returned sim matches the exact
+    cosine for that pair (re-rank is exact math)."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import (
+        _query_set,
+        cosine_topk,
+        pq_topk,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    r1 = [tuple(r) for r in pq_topk(em, q).orderBy("qid", "vec_id").collect()]
+    r2 = [tuple(r) for r in pq_topk(em, q).orderBy("qid", "vec_id").collect()]
+    assert r1 == r2
+    exact = {
+        (r["qid"], r["vec_id"]): r["sim"] for r in cosine_topk(em, q).collect()
+    }
+    hits = sum((a, b) in exact for a, b, _ in r1)
+    assert hits / len(exact) >= 0.9
+    for a, b, sim in r1:
+        if (a, b) in exact:
+            assert abs(exact[(a, b)] - sim) < 1e-9

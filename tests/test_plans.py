@@ -105,8 +105,9 @@ def test_registry_contract_consistency():
         "p03_choose_targets",
         "s02_lsh_topk",
         "s04_ivf_kmeans",
+        "s09_pq_topk",
     ]
-    assert len(qs) == 141 and len(osql) == 134
+    assert len(qs) == 142 and len(osql) == 134
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
