@@ -395,7 +395,73 @@ def query_text_index(
     )
 
 
+def build_pq_index(embeddings: DataFrame, path: str) -> None:
+    """One-time PQ build: the (M, K, d) codebook tensor (flattened to
+    rows) and the 16-byte-per-vector code table, committed to the
+    snapshot sink. Query traffic scans the 32x-smaller code table;
+    the full vectors are touched only for the exact re-rank."""
+    from crossfire_spark.functions.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(embeddings)
+    m, k, d = books.shape
+    spark = embeddings.sparkSession
+    rows = [
+        (s, j, [float(x) for x in books[s, j]])
+        for s in range(m)
+        for j in range(k)
+    ]
+    snapshot_write(
+        spark.createDataFrame(rows, "s int, j int, c array<double>"),
+        os.path.join(path, "codebooks"),
+    )
+    snapshot_write(pq_encode(embeddings, books), os.path.join(path, "codes"))
+
+
+def query_pq_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+) -> DataFrame:
+    """PQ ANN against a persisted index: ADC candidates come from the
+    stored code table, distance tables build against the stored
+    codebooks, exact re-rank re-reads only candidate vectors.
+    Identical output to :func:`similarity.pq_topk` over the same
+    corpus (same codes, same ranking keys)."""
+    import numpy as np
+
+    from crossfire_spark.functions.similarity import pq_topk
+
+    cb = snapshot_read(spark, os.path.join(path, "codebooks")).collect()
+    m = max(r["s"] for r in cb) + 1
+    kk = max(r["j"] for r in cb) + 1
+    d = len(cb[0]["c"])
+    books = np.zeros((m, kk, d), dtype=np.float64)
+    for r in cb:
+        books[r["s"], r["j"]] = r["c"]
+    codes = snapshot_read(spark, os.path.join(path, "codes"))
+    return pq_topk(embeddings, queries, k=k, books=books, corpus_codes=codes)
+
+
 # --------------------------------------------------- declared queries
+
+
+def s10_pq_index(spark, sf_dir):
+    """The persisted-index face of s09: build the PQ codebooks + code
+    table into session-scoped snapshot tables once, answer the query
+    from them. Same codes and ranking as s09 (rows-only; equality to
+    the ad-hoc path is pinned in tests)."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import _query_set
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    path = os.path.join(_session_workdir("s10_"), "pq")
+    build_pq_index(em, path)
+    return query_pq_index(spark, path, em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
 
 
 def t16_bm25_index(spark, sf_dir):
@@ -451,6 +517,7 @@ ANN_INDEX_QUERIES = {
     "d13_incremental_dedup": d13_incremental_dedup,
     "s06_ivf_index": s06_ivf_index,
     "s08_sq8_index": s08_sq8_index,
+    "s10_pq_index": s10_pq_index,
     "t16_bm25_index": t16_bm25_index,
 }
 

@@ -219,3 +219,29 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
     for a, b, sim in r1:
         if (a, b) in exact:
             assert abs(exact[(a, b)] - sim) < 1e-9
+
+
+def test_pq_index_equals_adhoc(spark, sf_dir, tmp_path):
+    """Persisted-index PQ returns exactly the ad-hoc s09 result
+    (same codebooks, same codes, same ranking)."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from crossfire_spark.functions.similarity import _query_set, pq_topk
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    path = str(tmp_path / "pq")
+    build_pq_index(em, path)
+    via_index = [
+        tuple(r)
+        for r in query_pq_index(spark, path, em, q)
+        .orderBy("qid", "vec_id")
+        .collect()
+    ]
+    adhoc = [
+        tuple(r) for r in pq_topk(em, q).orderBy("qid", "vec_id").collect()
+    ]
+    assert via_index == adhoc
