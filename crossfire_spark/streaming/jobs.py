@@ -547,6 +547,67 @@ def st13_stream_quality(spark, sf_dir):
     ).orderBy("metric", "n")
 
 
+def st14_index_maintenance(spark, sf_dir):
+    """Streaming ANN-index maintenance — the piece a build-once index
+    needs in production: new embeddings arrive as a stream, each
+    micro-batch encodes AGAINST THE STORED CODEBOOKS (O(batch) work,
+    the codebooks never retrain) and append-commits its codes to the
+    snapshot code table; queries served from the maintained index are
+    identical to the ad-hoc PQ run over the full corpus with the same
+    codebooks — which is exactly what this returns and what the
+    equality test pins.
+
+    Scale shape: per micro-batch one Arrow encode pass over the batch
+    + one O(1)-metadata snapshot append; the historical code table is
+    never rewritten and never rescanned by maintenance. Rows-only
+    (quantization-dependent candidates, like s09/s10)."""
+    import numpy as np
+
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from crossfire_spark.functions.similarity import _query_set, pq_encode
+    from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    base = em.where(F.col("vec_id") % 10 != 3)
+    new = em.where(F.col("vec_id") % 10 == 3)
+    work = _session_workdir("st14_")
+    path = os.path.join(work, "pq")
+    build_pq_index(base, path)
+    cb = snapshot_read(spark, os.path.join(path, "codebooks")).collect()
+    m = max(r["s"] for r in cb) + 1
+    kk = max(r["j"] for r in cb) + 1
+    books = np.zeros((m, kk, len(cb[0]["c"])), dtype=np.float64)
+    for r in cb:
+        books[r["s"], r["j"]] = r["c"]
+    # stream the new vectors in multiple micro-batches
+    src = os.path.join(work, "in")
+    new.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    codes_path = os.path.join(path, "codes")
+
+    def ingest(batch_df, _bid):
+        snapshot_write(pq_encode(batch_df, books), codes_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_pq_index(spark, path, em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
+
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
     "st13_stream_quality": """
         SELECT 'errors' metric, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) n FROM events
@@ -612,6 +673,7 @@ STREAMING_QUERIES = {
     "st11_stream_pii": st11_stream_pii,
     "st12_stream_matview": st12_stream_matview,
     "st13_stream_quality": st13_stream_quality,
+    "st14_index_maintenance": st14_index_maintenance,
 }
 
 # st11's oracle is the t10 batch SQL verbatim: a stateless projection

@@ -107,8 +107,9 @@ def test_registry_contract_consistency():
         "s04_ivf_kmeans",
         "s09_pq_topk",
         "s10_pq_index",
+        "st14_index_maintenance",
     ]
-    assert len(qs) == 143 and len(osql) == 134
+    assert len(qs) == 144 and len(osql) == 134
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

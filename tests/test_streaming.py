@@ -285,3 +285,32 @@ def test_snapshot_stream_source_partitioned_table(spark, sf_dir, tmp_path):
     want = {(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()}
     have = {(r.doc_id, r.lang) for r in got.select("doc_id", "lang").collect()}
     assert have == want
+
+
+def test_st14_maintained_index_equals_adhoc(spark, sf_dir):
+    """Codes appended from the stream + the stored codebooks must give
+    exactly the ad-hoc PQ result computed with the same codebooks."""
+    import numpy as np
+
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import _query_set, pq_topk
+    from crossfire_spark.streaming.jobs import st14_index_maintenance
+
+    got = [
+        tuple(r)
+        for r in st14_index_maintenance(spark, sf_dir)
+        .orderBy("qid", "vec_id")
+        .collect()
+    ]
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    base = em.where(F.col("vec_id") % 10 != 3)
+    from crossfire_spark.functions.similarity import pq_codebooks
+
+    books = pq_codebooks(base)
+    expect = [
+        tuple(r)
+        for r in pq_topk(em, _query_set(em), books=books)
+        .orderBy("qid", "vec_id")
+        .collect()
+    ]
+    assert got == expect
