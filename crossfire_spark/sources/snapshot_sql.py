@@ -19,6 +19,8 @@ or time travel, just parsing:
 - ``DESCRIBE HISTORY t`` → ``snapshot_history`` as a DataFrame
 - ``DESCRIBE DETAIL t`` → one row of head metadata (version, files,
   rows, partitioning, stats columns, constraints) with zero data IO
+- ``SELECT ... FROM TABLE_CHANGES(t, from, to)`` → the CDC feed
+  (``snapshot_changes``) as a SQL relation, composable with any SQL
 - ``OPTIMIZE t [ZORDER BY (c1, c2)]`` → ``snapshot_compact`` /
   ``snapshot_cluster`` (the Delta OPTIMIZE maintenance verbs)
 - ``VACUUM t [RETAIN n VERSIONS]`` → ``snapshot_expire`` (returns the
@@ -320,6 +322,26 @@ def snapshot_sql(
     m = _MERGE_RE.match(s)
     if m:
         return _run_merge(spark, m, tables)
+
+    # TABLE_CHANGES(t, from, to) — the CDC feed as a SQL relation
+    # (Delta's table_changes): bind the change rows to a temp view and
+    # substitute its name, so the feed composes with any SQL around it.
+    def bind_changes(mo: re.Match) -> str:
+        from crossfire_spark.sources.snapshot import snapshot_changes
+
+        name = mo.group("target")
+        lo, hi = int(mo.group("lo")), int(mo.group("hi"))
+        view = f"{name}__changes_{lo}_{hi}"
+        snapshot_changes(
+            spark, tables[name], from_version=lo, to_version=hi
+        ).createOrReplaceTempView(view)
+        return view
+
+    s = re.sub(
+        r"(?i)\bTABLE_CHANGES\s*\(\s*(?P<target>\w+)\s*,\s*(?P<lo>\d+)\s*,\s*(?P<hi>\d+)\s*\)",
+        bind_changes,
+        s,
+    )
 
     # SELECT path: bind each snapshot table (at its requested version)
     # to a temp view, then let Spark SQL do the rest.

@@ -406,3 +406,15 @@ def test_constraints_survive_maintenance_and_gate_evolution(spark, snap):
     extra = spark.createDataFrame([("en", "y", 1.5)], "lang string, text string, extra double")
     with _pytest.raises(ValueError, match="constrained"):
         snapshot_write(extra, path, merge_schema=True)
+
+
+def test_table_changes_sql(spark, snap):
+    docs, path = snap
+    snapshot_write(docs.limit(4).withColumn("text", F.lit("NEW")), path)
+    out = snapshot_sql(
+        spark,
+        "SELECT _change_type, COUNT(*) n FROM TABLE_CHANGES(t, 0, 1) "
+        "GROUP BY _change_type ORDER BY _change_type",
+        {"t": path},
+    ).collect()
+    assert [(r["_change_type"], r["n"]) for r in out] == [("insert", 4)]
