@@ -238,3 +238,38 @@ def test_verify_surfaces_orphan_replicas(spark):
     assert res[2].replica_cnt == 2
     assert res[2].satisfied
     assert res[2].reason == "ok"
+
+
+def test_rebalance_plan_balances_racks(spark):
+    """Applying the p05 move plan brings every rack to its allotment:
+    per datacenter max-min rack count <= 1 afterwards, and total
+    replica count is conserved."""
+    from collections import Counter
+
+    from crossfire_spark.placement.queries import (
+        load_fixture,
+        p05_rebalance_plan,
+    )
+
+    r = load_fixture(spark, "replicas")
+    d = load_fixture(spark, "datanodes")
+    before = Counter()
+    for row in (
+        r.join(d, "datanode_id").groupBy("datacenter", "rack").count().collect()
+    ):
+        before[(row["datacenter"], row["rack"])] = row["count"]
+    # racks with zero replicas participate too
+    for row in d.select("datacenter", "rack").distinct().collect():
+        before.setdefault((row["datacenter"], row["rack"]), 0)
+    total_before = sum(before.values())
+    after = dict(before)
+    for mv in p05_rebalance_plan(spark, None).collect():
+        after[(mv["datacenter"], mv["from_rack"])] -= 1
+        after[(mv["datacenter"], mv["to_rack"])] += 1
+    assert sum(after.values()) == total_before
+    bydc = {}
+    for (dc, _rack), c in after.items():
+        bydc.setdefault(dc, []).append(c)
+    for dc, cs in bydc.items():
+        assert max(cs) - min(cs) <= 1, (dc, cs)
+    assert all(c >= 0 for c in after.values())
