@@ -550,6 +550,55 @@ def m05_audio_decode(spark, sf_dir):
     )
 
 
+def m06_keyframes(spark, sf_dir):
+    """Keyframe selection over the 'video' documents (doc_id % 3 == 2,
+    the m01 kind convention): the synthesized byte stream splits into
+    1000-byte frames (the m03 stride), each frame scores by byte
+    variance, and the argmax frame per clip is the keyframe (ties →
+    earliest frame) — the frame a thumbnailing/sampling pipeline
+    keeps. Deterministic byte streams make the score closed-form →
+    full DuckDB oracle; the Spark side really slices frames from
+    binary content in an Arrow kernel.
+
+    Variance is computed in exact integer arithmetic
+    (n·Σx² − (Σx)², scaled — no division, no float) so the ranking is
+    bit-identical in any engine."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_frames = (len(b) + 999) // 1000
+                best, best_score = 0, -1
+                for fi in range(n_frames):
+                    fr = b[fi * 1000 : (fi + 1) * 1000]
+                    n = len(fr)
+                    score = int(n * (fr * fr).sum() - int(fr.sum()) ** 2)
+                    if score > best_score:
+                        best, best_score = fi, score
+                rows.append((mid, n_frames, best, best_score))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "keyframe", "score"],
+            )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(docs.where(F.col("doc_id") % 3 == 2))
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(
+            kernel,
+            schema="media_id long, n_frames long, keyframe long, score long",
+        )
+        .orderBy("media_id", "n_frames", "keyframe", "score")
+    )
+
+
 def m04_image_decode(spark, sf_dir):
     """Real-codec pipeline: synthesize actual PPM bytes per document,
     decode them with the real parser, resize, and report dimensions +
@@ -569,6 +618,7 @@ MULTIMODAL_QUERIES = {
     "m03_frame_sample": m03_frame_sample,
     "m04_image_decode": m04_image_decode,
     "m05_audio_decode": m05_audio_decode,
+    "m06_keyframes": m06_keyframes,
 }
 # All three kernels are deterministic functions of the byte stream,
 # so all three mapInPandas pipelines get full DuckDB oracles: m01
@@ -624,6 +674,25 @@ MULTIMODAL_ORACLE_SQL: dict[str, str] = {
     # m05: closed-form PCM → RMS/peak/zero-crossings restate exactly
     # in SQL over a generated sample index; the Spark side really
     # round-trips a RIFF/WAV container through the stdlib codec.
+    # m06: frame scores restate as exact integer arithmetic over the
+    # text's ASCII bytes (ord(substr) = byte value for ASCII input).
+    "m06_keyframes": """
+        WITH v AS (SELECT doc_id media_id, text, length(text) n
+                   FROM documents WHERE doc_id % 3 = 2),
+        b AS (SELECT media_id, (i - 1) // 1000 fi, ord(substr(text, i, 1)) x
+              FROM v, unnest(range(1, n + 1)) t(i)),
+        fs AS (SELECT media_id, fi, COUNT(*) n, SUM(x * x) sxx, SUM(x) sx
+               FROM b GROUP BY media_id, fi),
+        sc AS (SELECT media_id, fi, CAST(n * sxx - sx * sx AS BIGINT) score
+               FROM fs),
+        nf AS (SELECT media_id, COUNT(*) n_frames FROM sc GROUP BY media_id),
+        r AS (SELECT media_id, fi, score,
+                     ROW_NUMBER() OVER (PARTITION BY media_id
+                         ORDER BY score DESC, fi) rn
+              FROM sc)
+        SELECT r.media_id, nf.n_frames, r.fi keyframe, r.score
+        FROM r JOIN nf USING (media_id) WHERE rn = 1
+        ORDER BY media_id, n_frames, keyframe, score""",
     "m05_audio_decode": f"""
         WITH d AS (SELECT doc_id, LEAST(n_chars, {AUDIO_MAX_SAMPLES}) n
                    FROM documents WHERE doc_id % 3 = 1),

@@ -875,6 +875,37 @@ def _exact_rerank(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    predicate: F.Column,
+    k: int = TOPK,
+) -> DataFrame:
+    """Metadata-filtered vector search — the production retrieval
+    shape ("top-k among documents WHERE lang = 'en' AND source = X"):
+    the metadata predicate applies BEFORE similarity via a left-semi
+    join of the vector corpus against the qualifying doc ids
+    (pre-filtering, exact recall within the filtered set — unlike
+    post-filtering a fixed top-k, which silently starves selective
+    predicates of results).
+
+    Scale shape: the predicate pushes down to the documents scan; the
+    semi-join prunes the vector side before any distance math; the
+    search itself is whatever engine follows (exact here, IVF/PQ for
+    scale — the composition is identical)."""
+    keep = docs.where(predicate).select(F.col("doc_id").alias("vec_id"))
+    return cosine_topk(embeddings.join(keep, "vec_id", "left_semi"), queries, k)
+
+
+def s11_filtered_topk(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return filtered_topk(
+        em, d, _query_set(em), F.col("source") == "src1"
+    ).orderBy("qid", "vec_id", "sim")
+
+
 def s09_pq_topk(spark, sf_dir):
     """PQ ANN over the embeddings table. Code assignment depends on
     float argmin ties only through the 9-dp rounding (deterministic),
@@ -960,6 +991,14 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
               FROM embeddings, q WHERE vec_id != qid),
         r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM s)
         SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim""",
+    "s11_filtered_topk": f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        keep AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+        c AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id),
+        s AS (SELECT qid, vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+              FROM c, q WHERE vec_id != qid),
+        r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM s)
+        SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim""",
     "d05_embed_neardup": f"""
         SELECT a.vec_id va, b.vec_id vb,
                ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
@@ -1034,6 +1073,7 @@ SIMILARITY_QUERIES = {
     "d09_semdedup": d09_semdedup,
     "s07_sq8_topk": s07_sq8_topk,
     "s09_pq_topk": s09_pq_topk,
+    "s11_filtered_topk": s11_filtered_topk,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""
