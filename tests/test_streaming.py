@@ -19,8 +19,12 @@ from crossfire_spark.streaming.jobs import (
 )
 
 
-@pytest.mark.parametrize("name", sorted(STREAMING_QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted(set(STREAMING_QUERIES) & set(STREAMING_ORACLE_SQL))
+)
 def test_streaming_matches_oracle(name, spark, duck, sf_dir):
+    # rows-only streaming queries (st14: quantization-dependent) are
+    # pinned by their own equality tests instead
     sdf = STREAMING_QUERIES[name](spark, sf_dir)
     cur = duck.execute(STREAMING_ORACLE_SQL[name])
     ok, reason = results_match(
