@@ -771,6 +771,49 @@ def d11_dedup_savings(spark, sf_dir):
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD, n: int = 3
+) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / |A| >= threshold means
+    document A is (mostly) CONTAINED in B — the snippet/quote/
+    boilerplate-embedding case symmetric Jaccard misses by design (a
+    short doc inside a long one has tiny Jaccard but containment ~1).
+    Output is directional: (inner, outer, containment).
+
+    Same shuffle pattern as the exact Jaccard oracle (shingle
+    equi-join, group by pair) — and the same hot-shingle hazard, with
+    the same LSH remedy at scale; this exact form is the oracle tier."""
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("inner"), F.col("b.doc_id").alias("outer")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("inner"), F.col("n_sh").alias("na"))
+    raw = F.col("i") / F.col("na")
+    return (
+        inter.join(na, "inner")
+        .where(raw >= threshold)
+        .select("inner", "outer", F.round(raw, 2).alias("containment"))
+    )
+
+
+def d14_containment(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d).orderBy("inner", "outer", "containment")
+
+
 def fuzzy_match_report(customers: DataFrame) -> DataFrame:
     """Entity-resolution blocking + edit-distance matching — the
     fuzzy twin of the exact/fingerprint dedup tiers: candidate pairs
@@ -933,7 +976,21 @@ DEDUP_QUERIES = {
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
     "d12_fuzzy_match": d12_fuzzy_match,
+    "d14_containment": d14_containment,
 }
+
+DEDUP_ORACLE_SQL["d14_containment"] = f"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id "inner", b.doc_id "outer", COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT it."inner", it."outer", ROUND(it.i * 1.0 / ns.n, 2) containment
+        FROM inter it JOIN ns ON it."inner" = ns.doc_id
+        WHERE it.i * 1.0 / ns.n >= {CONTAINMENT_THRESHOLD}
+        ORDER BY it."inner", it."outer", containment"""
 
 DEDUP_ORACLE_SQL["d12_fuzzy_match"] = """
         WITH c AS (SELECT c_custkey, c_name, c_mktsegment,

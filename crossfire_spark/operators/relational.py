@@ -1206,6 +1206,23 @@ def q66(spark, sf_dir):
     ).orderBy("o_orderkey", "o_orderstatus", "o_totalprice", "q4", "pr", "cd")
 
 
+def q67(spark, sf_dir):
+    """UNPIVOT (wide → long), the inverse of q38's pivot: each
+    lineitem row's three measures become three (measure, val) rows
+    via ``stack`` — a Generate projection inside the scan stage, no
+    shuffle before the deterministic ORDER BY. The canonical SQL
+    states the same relation as UNION ALL of three projections."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'discount', l_discount, 'extendedprice',"
+            " l_extendedprice, 'quantity', l_quantity)"
+        ).alias("measure", "val"),
+    ).orderBy("l_orderkey", "l_linenumber", "measure", "val")
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1431,6 +1448,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders WHERE o_orderkey < 4000
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderkey, o_orderstatus, o_totalprice, q4, pr, cd""",
+    "q67": """SELECT l_orderkey, l_linenumber, 'discount' measure, l_discount val
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber, measure, val""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
