@@ -852,6 +852,38 @@ def t18_corpus_build(spark, sf_dir):
     )
 
 
+def t19_token_stats(spark, sf_dir):
+    """Per-(source, lang) token accounting — the "dataset nutrition
+    label" every corpus card carries: document counts, total/mean
+    whitespace tokens, and the p50/p90/p99 token-count distribution
+    (continuous-interpolation percentiles, identical semantics to
+    DuckDB quantile_cont — the q34 discipline). One map-side token
+    count per row, one shuffle on the (source, lang) key; percentiles
+    sort within group with spill support — no driver materialization
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return (
+        toks.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_total"),
+            F.round(F.round(F.avg("n_tok"), 6) + F.lit(1e-9), 2).alias(
+                "tok_mean"
+            ),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 2).alias("tok_p50"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 2).alias("tok_p90"),
+            F.round(F.expr("percentile(n_tok, 0.99)"), 2).alias("tok_p99"),
+        )
+        .orderBy(
+            "source", "lang", "n_docs", "tok_total", "tok_mean",
+            "tok_p50", "tok_p90", "tok_p99",
+        )
+    )
+
+
 def _markers_sql(markers: tuple[str, ...]) -> str:
     inlist = ",".join(f"'{m}'" for m in markers)
     return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inlist})))"
@@ -1014,7 +1046,21 @@ TEXT_QUERIES = {
     "t15_split_assign": t15_split_assign,
     "t17_tfidf_keywords": t17_tfidf_keywords,
     "t18_corpus_build": t18_corpus_build,
+    "t19_token_stats": t19_token_stats,
 }
+
+TEXT_ORACLE_SQL["t19_token_stats"] = """
+        WITH toks AS (SELECT source, lang, len(string_split(text, ' ')) n_tok
+                      FROM documents)
+        SELECT source, lang, COUNT(*) n_docs,
+               CAST(SUM(n_tok) AS BIGINT) tok_total,
+               ROUND(ROUND(AVG(n_tok), 6) + 1e-9, 2) tok_mean,
+               ROUND(quantile_cont(n_tok, 0.5), 2) tok_p50,
+               ROUND(quantile_cont(n_tok, 0.9), 2) tok_p90,
+               ROUND(quantile_cont(n_tok, 0.99), 2) tok_p99
+        FROM toks GROUP BY source, lang
+        ORDER BY source, lang, n_docs, tok_total, tok_mean,
+                 tok_p50, tok_p90, tok_p99"""
 
 TEXT_ORACLE_SQL["t18_corpus_build"] = f"""
         WITH f AS (SELECT doc_id, text,
