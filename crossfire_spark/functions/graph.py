@@ -161,5 +161,52 @@ def _pr_oracle() -> str:
         FROM r{PR_ITERS} ORDER BY node, rank"""
 
 
-GRAPH_QUERIES = {"g01_pagerank": g01_pagerank}
-GRAPH_ORACLE_SQL = {"g01_pagerank": _pr_oracle()}
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree-distribution report over an edge list — the first graph
+    health check before any iterative algorithm runs (skewed degrees
+    predict hot partitions in CC/PageRank): per node in/out degree via
+    two aggregates, then the degree histogram. Everything is
+    node-cardinality after the first aggregate."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    deg = outd.join(ind, "node", "full_outer").select(
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )
+    return deg.groupBy("out_deg", "in_deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def g02_degree_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return degree_stats(doc_link_graph(d)).orderBy(
+        "out_deg", "in_deg", "n_nodes"
+    )
+
+
+def _deg_oracle() -> str:
+    return """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        outd AS (SELECT src node, COUNT(*) out_deg FROM e GROUP BY src),
+        ind AS (SELECT dst node, COUNT(*) in_deg FROM e GROUP BY dst),
+        deg AS (SELECT COALESCE(o.out_deg, 0) out_deg, COALESCE(i.in_deg, 0) in_deg
+                FROM outd o FULL OUTER JOIN ind i ON o.node = i.node)
+        SELECT out_deg, in_deg, COUNT(*) n_nodes FROM deg
+        GROUP BY out_deg, in_deg ORDER BY out_deg, in_deg, n_nodes"""
+
+
+GRAPH_QUERIES = {"g01_pagerank": g01_pagerank, "g02_degree_stats": g02_degree_stats}
+GRAPH_ORACLE_SQL = {
+    "g01_pagerank": _pr_oracle(),
+    "g02_degree_stats": _deg_oracle(),
+}

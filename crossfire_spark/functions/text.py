@@ -852,6 +852,42 @@ def t18_corpus_build(spark, sf_dir):
     )
 
 
+def t20_pii_spans(spark, sf_dir):
+    """PII audit trail — one row per detected entity (the record a
+    compliance pipeline keeps next to t10's redacted text): for each
+    document, every email/phone/IPv4 match with its kind and its
+    ordinal among that kind's matches. ``regexp_extract_all`` +
+    ``posexplode`` — a Generate projection inside the scan stage, no
+    Python, no shuffle before the deterministic ORDER BY. The same
+    RE2-safe patterns as t10, so both engines extract identical
+    matches."""
+    d = load_table(spark, sf_dir, "documents")
+    kinds = [
+        ("email", PII_EMAIL_RE),
+        ("phone", PII_PHONE_RE),
+        ("ip", PII_IPV4_RE),
+    ]
+    parts = []
+    for kind, pat in kinds:
+        parts.append(
+            d.select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                # F.lit(pattern) keeps the regex out of SQL string
+                # literals (whose backslash escaping would eat \b)
+                F.posexplode(
+                    F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+                ).alias("idx", "entity"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "kind", "idx", "entity").orderBy(
+        "doc_id", "kind", "idx", "entity"
+    )
+
+
 def t19_token_stats(spark, sf_dir):
     """Per-(source, lang) token accounting — the "dataset nutrition
     label" every corpus card carries: document counts, total/mean
@@ -1047,7 +1083,19 @@ TEXT_QUERIES = {
     "t17_tfidf_keywords": t17_tfidf_keywords,
     "t18_corpus_build": t18_corpus_build,
     "t19_token_stats": t19_token_stats,
+    "t20_pii_spans": t20_pii_spans,
 }
+
+TEXT_ORACLE_SQL["t20_pii_spans"] = f"""
+        WITH m AS (
+            SELECT doc_id, 'email' kind, regexp_extract_all(text, '{PII_EMAIL_RE}') l FROM documents
+            UNION ALL
+            SELECT doc_id, 'phone', regexp_extract_all(text, '{PII_PHONE_RE}') FROM documents
+            UNION ALL
+            SELECT doc_id, 'ip', regexp_extract_all(text, '{PII_IPV4_RE}') FROM documents)
+        SELECT doc_id, kind, CAST(i - 1 AS INT) idx, l[i] entity
+        FROM m, unnest(range(1, len(l) + 1)) t(i)
+        ORDER BY doc_id, kind, idx, entity"""
 
 TEXT_ORACLE_SQL["t19_token_stats"] = """
         WITH toks AS (SELECT source, lang, len(string_split(text, ' ')) n_tok
