@@ -1223,6 +1223,22 @@ def q67(spark, sf_dir):
     ).orderBy("l_orderkey", "l_linenumber", "measure", "val")
 
 
+def q68(spark, sf_dir):
+    """Null-preserving lateral explode (``explode_outer``): documents
+    keep a row even when the exploded array is empty — the LEFT OUTER
+    lateral semantics a flattening pipeline needs so parent rows are
+    never silently dropped. The array here is the doc's words longer
+    than 9 chars (empty for many docs, exercising the outer case);
+    the oracle states the same relation by substituting [NULL] for
+    empty lists before UNNEST."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    long_words = F.expr("filter(split(lower(text), ' '), w -> length(w) > 9)")
+    return (
+        d.select("doc_id", F.explode_outer(long_words).alias("w"))
+        .orderBy("doc_id", F.col("w").asc_nulls_first())
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (canonical, runs on DuckDB over the same parquet)
 # --------------------------------------------------------------------------
@@ -1457,11 +1473,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
         FROM lineitem WHERE l_orderkey < 200
         ORDER BY l_orderkey, l_linenumber, measure, val""",
+    "q68": """WITH t AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), w -> length(w) > 9) l
+        FROM documents WHERE doc_id < 500)
+        SELECT doc_id, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) w
+        FROM t ORDER BY doc_id, w NULLS FIRST""",
 }
 
 # Queries whose canonical (DuckDB) SQL uses dialect-specific function
 # names; the Spark-SQL face runs these equivalents instead.
 SPARK_SQL_OVERRIDES: dict[str, str] = {
+    # Spark spells the null-preserving lateral explode as
+    # LATERAL VIEW OUTER explode.
+    "q68": """WITH t AS (SELECT doc_id,
+            filter(split(lower(text), ' '), w -> length(w) > 9) l
+        FROM documents WHERE doc_id < 500)
+        SELECT doc_id, w FROM t LATERAL VIEW OUTER explode(l) x AS w
+        ORDER BY doc_id, w NULLS FIRST""",
     "q34": "SELECT o_orderstatus, ROUND(percentile(o_totalprice, 0.5),2) med, ROUND(percentile(o_totalprice, 0.9),2) p90, ROUND(percentile(o_totalprice, 0.99),2) p99 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus, med, p90, p99",
     "q35": "SELECT n_regionkey k, array_join(array_sort(collect_list(n_name)), ',') AS names FROM nation GROUP BY n_regionkey ORDER BY k, names",
     "q38": """SELECT l_linestatus,

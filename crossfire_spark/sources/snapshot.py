@@ -675,6 +675,36 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
     return _metadata_commit(path, "drop_constraint", constraints=cons)
 
 
+def snapshot_schema_diff(
+    path: str, from_version: int, to_version: int
+) -> list[dict]:
+    """Schema changes between two versions, from manifests alone
+    (zero data IO): one dict per changed column with ``change`` in
+    {added, removed, type_changed}. The audit a consumer runs before
+    pinning code to a table that evolved under it."""
+    import json as _json
+
+    def fields(v: int) -> dict[str, str]:
+        m = _read_manifest(path, v)
+        return {
+            f["name"]: _json.dumps(f["type"], sort_keys=True)
+            for f in _json.loads(m["schema"])["fields"]
+        }
+
+    a, b = fields(from_version), fields(to_version)
+    out: list[dict] = []
+    for name in sorted(set(a) | set(b)):
+        if name not in b:
+            out.append({"column": name, "change": "removed", "from": a[name], "to": None})
+        elif name not in a:
+            out.append({"column": name, "change": "added", "from": None, "to": b[name]})
+        elif a[name] != b[name]:
+            out.append(
+                {"column": name, "change": "type_changed", "from": a[name], "to": b[name]}
+            )
+    return out
+
+
 def snapshot_history(path: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file
     count, partition spec — the ``DESCRIBE HISTORY`` surface."""

@@ -637,3 +637,31 @@ def test_load_table_normalizes_both_events_ts_encodings(spark, tmp_path):
         assert got == ["2024-01-01T00:00:00", "2024-01-01T01:00:00"], got
         # event-time ops accept it (this is what broke: NTZ watermark)
         df.withWatermark("ts", "1 hour")
+
+
+def test_snapshot_schema_diff(spark, sf_dir, tmp_path):
+    """Additive evolution and overwrite-restated types surface in the
+    manifest-only schema diff."""
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.sources.snapshot import (
+        snapshot_schema_diff,
+        snapshot_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = str(tmp_path / "sd")
+    v0 = snapshot_write(docs, path)
+    v1 = snapshot_write(
+        docs.withColumn("score", F.lit(1.5)), path, merge_schema=True
+    )
+    d01 = snapshot_schema_diff(path, v0, v1)
+    assert [(x["column"], x["change"]) for x in d01] == [("score", "added")]
+    v2 = snapshot_write(
+        docs.withColumn("lang", F.lit(1).cast("int")), path, mode="overwrite"
+    )
+    d12 = snapshot_schema_diff(path, v1, v2)
+    changes = {(x["column"], x["change"]) for x in d12}
+    assert ("score", "removed") in changes
+    assert ("lang", "type_changed") in changes
+    assert snapshot_schema_diff(path, v2, v2) == []
