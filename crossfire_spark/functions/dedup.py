@@ -814,6 +814,72 @@ def d14_containment(spark, sf_dir):
     return containment_pairs(d).orderBy("inner", "outer", "containment")
 
 
+SPARSE_COSINE_THRESHOLD = 0.6
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame, threshold: float = SPARSE_COSINE_THRESHOLD
+) -> DataFrame:
+    """TF-IDF-weighted sparse cosine near-dup — the lexical-weighted
+    tier between bag-fingerprint dedup (d01: exact sets) and n-gram
+    Jaccard (d02: unweighted overlap): each document becomes a sparse
+    TF-IDF vector over its words; pairs sharing vocabulary score by
+    cosine over the shared words only. Rare shared words dominate the
+    score — two docs sharing boilerplate stopwords stay apart, two
+    sharing a rare phrase pull together.
+
+    Scale shape: the join is word-keyed (one shuffle of (doc, word,
+    weight)); a hot word fans out quadratically — the same hazard and
+    the same LSH remedy as d02/d03; this exact form is the oracle
+    tier. Norms are per-doc aggregates; the pair dot product sums
+    only SHARED words. Scores stabilize with the engine's
+    round(round(·,6)+1e-9, 4) discipline before the threshold and
+    output."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word", F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("idf")
+    )
+    w = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt")
+    ).localCheckpoint()  # consumed by norms AND both join sides
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = F.round(
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6) + F.lit(1e-9), 4
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def d15_sparse_cosine(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(d).orderBy("doc_a", "doc_b", "sim")
+
+
 def fuzzy_match_report(customers: DataFrame) -> DataFrame:
     """Entity-resolution blocking + edit-distance matching — the
     fuzzy twin of the exact/fingerprint dedup tiers: candidate pairs
@@ -977,7 +1043,28 @@ DEDUP_QUERIES = {
     "d11_dedup_savings": d11_dedup_savings,
     "d12_fuzzy_match": d12_fuzzy_match,
     "d14_containment": d14_containment,
+    "d15_sparse_cosine": d15_sparse_cosine,
 }
+
+DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""
+        WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                       FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) tf FROM words GROUP BY doc_id, word),
+        nd AS (SELECT COUNT(DISTINCT doc_id) n FROM documents),
+        dfreq AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
+        idf AS (SELECT word, ln((n + 1) * 1.0 / (df + 1)) idf FROM dfreq CROSS JOIN nd),
+        w AS (SELECT t.doc_id, t.word, t.tf * i.idf wt FROM tf t JOIN idf i USING (word)),
+        norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) nrm FROM w GROUP BY doc_id),
+        dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b, SUM(a.wt * b.wt) dot
+                 FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        scored AS (SELECT doc_a, doc_b,
+                          ROUND(ROUND(dot / (x.nrm * y.nrm), 6) + 1e-9, 4) sim
+                   FROM dots JOIN norms x ON doc_a = x.doc_id
+                             JOIN norms y ON doc_b = y.doc_id)
+        SELECT doc_a, doc_b, sim FROM scored
+        WHERE sim >= {SPARSE_COSINE_THRESHOLD}
+        ORDER BY doc_a, doc_b, sim"""
 
 DEDUP_ORACLE_SQL["d14_containment"] = f"""
         WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
