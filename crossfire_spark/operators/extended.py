@@ -36,6 +36,9 @@ PRICE_BANDS = [
     ("high", 150_000.0, 1e9),
 ]
 
+MAD_K = 1.4826  # normal-consistency constant (robust z-score scale)
+OUTLIER_Z = 3.0
+
 
 def j01_json_extract(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
@@ -281,6 +284,19 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
                COUNT(*) n_obs, SUM(dur_us) / 1e6 span_s
         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type
         ORDER BY event_type, twa, n_obs, span_s""",
+    "v04_outlier_report": f"""
+        WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) med
+                     FROM documents GROUP BY source),
+        dev AS (SELECT d.source, ABS(d.n_chars - m.med) ad
+                FROM documents d JOIN med m USING (source)),
+        mad AS (SELECT source, quantile_cont(ad, 0.5) mad FROM dev GROUP BY source),
+        fl AS (SELECT dev.source, COUNT(*) n_docs,
+                      CAST(COUNT(*) FILTER (dev.ad > {OUTLIER_Z * MAD_K} * mad.mad) AS BIGINT) n_outliers
+               FROM dev JOIN mad USING (source) GROUP BY dev.source)
+        SELECT med.source, ROUND(med.med, 2) med, ROUND(mad.mad, 2) mad,
+               fl.n_docs, fl.n_outliers
+        FROM med JOIN mad USING (source) JOIN fl USING (source)
+        ORDER BY source, med, mad, n_docs, n_outliers""",
     "v03_table_diff": """
         WITH u AS (SELECT o_orderkey k,
                 ((instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -570,6 +586,55 @@ def v02_drift_report(spark, sf_dir):
     return drift_report(d).orderBy("source", "psi", "n_docs")
 
 
+def outlier_report(docs: DataFrame) -> DataFrame:
+    """Robust outlier accounting per source — median/MAD instead of
+    mean/stddev, so the detector itself is not dragged by the
+    outliers it hunts: per source, the median and MAD of ``n_chars``
+    (continuous-interpolation percentiles, the q34 discipline) and
+    the count of documents beyond ``OUTLIER_Z`` robust z-scores.
+
+    Two grouped percentile passes (median, then median of absolute
+    deviations) + one counting pass — three source-keyed aggregates,
+    no window over raw rows, no driver materialization."""
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(
+                F.col("ad") > F.lit(OUTLIER_Z * MAD_K) * F.col("mad")
+            ).alias("n_outliers"),
+        )
+    )
+    return (
+        med.join(mad, "source")
+        .join(flagged, "source")
+        .select(
+            "source",
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+            "n_docs",
+            "n_outliers",
+        )
+    )
+
+
+def v04_outlier_report(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return outlier_report(d).orderBy(
+        "source", "med", "mad", "n_docs", "n_outliers"
+    )
+
+
 DIFF_BUCKETS = 16
 
 
@@ -645,4 +710,5 @@ EXTENDED_QUERIES = {
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,
     "v03_table_diff": v03_table_diff,
+    "v04_outlier_report": v04_outlier_report,
 }

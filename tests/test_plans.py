@@ -109,7 +109,7 @@ def test_registry_contract_consistency():
         "s10_pq_index",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 154 and len(osql) == 144
+    assert len(qs) == 155 and len(osql) == 145
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
