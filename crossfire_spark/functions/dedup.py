@@ -876,7 +876,14 @@ def sparse_cosine_pairs(
 
 
 def d15_sparse_cosine(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    """Declared on a fixed doc slice: the synthetic corpus has a
+    31-word vocabulary, so EVERY word is a hot key and the exact
+    word-join is Σdf² ≈ 450M pairs at sf0.1 (measured 109 s) — the
+    all-common-terms worst case. The exact tier exists as the oracle;
+    the slice bounds it the way q62 bounds its array suite, and the
+    scale path for full corpora remains the banded/ANN tiers
+    (d03/s02/s09)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return sparse_cosine_pairs(d).orderBy("doc_a", "doc_b", "sim")
 
 
@@ -1047,10 +1054,11 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""
-        WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
-                       FROM documents),
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+        words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                       FROM docs),
         tf AS (SELECT doc_id, word, COUNT(*) tf FROM words GROUP BY doc_id, word),
-        nd AS (SELECT COUNT(DISTINCT doc_id) n FROM documents),
+        nd AS (SELECT COUNT(DISTINCT doc_id) n FROM docs),
         dfreq AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
         idf AS (SELECT word, ln((n + 1) * 1.0 / (df + 1)) idf FROM dfreq CROSS JOIN nd),
         w AS (SELECT t.doc_id, t.word, t.tf * i.idf wt FROM tf t JOIN idf i USING (word)),
