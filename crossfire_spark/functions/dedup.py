@@ -29,6 +29,10 @@ engine hash functions, so the driver records a rows-only check and
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -817,6 +821,26 @@ def d14_containment(spark, sf_dir):
 SPARSE_COSINE_THRESHOLD = 0.6
 
 
+def _tfidf_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, wt) — the sparse TF-IDF vector table shared by
+    the exact weighted tier (d15) and the SRP-banded scale tier
+    (d16): tf = word count in doc, idf = ln((N+1)/(df+1)) over the
+    given doc universe. One word-explode scan + two aggregates; the
+    idf model is broadcast-sized."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word", F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("idf")
+    )
+    return tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+
+
 def sparse_cosine_pairs(
     docs: DataFrame, threshold: float = SPARSE_COSINE_THRESHOLD
 ) -> DataFrame:
@@ -835,18 +859,8 @@ def sparse_cosine_pairs(
     only SHARED words. Scores stabilize with the engine's
     round(round(·,6)+1e-9, 4) discipline before the threshold and
     output."""
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
-    )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "word", F.log((F.col("n") + 1) / (F.col("df") + 1)).alias("idf")
-    )
-    w = tf.join(F.broadcast(idf), "word").select(
-        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt")
-    ).localCheckpoint()  # consumed by norms AND both join sides
+    w = _tfidf_weights(docs).localCheckpoint()
+    # consumed by norms AND both join sides
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
@@ -879,12 +893,295 @@ def d15_sparse_cosine(spark, sf_dir):
     """Declared on a fixed doc slice: the synthetic corpus has a
     31-word vocabulary, so EVERY word is a hot key and the exact
     word-join is Σdf² ≈ 450M pairs at sf0.1 (measured 109 s) — the
-    all-common-terms worst case. The exact tier exists as the oracle;
-    the slice bounds it the way q62 bounds its array suite, and the
-    scale path for full corpora remains the banded/ANN tiers
-    (d03/s02/s09)."""
+    all-common-terms worst case. The exact tier exists as the oracle
+    of the SRP-banded scale tier (d16, the d02→d03 relationship);
+    the slice bounds it the way q62 bounds its array suite."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return sparse_cosine_pairs(d).orderBy("doc_a", "doc_b", "sim")
+
+
+# ------------------------------------------- weighted SRP scale tier
+
+# Declared d16 settings: 1536 projection bits in 96 bands of 16 —
+# P(collide in ≥1 band) at cosine sim s with p = 1 - arccos(s)/π:
+# ~0.99 at s=0.85, ~0.31 at s=0.6, ~0.02 at s=0.3. The declared
+# threshold is the HIGH-confidence setting (0.85): on a corpus where
+# the median inter-doc TF-IDF cosine is ~0.61 (this synthetic
+# 31-word-vocabulary corpus — everything lexically similar to
+# everything), enumerating pairs at 0.6 is Θ(n²) in the OUTPUT, which
+# no candidate scheme can beat; production near-dup on such a corpus
+# raises the bar to "almost the same document".
+WEIGHTED_NEARDUP_THRESHOLD = 0.85
+SRP_LONGS = 64      # 64-bit blocks of projection bits (64 -> 4096)
+SRP_BAND_BITS = 16  # bits per band
+SRP_BANDS = 96      # bands (over the first 96·16 = 1536 bits)
+# Hamming-estimate prefilter slack below the verify threshold: ~3σ of
+# the SRP angle estimator at 4096 bits (σ_cos ≈ 0.010 near 0.85), so
+# the prefilter essentially never drops a true pair while removing
+# the mid-sim candidate mass band collisions cannot.
+SRP_PREFILTER_MARGIN = 0.03
+
+
+def _per_doc_vectors(w: DataFrame) -> DataFrame:
+    """(doc_id, wv array<struct<word,wt>>) — each document's sparse
+    TF-IDF vector as one row (collect_list rides the shuffle the TF
+    aggregate already paid). Materialized once per run and shared by
+    the signature pass AND the pair verify — documents are short
+    vectors, so this is the natural unit both Arrow kernels batch
+    over."""
+    return w.groupBy("doc_id").agg(
+        F.collect_list(F.struct("word", "wt")).alias("wv")
+    )
+
+
+def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
+    """(doc_id, sig array<long>) — signed-random-projection signature
+    of each document's sparse TF-IDF vector (Charikar'02 SimHash for
+    cosine, the weighted twin of d04's unweighted bit votes):
+    projection bit i has sign hash_i(word) ∈ {±1}, the document's bit
+    is sign(Σ_w wt·hash_i(w)), bits pack little-endian into 64-bit
+    blocks (bit i = block i//64, position i%64).
+
+    Computed as ONE vectorized ``pandas_udf`` over the per-doc vector
+    table (one Arrow batch covers thousands of docs — the per-group
+    applyInPandas form costed ~2 ms of pandas scaffolding per doc).
+    Word→±1 signs derive from sha256(word‖block) — deterministic
+    everywhere, memoized per executor, and a corpus-vocabulary-sized
+    model however large the corpus. Bit sums are rounded to 6 dp
+    before the sign so float summation-order jitter cannot flip a
+    boundary bit between runs."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    nbits = 64 * n_longs
+
+    @pandas_udf("array<long>")
+    def _sig(wv: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def signs_for(word):
+            got = cache.get(word)
+            if got is None:
+                import hashlib
+
+                raw = b"".join(
+                    hashlib.sha256(f"{word}#{blk}".encode()).digest()
+                    for blk in range((nbits + 255) // 256)
+                )
+                bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:nbits]
+                got = cache[word] = bits.astype(np.float64) * 2.0 - 1.0
+            return got
+
+        out = []
+        for entries in wv:
+            sums = np.zeros(nbits, dtype=np.float64)
+            for e in entries:
+                sums += e["wt"] * signs_for(e["word"])
+            bits = (np.round(sums, 6) > 0).astype(np.uint8)
+            out.append(np.packbits(bits, bitorder="little").view("<i8"))
+        return pd.Series(out)
+
+    # WIDE columns (s0..s{n-1}), not an array: the prefilter joins
+    # this table against millions of candidate pairs and evaluates 64
+    # xor/popcount terms per pair — flat longs stay in whole-stage
+    # codegen and copy as fixed-width fields, where array element
+    # access on join output rows measured ~5x slower (the same
+    # wide-vs-narrow lesson minhash_signatures_wide documents).
+    return per_doc.select("doc_id", _sig("wv").alias("sig")).select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_longs)],
+    )
+
+
+def _srp_band_table(
+    sig: DataFrame,
+    n_bands: int = SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """(doc_id, band, bsig) — unpivot consecutive ``band_bits``-bit
+    slices of the wide signature's prefix into integer band values,
+    all codegen'd bit arithmetic (band b = bits [b·w, (b+1)·w) = long
+    b//(64/w) >>> (w·(b % (64/w))) masked to w bits). Banding uses a
+    PREFIX of the signature: extra signature bits sharpen the
+    Hamming estimator without inflating the band table."""
+    per_long = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(
+                F.col(f"s{b // per_long}"), band_bits * (b % per_long)
+            )
+            .bitwiseAND(F.lit(mask))
+            .alias("bsig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def _srp_hamming(n_longs: int = SRP_LONGS) -> F.Column:
+    """Codegen'd popcount distance between wide signatures joined as
+    ``a_s*`` / ``b_s*``: ``n_longs`` unrolled bit_count(xor) terms
+    summed left-to-right — flat-column arithmetic, never an
+    interpreted higher-order aggregate over arrays."""
+    ham = F.bit_count(F.col("a_s0").bitwiseXOR(F.col("b_s0")))
+    for i in range(1, n_longs):
+        ham = ham + F.bit_count(F.col(f"a_s{i}").bitwiseXOR(F.col(f"b_s{i}")))
+    return ham
+
+
+def _verify_weighted_cosine(
+    w: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact TF-IDF cosine over CANDIDATE pairs only — the weighted
+    twin of :func:`_verify_jaccard`, sharing d15's stabilization
+    (round(round(·,6)+1e-9,4)) so the surviving pairs carry exactly
+    the sims the exact tier reports. The word join runs over
+    candidate documents only (semi-join), never the corpus — and by
+    the time it runs, the Hamming prefilter has already shrunk the
+    candidate stream to near the true-pair set, so the pair-keyed
+    aggregate is output-bounded."""
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    wc = w.join(cand_ids, "doc_id", "left_semi")
+    norms = wc.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    dots = (
+        candidates.join(
+            wc.select(F.col("doc_id").alias("doc_a"), "word", F.col("wt").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            wc.select(F.col("doc_id").alias("doc_b"), "word", F.col("wt").alias("wb")),
+            ["doc_b", "word"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = F.round(
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6) + F.lit(1e-9), 4
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def weighted_srp_pairs(
+    docs: DataFrame,
+    threshold: float = WEIGHTED_NEARDUP_THRESHOLD,
+    n_longs: int = SRP_LONGS,
+    n_bands: int = SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    prefilter_margin: float = SRP_PREFILTER_MARGIN,
+) -> DataFrame:
+    """TF-IDF-weighted near-dup pairs at scale — the banded tier d15
+    is the oracle of (the d02→d03 relationship, closed for the
+    weighted metric): exact-dup pre-collapse, SRP band buckets with
+    the same hot-bucket ceiling as d03, then exact weighted-cosine
+    verification of candidates only. Output is a subset of
+    ``sparse_cosine_pairs(docs, threshold)`` with identical sims —
+    minus LSH misses (P(miss) ≤ ~1% at the declared threshold) and
+    capped-bucket casualties.
+
+    Scale shape: no word-keyed pair join ever forms (the Σdf² blowup
+    that makes the exact tier quadratic on hot vocabularies) — the
+    corpus-wide passes are one TF-IDF scan and one Arrow signature
+    pass; the self-join runs on (band, value) buckets with fan-out
+    bounded by cap² per bucket; exact math touches candidates only.
+
+    IDF is computed over the FULL doc multiset (dups included) before
+    the pre-collapse, so verified sims equal the exact tier's on the
+    same universe; dup members share their representative's weights
+    by text identity, so the member re-expansion is score-exact.
+
+    Between banding and exact verify sits a HAMMING PREFILTER: the
+    full 4096-bit signatures (one Arrow pass; banding reads only
+    their 1536-bit prefix) estimate the cosine as
+    cos(π·hamming/nbits); candidates estimating below
+    ``threshold - prefilter_margin`` are dropped before any word
+    join. The margin is ~3σ of the projection estimator at 4096 bits
+    (σ_cos ≈ 0.010 near the declared threshold), so the prefilter's
+    own miss rate is negligible — but it removes the mid-similarity
+    candidate mass that band collisions cannot (on a corpus whose sim
+    range is tight, bands of any width stay collision-happy at
+    sim ≈ 0.6–0.7; the per-pair O(n_longs) codegen'd popcount is what
+    makes verify candidate-bounded rather than collision-bounded)."""
+    docs = docs.select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    w_full = _tfidf_weights(docs)
+    reps = membership.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+    w_rep = w_full.join(reps, "doc_id", "left_semi").localCheckpoint()
+    sig = _srp_signatures(_per_doc_vectors(w_rep), n_longs).localCheckpoint()
+    band_sig = _cap_buckets(
+        _srp_band_table(sig, n_bands, band_bits), ["band", "bsig"], bucket_cap
+    )
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    raw_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    nbits = 64 * n_longs
+    # broadcast the signature table into both lookups: the pair
+    # stream then never shuffles with 512-byte signatures attached
+    # (measured 5x on the prefilter). The sig table is |docs| x
+    # ~0.5 KiB — broadcastable far beyond this corpus; when it
+    # outgrows that, pre-partition sig and raw_cand on doc_id
+    # (bucketed join) so the signature payload rides each pair row
+    # once.
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a_s{i}") for i in range(n_longs)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b_s{i}") for i in range(n_longs)],
+    )
+    candidates = (
+        raw_cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(
+            F.cos(F.lit(math.pi / nbits) * _srp_hamming(n_longs))
+            >= threshold - prefilter_margin
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # small (prefilter survivors); the verify
+        # consumes it twice (id set + pair join) — without this the
+        # band self-join + prefilter execute once per consumer
+    )
+    rep_pairs = _verify_weighted_cosine(w_rep, candidates, threshold)
+    return _expand_rep_pairs(
+        rep_pairs,
+        membership,
+        F.when(F.lit(threshold) <= 1.0, F.lit(1.0)).cast("double"),
+        "sim",
+    ).where(F.col("sim").isNotNull())
+
+
+def d16_weighted_neardup(spark, sf_dir):
+    """The scale tier of weighted near-dup, declared on the FULL
+    corpus (no slice — the banded path is what removes d15's need
+    for one). Hash-dependent candidate set → rows-only driver check;
+    recall-vs-exact and subset/score-exactness are pinned in
+    tests/test_dedup_scale.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_srp_pairs(d).orderBy("doc_a", "doc_b", "sim")
 
 
 def fuzzy_match_report(customers: DataFrame) -> DataFrame:
@@ -1051,6 +1348,7 @@ DEDUP_QUERIES = {
     "d12_fuzzy_match": d12_fuzzy_match,
     "d14_containment": d14_containment,
     "d15_sparse_cosine": d15_sparse_cosine,
+    "d16_weighted_neardup": d16_weighted_neardup,
 }
 
 DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""

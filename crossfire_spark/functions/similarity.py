@@ -131,6 +131,7 @@ def s01_cosine_topk(spark, sf_dir):
 
 RRF_K = 60
 RRF_TOPK = 20
+RRF_CAP = 1000  # per-retriever candidate cap (≫ RRF_TOPK)
 
 
 def s05_hybrid_rrf(spark, sf_dir):
@@ -138,20 +139,34 @@ def s05_hybrid_rrf(spark, sf_dir):
     keyword, t09's term query) and a dense (cosine to the vec_id-0
     embedding) ranking: score = Σ 1/(60+rank), the standard fusion
     every hybrid search stack ships because it needs no score
-    calibration between the two retrievers.
+    calibration between the two retrievers. Each retriever is CAPPED
+    at its top ``RRF_CAP`` candidates before ranking — standard
+    hybrid-search practice (a retriever contributes its top-N list,
+    not its whole scored corpus), and the thing that makes the plan
+    survive a 100× corpus: the cap is TakeOrderedAndProject (per-
+    partition top-N, merged on one tiny reduce), so the only
+    unpartitioned ``row_number`` windows run over ≤ RRF_CAP rows,
+    never the corpus. Items outside a retriever's top-N contribute 0
+    from that retriever (COALESCE), the universal RRF convention.
 
     Determinism across engines: both rankings order by the *rounded*
     score with an id tiebreak (the same convention s01 pins), so the
     integer ranks — and therefore the RRF doubles, built only from
-    integers — are bit-identical. Scale shape: each ranking is one
-    window over its retriever's candidate set; the fusion is a
-    full-outer join of two (id, rank) tables, trivially small next to
-    the corpus."""
+    integers — are bit-identical; rank-then-filter(rn<=N) ≡
+    top-N-then-rank under a total order, which is how the DuckDB
+    oracle phrases the same cap. The declared top-20 is invariant to
+    the cap for any N ≥ RRF_TOPK on corpora ≤ RRF_CAP (pinned by a
+    cap-invariance test). Fusion is a full-outer join of two bounded
+    (id, rank) tables, trivially small next to the corpus."""
     from pyspark.sql import Window
 
     from crossfire_spark.functions.text import t09_bm25_scores
 
-    bm = t09_bm25_scores(spark, sf_dir)
+    bm = (
+        t09_bm25_scores(spark, sf_dir)
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_CAP)
+    )
     wb = Window.orderBy(F.col("s").desc(), "doc_id")
     bm_rank = bm.select(
         "doc_id", F.row_number().over(wb).alias("r_sparse")
@@ -170,6 +185,8 @@ def s05_hybrid_rrf(spark, sf_dir):
                 4,
             ).alias("sim"),
         )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(RRF_CAP)
     )
     wc = Window.orderBy(F.col("sim").desc(), "vec_id")
     cos_rank = scored.select(
@@ -775,6 +792,27 @@ def pq_encode(embeddings: DataFrame, books) -> DataFrame:
     return embeddings.select("vec_id", _enc("embedding").alias("codes"))
 
 
+def pq_adc_tables(queries: DataFrame, books) -> DataFrame:
+    """(qid, adc) — per-query asymmetric-distance table, flattened to
+    M*K doubles (adc[s*K + j] = ||q_s - c_{s,j}||²), computed
+    Arrow-batched on executors. This is the broadcastable query-side
+    "model" of the PQ scan: per query M*K doubles (8 KiB at M=16,
+    K=64), so even a million-query batch is a few GiB of broadcast —
+    never a driver-resident tensor in a UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, d = B.shape
+
+    @pandas_udf("array<double>")
+    def _tab(qe: pd.Series) -> pd.Series:
+        Q = np.stack(qe.values).astype(np.float64).reshape(len(qe), m, 1, d)
+        T = ((Q - B[None, :, :, :]) ** 2).sum(-1)  # (batch, M, K)
+        return pd.Series(list(T.reshape(len(qe), m * kk)))
+
+    return queries.select("qid", _tab("qe").alias("adc"))
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -791,47 +829,40 @@ def pq_topk(
     touches only the ``PQ_CAND_MULT * k`` ADC survivors per query.
 
     Scale shape: the code table is 64x smaller than the vectors — at
-    100 TB of embeddings the ADC scan reads ~1.5 TB; the per-query
-    state riding the closure is M*K doubles; exact math runs on
-    |Q| x 4k rows. Determinism: ADC sums M=8 doubles in fixed
-    subspace order and rounds to 9 dp before ranking — no BLAS, no
-    reduction-order hazard."""
+    100 TB of embeddings the ADC scan reads ~1.5 TB. The query side is
+    UNBOUNDED: each query becomes one (qid, M*K-double ADC table) row
+    (an Arrow-batched executor computation — the queries are never
+    collected to the driver), and the scan is a broadcast join of the
+    code table against those ADC rows with the M lookups unrolled as
+    codegen'd ``element_at`` terms — so a 10x-larger query set means a
+    10x-larger broadcast table, not a 10x driver tensor riding a UDF
+    closure. Determinism: the M lookups sum left-to-right in fixed
+    subspace order — the same sequence the (removed) numpy
+    accumulation performed — and round to 9 dp before ranking; no
+    BLAS, no reduction-order hazard."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
     if books is None:
         books = pq_codebooks(embeddings)
     B = np.asarray(books, dtype=np.float64)
-    m, _kk, d = B.shape
+    m, kk, _d = B.shape
     codes = (
         corpus_codes
         if corpus_codes is not None
         else pq_encode(embeddings, books)
     )
-    qrows = sorted(queries.collect(), key=lambda r: r["qid"])
-    qids = [int(r["qid"]) for r in qrows]
-    Q = np.array([list(r["qe"]) for r in qrows], dtype=np.float64)
-    nq = len(qids)
-    # ADC tables: T[q, s, j] = ||q_s - c_{s,j}||^2, exact driver math
-    T = (
-        (Q.reshape(nq, m, 1, d) - B[None, :, :, :]) ** 2
-    ).sum(-1)  # (nq, M, K)
-
-    @pandas_udf("array<double>")
-    def _adc(codes_s: pd.Series) -> pd.Series:
-        Cd = np.stack(codes_s.values)  # (batch, M)
-        out = np.zeros((len(Cd), nq), dtype=np.float64)
-        for s in range(m):
-            out += T[:, s, :][:, Cd[:, s]].T
-        return pd.Series(list(np.round(out, 9)))
-
-    qmap = F.array(*[F.lit(q) for q in qids])
-    scored = (
-        codes.select("vec_id", F.posexplode(_adc("codes")).alias("qx", "adc"))
-        .select(
-            F.element_at(qmap, F.col("qx") + 1).alias("qid"), "vec_id", "adc"
+    adc_q = pq_adc_tables(queries, books)
+    dist = F.element_at(
+        "adc", (F.lit(0) * kk + F.element_at("codes", 1) + 1).cast("int")
+    )
+    for s in range(1, m):
+        dist = dist + F.element_at(
+            "adc", (F.lit(s) * kk + F.element_at("codes", s + 1) + 1).cast("int")
         )
+    scored = (
+        codes.join(F.broadcast(adc_q))
         .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(dist, 9).alias("adc"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
     cand = (
@@ -1078,14 +1109,16 @@ SIMILARITY_QUERIES = {
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""
         WITH {_bm25_sql()},
-        br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) r_sparse
-               FROM sc),
+        br0 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) r_sparse
+                FROM sc),
+        br AS (SELECT doc_id, r_sparse FROM br0 WHERE r_sparse <= {RRF_CAP}),
         cs AS (SELECT e.vec_id,
                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) sim
                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
                WHERE e.vec_id != 0),
-        cr AS (SELECT vec_id doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) r_dense
-               FROM cs)
+        cr0 AS (SELECT vec_id doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) r_dense
+                FROM cs),
+        cr AS (SELECT doc_id, r_dense FROM cr0 WHERE r_dense <= {RRF_CAP})
         SELECT COALESCE(br.doc_id, cr.doc_id) doc_id,
                ROUND(COALESCE(1.0 / ({RRF_K} + r_sparse), 0)
                      + COALESCE(1.0 / ({RRF_K} + r_dense), 0), 6) rrf

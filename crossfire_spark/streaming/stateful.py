@@ -11,6 +11,15 @@ batch touches only the keys present in it.
 Declared as st04 with a full oracle: over a bounded replay
 (availableNow, update mode) the final emitted row per user equals the
 batch per-user aggregate.
+
+Env note (re-verified round 5): Spark 4's newer
+``transformWithStateInPandas`` requires the Python ``google.protobuf``
+runtime (its state-server protocol is protobuf-framed); this container
+has no protobuf wheel on disk and no network (pip resolves no DNS), so
+the tws variant cannot run here. The stateful surface therefore ships
+on ``applyInPandasWithState`` — same state-store semantics, same
+per-key sharding — and a tws-based st04 variant is a rename away once
+the dependency exists.
 """
 
 from __future__ import annotations

@@ -91,3 +91,37 @@ def test_wav_roundtrip():
     out, sr = decode_wav(blob)
     assert sr == AUDIO_SR
     assert np.array_equal(out, samples)
+
+
+def test_pil_dispatch_with_mocked_pil(monkeypatch):
+    """decode_image must prefer PIL whenever importable — covered here
+    WITHOUT PIL by injecting a mock ``PIL.Image`` module: the mock
+    records the call and returns a known array, proving the dispatch
+    order (PIL first, PPM parser only as fallback) and the
+    open→convert("RGB")→asarray contract the real-PIL path uses."""
+    import sys
+    import types
+
+    expected = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    calls = []
+
+    class _FakeImg:
+        def convert(self, mode):
+            calls.append(("convert", mode))
+            return expected
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: (calls.append(("open", buf.read()[:2])) or _FakeImg())
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", types.ModuleType("PIL.Image")
+    )
+
+    # bytes that the PPM fallback would ALSO accept — PIL must win
+    payload = encode_ppm(np.zeros((1, 1, 3), dtype=np.uint8))
+    out = decode_image(payload)
+    assert calls == [("open", b"P6"), ("convert", "RGB")]
+    assert np.array_equal(out, expected)

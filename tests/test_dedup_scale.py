@@ -92,3 +92,54 @@ def test_simhash_precollapse_and_cap(spark, hot_docs):
     assert intra.count() == N_DUPS * (N_DUPS - 1) // 2
     assert intra.where(F.col("hamming") != 0).count() == 0
     assert out.where(F.col("doc_a") == 2000).count() == 0
+
+
+def test_weighted_srp_recall_vs_exact(spark, sf_dir):
+    """d16 (SRP-banded weighted near-dup) against its exact oracle
+    tier d15 (sparse_cosine_pairs) on the same corpus at the declared
+    threshold: recall ≥ 0.9 (theory: ≥ ~0.99 at 96 16-bit bands), the
+    pair set is a SUBSET of the exact tier's, and every surviving
+    pair carries exactly the exact tier's sim (the verify stage IS
+    the exact math over candidates). Closes round-4 finding #3 — the
+    weighted metric now has a banded scale tier with d15 as oracle,
+    the d02→d03 relationship."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.dedup import (
+        WEIGHTED_NEARDUP_THRESHOLD,
+        sparse_cosine_pairs,
+        weighted_srp_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        tuple(r)
+        for r in weighted_srp_pairs(docs, WEIGHTED_NEARDUP_THRESHOLD).collect()
+    ]
+    exact = [
+        tuple(r)
+        for r in sparse_cosine_pairs(docs, WEIGHTED_NEARDUP_THRESHOLD).collect()
+    ]
+    es = {(a, b) for a, b, _ in exact}
+    rs = {(a, b) for a, b, _ in got}
+    assert len(exact) > 0
+    assert rs <= es, f"{len(rs - es)} pairs not in the exact tier"
+    assert len(es & rs) / len(es) >= 0.9, f"recall {len(es & rs) / len(es)}"
+    sims = {(a, b): s for a, b, s in exact}
+    assert all(sims[(a, b)] == s for a, b, s in got if (a, b) in sims)
+
+
+def test_weighted_srp_handles_exact_dups(spark):
+    """Exact duplicates pre-collapse before SRP banding and re-expand
+    with sim 1.0 — a boilerplate flood contributes one representative
+    to candidate generation, yet every member pair is reported."""
+    from crossfire_spark.functions.dedup import weighted_srp_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+        + [(10, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["sim"] for r in weighted_srp_pairs(docs).collect()}
+    expected = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert set(rows) == expected
+    assert all(s == 1.0 for s in rows.values())

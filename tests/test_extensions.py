@@ -439,3 +439,23 @@ def test_constraint_report_counts_violations(spark):
         "status_accepted_values": 1,
         "totalprice_non_negative": 1,
     }
+
+
+def test_s05_rrf_cap_invariance(spark, sf_dir, monkeypatch):
+    """The declared top-20 RRF fusion is invariant to the per-
+    retriever candidate cap for any cap ≥ corpus size — capping at
+    RRF_CAP bounds the plan (TakeOrdered before rank) without
+    changing the answer vs the uncapped fusion on the driver corpus.
+    (A cap below corpus size legitimately zeroes the contribution of
+    ranks beyond it — the universal top-N RRF convention — so
+    invariance is only claimed at ≥ corpus size.) Pins round-4
+    finding #2's fix."""
+    from crossfire_spark.functions import similarity as sim
+
+    def run(cap):
+        monkeypatch.setattr(sim, "RRF_CAP", cap)
+        return [tuple(r) for r in sim.s05_hybrid_rrf(spark, sf_dir).collect()]
+
+    base = run(sim.RRF_CAP)
+    assert len(base) > 0
+    assert run(10**6) == base, "declared cap changed the top-20 vs uncapped"

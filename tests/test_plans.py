@@ -101,6 +101,7 @@ def test_registry_contract_consistency():
         "d03_minhash_lsh",
         "d04_simhash",
         "d13_incremental_dedup",
+        "d16_weighted_neardup",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
@@ -109,7 +110,7 @@ def test_registry_contract_consistency():
         "s10_pq_index",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 155 and len(osql) == 145
+    assert len(qs) == 157 and len(osql) == 146
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
@@ -153,3 +154,23 @@ def test_scan_counts_stay_bounded(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         n = plan.count("Scan parquet")
         assert n <= max_scans, f"{fn.__name__}: {n} scans > {max_scans}"
+
+
+def test_s05_windows_fed_by_take_ordered(spark, sf_dir):
+    """s05's two row_number windows are necessarily unpartitioned (a
+    retriever rank is global), so the plan requirement is that each
+    one consumes a TakeOrderedAndProject-capped candidate set (≤
+    RRF_CAP rows), never the raw corpus: per-partition top-N, one
+    tiny single-task rank. This pins the round-4 fix for the one
+    declared query that funneled the full corpus through one task."""
+    from crossfire_spark.functions.similarity import s05_hybrid_rrf
+
+    plan = _plan(s05_hybrid_rrf(spark, sf_dir))
+    lines = plan.splitlines()
+    windows = [i for i, l in enumerate(lines) if "Window (" in l]
+    assert len(windows) == 2, plan[:1500]
+    for i in windows:
+        assert "TakeOrderedAndProject" in lines[i + 1], (
+            "Window input is not a TakeOrdered-capped set:\n"
+            + "\n".join(lines[i : i + 3])
+        )

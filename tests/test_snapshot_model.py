@@ -11,6 +11,7 @@ reproduce."""
 from __future__ import annotations
 
 import random
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -143,3 +144,89 @@ def test_snapshot_random_program_matches_model(spark, tmp_path, seed):
         else:
             net[r["k"]] = r["v"]
     assert net == model
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_snapshot_concurrent_writers_chain(spark, tmp_path, seed):
+    """Two interleaved writer threads append to ONE table path under a
+    seeded schedule. The optimistic commit protocol (data lands
+    invisible, manifest claims its version slot by atomic link,
+    FileExistsError → recompute against the new head and retry) must
+    serialize them into one linear history: every commit gets a
+    distinct contiguous version, every manifest's parent is its
+    predecessor, and the head version contains every row both writers
+    ever appended — no lost updates."""
+    import threading
+
+    from crossfire_spark.sources.snapshot import (
+        snapshot_history,
+        snapshot_read,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "concurrent")
+    snapshot_write(_df(spark, [(0, 0)]), path, mode="overwrite")
+    n_each = 8
+    delays = {w: [rng.random() * 0.05 for _ in range(n_each)] for w in (1, 2)}
+    versions: dict[int, list[int]] = {1: [], 2: []}
+    errors: list[Exception] = []
+
+    def writer(wid: int):
+        try:
+            for i, d in enumerate(delays[wid]):
+                time.sleep(d)
+                v = snapshot_write(
+                    _df(spark, [(wid * 1000 + i, wid)]), path, mode="append"
+                )
+                versions[wid].append(v)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    all_versions = sorted(versions[1] + versions[2])
+    assert all_versions == list(range(1, 2 * n_each + 1)), all_versions
+    hist = snapshot_history(path)
+    by_v = {h["version"]: h for h in hist}
+    for v in range(1, 2 * n_each + 1):
+        assert by_v[v]["parent"] == v - 1
+    keys = {r["k"] for r in snapshot_read(spark, path).collect()}
+    expected = {0} | {w * 1000 + i for w in (1, 2) for i in range(n_each)}
+    assert keys == expected, "lost update detected"
+
+
+def test_snapshot_commit_retries_lost_race(spark, tmp_path, monkeypatch):
+    """Deterministically exercise the retry branch: the first atomic
+    link attempt loses (a competing manifest beat it to the slot —
+    simulated by materializing the slot before the writer's link
+    lands), so the writer must recompute against the new head and
+    commit at the NEXT version with the competitor as its parent."""
+    import os as _os
+    import shutil
+
+    from crossfire_spark.sources import snapshot as snap
+
+    path = str(tmp_path / "race")
+    snapshot_write(_df(spark, [(1, 1)]), path, mode="overwrite")
+    real_link = _os.link
+    state = {"stolen": False}
+
+    def stealing_link(src, dst):
+        if not state["stolen"] and dst.endswith("v000001.json"):
+            state["stolen"] = True
+            shutil.copyfile(src, dst)  # competitor claims the slot
+            raise FileExistsError(17, "File exists", dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", stealing_link)
+    v = snapshot_write(_df(spark, [(2, 2)]), path, mode="append")
+    assert v == 2, "writer must land after the competing commit"
+    from crossfire_spark.sources.snapshot import snapshot_history, snapshot_read
+
+    hist = {h["version"]: h for h in snapshot_history(path)}
+    assert hist[2]["parent"] == 1
+    assert {r["k"] for r in snapshot_read(spark, path).collect()} >= {1, 2}
