@@ -957,6 +957,11 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
 
     @pandas_udf("array<long>")
     def _sig(wv: pd.Series) -> pd.Series:
+        # Per-Arrow-batch memo of word -> ±1 sign vector. Each entry
+        # is nbits doubles (~32 KiB at 4096 bits), so the memo is
+        # CAPPED: an open-vocabulary batch (100k+ distinct words)
+        # must not accumulate gigabytes of sign vectors — past the
+        # cap we recompute, trading CPU for bounded executor memory.
         cache: dict = {}
 
         def signs_for(word):
@@ -969,7 +974,9 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
                     for blk in range((nbits + 255) // 256)
                 )
                 bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:nbits]
-                got = cache[word] = bits.astype(np.float64) * 2.0 - 1.0
+                got = bits.astype(np.float64) * 2.0 - 1.0
+                if len(cache) < 8192:
+                    cache[word] = got
             return got
 
         out = []
