@@ -913,8 +913,29 @@ def d15_sparse_cosine(spark, sf_dir):
 # raises the bar to "almost the same document".
 WEIGHTED_NEARDUP_THRESHOLD = 0.85
 SRP_LONGS = 64      # 64-bit blocks of projection bits (64 -> 4096)
-SRP_BAND_BITS = 16  # bits per band
-SRP_BANDS = 96      # bands (over the first 96·16 = 1536 bits)
+SRP_BAND_BITS = 16  # bits per band at the declared threshold
+SRP_BANDS = 96      # bands (over the first 96·band_bits bits)
+SRP_TARGET_RECALL = 0.985
+
+
+def _srp_pick_band_bits(
+    threshold: float,
+    n_bands: int = SRP_BANDS,
+    target_recall: float = SRP_TARGET_RECALL,
+) -> int:
+    """Widest band (most selective) whose theoretical recall at the
+    requested cosine threshold still meets the target: per-bit match
+    probability p = 1 - arccos(t)/π, per-band collision p^b, recall
+    1-(1-p^b)^n_bands. Candidates must not straddle 64-bit blocks, so
+    b ranges over divisors of 64. This is what lets ONE operator
+    serve both the high-confidence declared setting (0.85 → 16-bit
+    bands) and the oracle tier's own threshold (0.6 → 8-bit bands)
+    without the caller hand-tuning LSH internals."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for b in (16, 8, 4, 2, 1):
+        if 1.0 - (1.0 - p**b) ** n_bands >= target_recall:
+            return b
+    return 1
 # Hamming-estimate prefilter slack below the verify threshold: ~3σ of
 # the SRP angle estimator at 4096 bits (σ_cos ≈ 0.010 near 0.85), so
 # the prefilter essentially never drops a true pair while removing
@@ -1088,7 +1109,7 @@ def weighted_srp_pairs(
     threshold: float = WEIGHTED_NEARDUP_THRESHOLD,
     n_longs: int = SRP_LONGS,
     n_bands: int = SRP_BANDS,
-    band_bits: int = SRP_BAND_BITS,
+    band_bits: int | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
     prefilter_margin: float = SRP_PREFILTER_MARGIN,
 ) -> DataFrame:
@@ -1124,6 +1145,8 @@ def weighted_srp_pairs(
     range is tight, bands of any width stay collision-happy at
     sim ≈ 0.6–0.7; the per-pair O(n_longs) codegen'd popcount is what
     makes verify candidate-bounded rather than collision-bounded)."""
+    if band_bits is None:
+        band_bits = _srp_pick_band_bits(threshold, n_bands)
     docs = docs.select("doc_id", "text")
     membership = _exact_dup_membership(docs)
     w_full = _tfidf_weights(docs)

@@ -143,3 +143,52 @@ def test_weighted_srp_handles_exact_dups(spark):
     expected = {(a, b) for a in range(4) for b in range(4) if a < b}
     assert set(rows) == expected
     assert all(s == 1.0 for s in rows.values())
+
+
+def test_weighted_srp_recall_at_oracle_threshold(spark, sf_dir):
+    """The weighted tier must hold at the exact tier's OWN threshold
+    (0.6), not just the high-confidence declared one: band width
+    auto-scales with the requested threshold (_srp_pick_band_bits:
+    0.85 → 16-bit bands, 0.6 → 8-bit), so one operator serves both
+    regimes. Subset + recall ≥ 0.9 + score-exact vs
+    sparse_cosine_pairs at 0.6."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.dedup import (
+        SPARSE_COSINE_THRESHOLD,
+        sparse_cosine_pairs,
+        weighted_srp_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        tuple(r)
+        for r in weighted_srp_pairs(docs, SPARSE_COSINE_THRESHOLD).collect()
+    ]
+    exact = [
+        tuple(r)
+        for r in sparse_cosine_pairs(docs, SPARSE_COSINE_THRESHOLD).collect()
+    ]
+    es = {(a, b) for a, b, _ in exact}
+    rs = {(a, b) for a, b, _ in got}
+    assert len(exact) > 0
+    assert rs <= es
+    assert len(es & rs) / len(es) >= 0.9, f"recall {len(es & rs) / len(es)}"
+    sims = {(a, b): s for a, b, s in exact}
+    assert all(sims[(a, b)] == s for a, b, s in got if (a, b) in sims)
+
+
+def test_weighted_srp_degenerate_corpora(spark):
+    """Edge inputs must not crash the SRP pipeline: a single document
+    (no pairs), and an all-identical corpus (pure pre-collapse — all
+    pairs at sim 1.0, one representative through banding)."""
+    from crossfire_spark.functions.dedup import weighted_srp_pairs
+
+    one = spark.createDataFrame([(1, "solo doc text")], "doc_id long, text string")
+    assert weighted_srp_pairs(one).collect() == []
+    same = spark.createDataFrame(
+        [(i, "same text every time") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["sim"] for r in weighted_srp_pairs(same).collect()}
+    assert set(rows) == {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert all(s == 1.0 for s in rows.values())
