@@ -1165,6 +1165,9 @@ def weighted_srp_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # dedup BEFORE the popcount: band-collision multiplicity is
+        # ~1.7x here, so the pair shuffle costs less than the extra
+        # 70% of 64-term popcounts it avoids (measured both ways).
         .distinct()
     )
     nbits = 64 * n_longs
