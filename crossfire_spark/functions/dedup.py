@@ -638,6 +638,49 @@ def d07_contamination(spark, sf_dir):
     )
 
 
+def d17_hashed_decontam(spark, sf_dir):
+    """The compressed-prefilter tier of benchmark decontamination
+    (d07 is its exact oracle — identical output): instead of
+    broadcasting the eval shard's shingle STRINGS (~100 B each; a
+    13-gram benchmark suite runs to GBs), broadcast their 8-byte
+    xxhash64 set, prefilter the corpus shingle stream map-side
+    against it, then exact-verify only the hits with a semi-join on
+    the real shingle text (a shuffle over the tiny hit set — this
+    removes hash collisions, so the result is exact and shares d07's
+    DuckDB oracle).
+
+    This is the Bloom-filter decontamination shape every production
+    pipeline runs — a compact over-approximating membership structure
+    map-side, exact verification of survivors. An actual Bloom drops
+    the per-key cost another ~5x (12.5x at 1% fpp vs 8-byte hashes);
+    this build's Spark doesn't expose ``bloom_filter_agg`` to SQL,
+    and the two-phase plan (compact-prefilter → exact verify) is
+    identical either way — swap the hash set for the bloom bytes and
+    nothing else moves. At 100 TB: corpus shingles never shuffle
+    until the per-doc count agg; the verify shuffle carries hits
+    only."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        _shingles(d.where(F.col("source") == EVAL_SOURCE), CONTAM_NGRAM)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint()  # consumed by the hash-set build AND the verify
+    )
+    eval_hashes = eval_sh.select(F.xxhash64("shingle").alias("h")).distinct()
+    corpus_sh = _shingles(
+        d.where(F.col("source") != EVAL_SOURCE), CONTAM_NGRAM
+    )
+    hits = corpus_sh.withColumn("h", F.xxhash64("shingle")).join(
+        F.broadcast(eval_hashes), "h"
+    )
+    verified = hits.join(eval_sh, "shingle", "left_semi")
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id", "n_shared")
+    )
+
+
 def d08_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix — "which input sources copy
     from each other": for every source pair, the number of distinct
@@ -1375,6 +1418,7 @@ DEDUP_QUERIES = {
     "d04_simhash": d04_simhash,
     "d06_dup_clusters": d06_dup_clusters,
     "d07_contamination": d07_contamination,
+    "d17_hashed_decontam": d17_hashed_decontam,
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
@@ -1383,6 +1427,8 @@ DEDUP_QUERIES = {
     "d15_sparse_cosine": d15_sparse_cosine,
     "d16_weighted_neardup": d16_weighted_neardup,
 }
+
+DEDUP_ORACLE_SQL["d17_hashed_decontam"] = DEDUP_ORACLE_SQL["d07_contamination"]
 
 DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""
         WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),

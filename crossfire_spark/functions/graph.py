@@ -189,6 +189,87 @@ def g02_degree_stats(spark, sf_dir):
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED closure of an
+    edge list — the classic graph-quality/community metric (and the
+    clustering-coefficient numerator).
+
+    Spark-first shape with the degree-orientation optimization: each
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, so every wedge enumeration fans out from the
+    LOW-degree endpoint — join fan-out is Σ min-degree², bounded by
+    O(m^1.5) triangles-algorithm theory instead of Σ degree² (a
+    celebrity node in an ID-oriented join would fan out over its
+    whole neighborhood; degree orientation caps it at the sqrt(m)
+    frontier). Two equi-joins on node keys; no cartesian. The output
+    is orientation-invariant, so the DuckDB oracle can use the
+    simpler id-orientation."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # read by deg, orientation, and closure
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = und.join(da, "a").join(db, "b").select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()  # both wedge legs read it
+    # wedge enumeration fans out from the LOW-degree endpoint; the
+    # unordered far pair normalizes to id order so each wedge appears
+    # once and the closure lookup joins the id-ordered edge table
+    # (one orientation per undirected edge either way — an OR-join on
+    # the degree orientation would plan as a nested loop)
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "x").where(F.col("y") < F.col("z"))
+    closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def g03_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the synthetic document link
+    graph — oracled by the identical (orientation-invariant) count
+    in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return triangle_counts(doc_link_graph(d)).orderBy("node", "n_triangles")
+
+
+def _tri_oracle() -> str:
+    return """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        tri AS (SELECT e1.a x, e1.b y, e2.b z
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        nodes AS (SELECT unnest([x, y, z]) node FROM tri)
+        SELECT node, COUNT(*) n_triangles FROM nodes
+        GROUP BY node ORDER BY node, n_triangles"""
+
+
 def _deg_oracle() -> str:
     return """
         WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
@@ -205,8 +286,13 @@ def _deg_oracle() -> str:
         GROUP BY out_deg, in_deg ORDER BY out_deg, in_deg, n_nodes"""
 
 
-GRAPH_QUERIES = {"g01_pagerank": g01_pagerank, "g02_degree_stats": g02_degree_stats}
+GRAPH_QUERIES = {
+    "g01_pagerank": g01_pagerank,
+    "g02_degree_stats": g02_degree_stats,
+    "g03_triangle_count": g03_triangle_count,
+}
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
     "g02_degree_stats": _deg_oracle(),
+    "g03_triangle_count": _tri_oracle(),
 }

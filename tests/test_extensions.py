@@ -459,3 +459,32 @@ def test_s05_rrf_cap_invariance(spark, sf_dir, monkeypatch):
     base = run(sim.RRF_CAP)
     assert len(base) > 0
     assert run(10**6) == base, "declared cap changed the top-20 vs uncapped"
+
+
+def test_triangle_counts_known_graph(spark):
+    """Triangle counts on a hand-checkable graph: K4 plus a pendant
+    edge — K4 has 4 triangles, each K4 node sits in 3 of them, the
+    pendant pair in none. Directions and duplicate edges in the input
+    must not matter (the operator closes over the undirected distinct
+    edge set)."""
+    from crossfire_spark.functions.graph import triangle_counts
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # K4 both dirs
+    edges += [(3, 4), (0, 1)]  # pendant + duplicate
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_hashed_decontam_equals_exact(spark, sf_dir):
+    """d17 (hash-prefilter + exact verify) must return exactly d07's
+    contamination report — the prefilter may over-approximate but the
+    verify stage removes every collision."""
+    from crossfire_spark.functions.dedup import (
+        d07_contamination,
+        d17_hashed_decontam,
+    )
+
+    a = [tuple(r) for r in d07_contamination(spark, sf_dir).collect()]
+    b = [tuple(r) for r in d17_hashed_decontam(spark, sf_dir).collect()]
+    assert len(a) > 0 and sorted(a) == sorted(b)
