@@ -681,6 +681,91 @@ def d17_hashed_decontam(spark, sf_dir):
     )
 
 
+WINNOW_K = 3  # words per gram
+WINNOW_W = 4  # winnow window: guarantees a fingerprint in every W grams
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, h) — winnowed document fingerprints (Schleimer/
+    Wilkerson/Aiken 2003, the MOSS algorithm): hash every positional
+    word k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's rightmost minimum. The winnowing guarantee: every run of
+    ``w`` grams contributes ≥1 fingerprint, so any shared passage of
+    ≥ k+w-1 words is detected, while density stays ~2/(w+1) of the
+    grams — the local-sampling property plain modulo-sampling lacks.
+
+    Engine-portable determinism: the hash is the first 8 hex digits
+    of md5 (identical integer in Spark's ``conv`` and DuckDB's hex
+    cast), so the DuckDB oracle states the SAME selection. Shape: one
+    positional explode, a w-way window explode (bounded fan-out), one
+    (doc, window) argmin aggregate — all map-side-combinable; nothing
+    quadratic until doc PAIRS are formed from matching fingerprints."""
+    grams = (
+        spread(docs)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(w) - {k - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(w, i, {k})))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    # each gram belongs to the w windows ending at pos..pos+w-1;
+    # window j's fingerprint = its min-h gram, rightmost on ties
+    windows = grams.select(
+        "doc_id",
+        "h",
+        "pos",
+        F.explode(F.expr(f"sequence(pos - {w - 1}, pos)")).alias("j"),
+    ).where(F.col("j") >= 0)
+    chosen = (
+        windows.groupBy("doc_id", "j")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("m"))
+        .select("doc_id", F.col("m.h").alias("h"))
+        .distinct()
+    )
+    return chosen
+
+
+def d18_winnow_overlap(spark, sf_dir):
+    """Passage-overlap report via winnowing fingerprints — the MOSS
+    shape every plagiarism / boilerplate-contamination scan uses:
+    docs sharing ≥ WINNOW_MIN_SHARED winnowed fingerprints, with the
+    shared count as evidence. Complements d02 (full-set Jaccard) and
+    d14 (containment): winnowing detects LOCAL shared passages at
+    ~2/(w+1) of the gram volume. The fingerprint join is the
+    candidate hazard (hot boilerplate fingerprints fan out) — at
+    corpus scale the same ``_cap_buckets`` ceiling applies; the
+    declared form is the exact tier and the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b", "n_shared")
+    )
+
+
 def d08_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix — "which input sources copy
     from each other": for every source pair, the number of distinct
@@ -1419,6 +1504,7 @@ DEDUP_QUERIES = {
     "d06_dup_clusters": d06_dup_clusters,
     "d07_contamination": d07_contamination,
     "d17_hashed_decontam": d17_hashed_decontam,
+    "d18_winnow_overlap": d18_winnow_overlap,
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
@@ -1429,6 +1515,23 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLE_SQL["d17_hashed_decontam"] = DEDUP_ORACLE_SQL["d07_contamination"]
+
+DEDUP_ORACLE_SQL["d18_winnow_overlap"] = f"""
+        WITH wds AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        g AS (SELECT doc_id, i pos,
+                     CAST(concat('0x', substr(md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')), 1, 8)) AS BIGINT) h
+              FROM wds, unnest(range(1, greatest(len(w) - {WINNOW_K - 1}, 1) + 1)) t(i)),
+        win AS (SELECT doc_id, h, pos, j
+                FROM g, unnest(range(pos - {WINNOW_W - 1}, pos + 1)) s(j)
+                WHERE j >= 1),
+        ch AS (SELECT doc_id, j, h,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, pos DESC) rn
+               FROM win),
+        fp AS (SELECT DISTINCT doc_id, h FROM ch WHERE rn = 1)
+        SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY doc_a, doc_b, n_shared"""
 
 DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""
         WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),

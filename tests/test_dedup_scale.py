@@ -192,3 +192,36 @@ def test_weighted_srp_degenerate_corpora(spark):
     rows = {(r["doc_a"], r["doc_b"]): r["sim"] for r in weighted_srp_pairs(same).collect()}
     assert set(rows) == {(a, b) for a in range(5) for b in range(5) if a < b}
     assert all(s == 1.0 for s in rows.values())
+
+
+def test_winnowing_guarantee_detects_shared_passage(spark):
+    """The winnowing coverage guarantee: any shared passage of at
+    least k+w-1 words (= 6 at k=3, w=4) must contribute ≥1 common
+    fingerprint to both documents — because every window of w
+    consecutive grams selects a fingerprint, and a ≥ k+w-1-word match
+    contains a full window of identical grams. Two docs sharing a
+    6-word passage inside different surroundings must therefore be
+    reported; two docs with entirely different text must not."""
+    from crossfire_spark.functions.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        d18_winnow_overlap,
+        winnow_fingerprints,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    assert len(passage.split()) == WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {passage} four five six"),
+            (2, f"seven eight {passage} nine ten eleven twelve"),
+            (3, "completely different words in this document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs)
+    f1 = {r["h"] for r in fp.where("doc_id = 1").collect()}
+    f2 = {r["h"] for r in fp.where("doc_id = 2").collect()}
+    f3 = {r["h"] for r in fp.where("doc_id = 3").collect()}
+    assert f1 & f2, "shared 6-word passage produced no common fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
