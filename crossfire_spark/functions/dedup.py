@@ -1345,6 +1345,49 @@ def d16_weighted_neardup(spark, sf_dir):
     return weighted_srp_pairs(d).orderBy("doc_a", "doc_b", "sim")
 
 
+def d19_dedup_keep_best(spark, sf_dir):
+    """The dedup FINISHER — pairs (d02) → clusters (d06) → the kept
+    dataset: every document maps to its near-dup cluster (singletons
+    are their own cluster), and each cluster keeps its longest member
+    (n_chars, min-id tiebreak — "keep the most complete version", the
+    standard near-dup survivorship rule). Reports per-cluster
+    (cluster_id, keep_id, n_docs, chars_total) — the table a curation
+    pipeline joins back to materialize the deduped corpus.
+
+    Scale shape: the cluster map is node-cardinality (min-label
+    propagation, O(diameter) rounds); survivor selection is one
+    aggregate on the cluster key with an argmax-by-struct — no sort,
+    no window, map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = connected_components(exact_jaccard_pairs(d))
+    full = (
+        d.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return (
+        full.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("keep_id"),
+            "n_docs",
+            "chars_total",
+        )
+        .orderBy("cluster_id", "keep_id", "n_docs", "chars_total")
+    )
+
+
 def fuzzy_match_report(customers: DataFrame) -> DataFrame:
     """Entity-resolution blocking + edit-distance matching — the
     fuzzy twin of the exact/fingerprint dedup tiers: candidate pairs
@@ -1505,6 +1548,7 @@ DEDUP_QUERIES = {
     "d07_contamination": d07_contamination,
     "d17_hashed_decontam": d17_hashed_decontam,
     "d18_winnow_overlap": d18_winnow_overlap,
+    "d19_dedup_keep_best": d19_dedup_keep_best,
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
@@ -1515,6 +1559,20 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLE_SQL["d17_hashed_decontam"] = DEDUP_ORACLE_SQL["d07_contamination"]
+
+DEDUP_ORACLE_SQL["d19_dedup_keep_best"] = f"""
+        WITH cl AS (SELECT * FROM ({DEDUP_ORACLE_SQL["d06_dup_clusters"]})),
+        everydoc AS (SELECT d.doc_id, d.n_chars,
+                            COALESCE(cl.cluster_id, d.doc_id) cluster_id
+                     FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                                ORDER BY n_chars DESC, doc_id) rn
+                   FROM everydoc),
+        agg AS (SELECT cluster_id, COUNT(*) n_docs, CAST(SUM(n_chars) AS BIGINT) chars_total
+                FROM everydoc GROUP BY cluster_id)
+        SELECT a.cluster_id, r.doc_id keep_id, a.n_docs, a.chars_total
+        FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+        ORDER BY a.cluster_id, keep_id, n_docs, chars_total"""
 
 DEDUP_ORACLE_SQL["d18_winnow_overlap"] = f"""
         WITH wds AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),

@@ -1064,6 +1064,58 @@ TEXT_ORACLE_SQL: dict[str, str] = {
         ORDER BY s DESC, doc_id LIMIT 20""",
 }
 
+STRATIFIED_K = 10
+STRATIFIED_SALTS = 8
+
+
+def stratified_sample(docs, k: int = STRATIFIED_K, salts: int = STRATIFIED_SALTS):
+    """Deterministic exact-k per-stratum sample — the train-subset
+    selection every data pipeline runs ("k docs per source/domain"):
+    order each stratum by a seeded md5-derived key (reproducible on
+    any engine — no RNG state, no sampleBy approximation) and keep
+    exactly min(k, |stratum|) docs.
+
+    Scale shape: a naive per-stratum ``row_number`` sorts EVERY
+    stratum through one task (the s05 failure mode at stratum scale).
+    Two phases instead: rank within (stratum, salt) partitions —
+    salts * k survivors per stratum, each partition bounded — then
+    rank the survivors within the stratum. Phase-2 input is ≤
+    salts·k rows per stratum however large the corpus, so the final
+    window is bounded; the phase-1 partial top-k is exactly the
+    per-partition TakeOrdered discipline. Result is identical to the
+    one-window form (phase 1 keeps k per salt ⊇ the stratum top-k),
+    which is how the DuckDB oracle states it."""
+    from pyspark.sql import Window
+
+    key = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit("t21"), "doc_id")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("skey")
+    )
+    keyed = docs.select("doc_id", "source", key)
+    w1 = Window.partitionBy(
+        "source", F.col("doc_id") % salts
+    ).orderBy("skey", "doc_id")
+    phase1 = keyed.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        phase1.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("source", "doc_id", "rank")
+    )
+
+
+def t21_stratified_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d).orderBy("source", "doc_id", "rank")
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1084,6 +1136,7 @@ TEXT_QUERIES = {
     "t18_corpus_build": t18_corpus_build,
     "t19_token_stats": t19_token_stats,
     "t20_pii_spans": t20_pii_spans,
+    "t21_stratified_sample": t21_stratified_sample,
 }
 
 TEXT_ORACLE_SQL["t20_pii_spans"] = f"""
@@ -1236,3 +1289,14 @@ TEXT_ORACLE_SQL["t13_mixture_sample"] = f"""
                COALESCE(s.n_kept, 0) n_kept
         FROM rates r LEFT JOIN sampled s ON r.source = s.source
         ORDER BY r.source, n_docs, target_w, rate, n_kept"""
+
+TEXT_ORACLE_SQL["t21_stratified_sample"] = f"""
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   CAST(concat('0x', substr(md5(concat('t21', '#', doc_id)), 1, 8)) AS BIGINT) skey
+            FROM documents),
+        ranked AS (SELECT source, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) rank
+                   FROM keyed)
+        SELECT source, doc_id, rank FROM ranked WHERE rank <= {STRATIFIED_K}
+        ORDER BY source, doc_id, rank"""

@@ -488,3 +488,43 @@ def test_hashed_decontam_equals_exact(spark, sf_dir):
     a = [tuple(r) for r in d07_contamination(spark, sf_dir).collect()]
     b = [tuple(r) for r in d17_hashed_decontam(spark, sf_dir).collect()]
     assert len(a) > 0 and sorted(a) == sorted(b)
+
+
+def test_stratified_sample_two_phase_equals_one_window(spark, sf_dir):
+    """The salted two-phase top-k must return exactly the naive
+    single-window per-stratum top-k (phase 1 keeps k per salt, a
+    superset of the stratum's top-k), and exactly min(k, |stratum|)
+    rows per stratum."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.text import (
+        STRATIFIED_K,
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in stratified_sample(d).orderBy("source", "rank").collect()]
+    key = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit("t21"), "doc_id")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    w = Window.partitionBy("source").orderBy(key.alias("skey"), "doc_id")
+    naive = [
+        tuple(r)
+        for r in d.select("source", "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= STRATIFIED_K)
+        .orderBy("source", "rank")
+        .collect()
+    ]
+    assert got == naive
+    sizes = d.groupBy("source").count().collect()
+    per = {}
+    for s, _, _ in got:
+        per[s] = per.get(s, 0) + 1
+    for r in sizes:
+        assert per.get(r["source"], 0) == min(STRATIFIED_K, r["count"])
