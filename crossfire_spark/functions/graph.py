@@ -286,13 +286,103 @@ def _deg_oracle() -> str:
         GROUP BY out_deg, in_deg ORDER BY out_deg, in_deg, n_nodes"""
 
 
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """K-core of the undirected closure of an edge list — the maximal
+    subgraph where every node keeps ≥ k neighbors (the standard
+    community/robustness peel; in a dedup/link graph the k-core is
+    the "densely interlinked" region worth closer inspection).
+
+    Spark-first shape: the textbook distributed peel. Each round is
+    ONE map-side-combinable degree aggregate plus TWO semi-joins
+    filtering the symmetric adjacency to surviving endpoints — all
+    equi-joins on node keys, no windows, no driver-side graph. The
+    adjacency is ``localCheckpoint``-ed per round so lineage stays
+    O(1) deep, and the loop exits at the fixpoint (peeling is
+    idempotent once every degree ≥ k, so the ``max_rounds`` cap never
+    changes a converged answer). Per-round survivor counts are the
+    only driver-side values.
+
+    Determinism: the k-core is unique (peel order never matters), so
+    a bounded unrolled oracle states the identical computation.
+    Returns (node, core_deg) for members of the k-core.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    prev_rows = adj.count()
+    for _ in range(max_rounds):
+        keep = (
+            adj.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .select("node", "nbr")
+            .localCheckpoint()  # O(1) lineage depth per round
+        )
+        rows = adj.count()
+        if rows == prev_rows:  # fixpoint: every surviving degree ≥ k
+            break
+        prev_rows = rows
+    return adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
+
+
+def g04_kcore(spark, sf_dir):
+    """3-core of the synthetic document link graph — oracled by the
+    identical peel unrolled as DuckDB CTEs (the k-core is unique and
+    the peel idempotent, so a converged engine loop and a
+    generously-unrolled oracle state the same set; convergence within
+    the unroll depth is pinned by a test)."""
+    d = load_table(spark, sf_dir, "documents")
+    return kcore(doc_link_graph(d)).orderBy("node", "core_deg")
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED: each round references the previous adjacency
+    # three times; inlined CTEs would expand the chain 3^rounds-fold.
+    rounds = "".join(
+        f""",
+        k{i} AS MATERIALIZED (SELECT node FROM adj{i - 1} GROUP BY node HAVING COUNT(*) >= {KCORE_K}),
+        adj{i} AS MATERIALIZED (SELECT t.node, t.nbr FROM adj{i - 1} t
+                   JOIN k{i} x ON t.node = x.node JOIN k{i} y ON t.nbr = y.node)"""
+        for i in range(1, KCORE_MAX_ROUNDS + 1)
+    )
+    return f"""
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        adj0 AS MATERIALIZED (SELECT a node, b nbr FROM und UNION ALL SELECT b, a FROM und){rounds}
+        SELECT node, COUNT(*) core_deg FROM adj{KCORE_MAX_ROUNDS}
+        GROUP BY node ORDER BY node, core_deg"""
+
+
 GRAPH_QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_stats": g02_degree_stats,
     "g03_triangle_count": g03_triangle_count,
+    "g04_kcore": g04_kcore,
 }
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
     "g02_degree_stats": _deg_oracle(),
     "g03_triangle_count": _tri_oracle(),
+    "g04_kcore": _kcore_oracle(),
 }

@@ -937,6 +937,43 @@ def s11_filtered_topk(spark, sf_dir):
     ).orderBy("qid", "vec_id", "sim")
 
 
+RANGE_TAU = 0.25
+
+
+def range_search(
+    embeddings: DataFrame, queries: DataFrame, tau: float = RANGE_TAU
+) -> DataFrame:
+    """Radius (range) similarity search — ALL corpus vectors within
+    cosine ≥ tau of each query, the vector-space analog of a
+    relational range scan (recall-critical retrieval wants "everything
+    this close", not a fixed k).
+
+    Scale shape: queries broadcast (BroadcastNestedLoopJoin — one
+    corpus scan regardless of corpus size), the threshold applied
+    corpus-side before any shuffle, so the only data movement is the
+    matches themselves; no window, no top-k sort. The scoring is the
+    same strict left-fold ``_dot`` the oracled top-k paths use, so
+    the 4-dp rounded similarity is bit-identical across engines. For
+    selective tau on very large corpora the SRP-banded prefilter
+    (s02's path) bounds the candidate set; this exact tier is its
+    oracle."""
+    corpus = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    q = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    sim = _dot("embedding", "qe") / (F.col("nrm") * F.col("qn"))
+    return (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .where(sim >= tau)
+        .select("qid", "vec_id", F.round(sim, 4).alias("sim"))
+    )
+
+
+def s12_range_search(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return range_search(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
 def s09_pq_topk(spark, sf_dir):
     """PQ ANN over the embeddings table. Code assignment depends on
     float argmin ties only through the 9-dp rounding (deterministic),
@@ -1092,6 +1129,14 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
               FROM scored)
         SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim""",
+    "s12_range_search": f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0)
+        SELECT qid, vec_id,
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+        FROM embeddings, q
+        WHERE vec_id != qid
+          AND list_cosine_similarity(embedding::DOUBLE[], qe) >= {RANGE_TAU}
+        ORDER BY qid, vec_id, sim""",
 }
 
 SIMILARITY_QUERIES = {
@@ -1105,6 +1150,7 @@ SIMILARITY_QUERIES = {
     "s07_sq8_topk": s07_sq8_topk,
     "s09_pq_topk": s09_pq_topk,
     "s11_filtered_topk": s11_filtered_topk,
+    "s12_range_search": s12_range_search,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""

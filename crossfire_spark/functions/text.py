@@ -1116,6 +1116,140 @@ def t21_stratified_sample(spark, sf_dir):
     return stratified_sample(d).orderBy("source", "doc_id", "rank")
 
 
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_WLEN = 2.0
+GOPHER_MAX_WLEN = 12.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, fraction of words
+    containing an alphabetic character, and a minimum stopword-hit
+    count — the standard pretraining heuristics that kill OCR noise,
+    menus/boilerplate, and non-linguistic pages. Emits every signal
+    plus the composite verdict so a pipeline can audit WHY a document
+    fails, not just that it did.
+
+    Scale shape: pure per-row array expressions (split / filter /
+    size — codegen, no Python, no shuffle at all); a 100 TB corpus
+    filters at scan speed. Ratio columns use the stabilized rounding
+    convention (round 6dp, nudge, round 2dp) so the composite verdict
+    compares identical doubles across engines."""
+    words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words)
+    # chars excluding the n_words-1 separators, per word
+    mean_wlen = F.round(
+        F.round((F.length("text") - (n_words - 1)) / n_words, 6) + F.lit(1e-9), 2
+    )
+    alpha_frac = F.round(
+        F.round(
+            F.size(F.expr("filter(split(lower(text), ' '), w -> w rlike '[a-z]')"))
+            / n_words,
+            6,
+        )
+        + F.lit(1e-9),
+        2,
+    )
+    inlist = ",".join(f"'{m}'" for m in _EN_STOPWORDS)
+    stop_hits = F.expr(f"size(filter(split(lower(text), ' '), w -> w IN ({inlist})))")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_wlen").between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOPS)
+    )
+    return out.withColumn("passes", passes)
+
+
+def v05_gopher_rules(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d).orderBy(
+        "doc_id", "n_words", "mean_wlen", "alpha_frac", "stop_hits", "passes"
+    )
+
+
+BP_NGRAM = 3
+BP_MIN_DOCS = 2  # gram shared by >= this many docs of one source
+
+
+def boilerplate_report(docs: DataFrame, n: int = BP_NGRAM, min_docs: int = BP_MIN_DOCS) -> DataFrame:
+    """Cross-document boilerplate detection — per source, word
+    n-grams that recur across ≥ ``min_docs`` distinct documents
+    (headers, footers, navigation chrome, licence blurbs), and per
+    document the fraction of its grams that are boilerplate: the
+    C4-style signal for template-heavy pages (t11 is the INTRA-doc
+    complement).
+
+    Scale shape: per-doc distinct grams are built array-side
+    (``array_distinct∘transform`` — codegen, no shuffle), so the
+    (source, gram) document-frequency aggregate is map-side-combinable
+    over already-unique (doc, gram) rows; the boilerplate set joins
+    back as a semi-join on the same (source, gram) key — two shuffles
+    total, both on gram keys, nothing quadratic."""
+    # words materialized in their own projection first: referencing
+    # split(...) inside the lambda would re-split the whole document
+    # for every gram position (O(words^2) per doc)
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(w, i, {n})))"
+        )
+    )
+    base = (
+        docs.select(
+            "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        .select(
+            "doc_id", "source", grams.alias("grams"), F.size(grams).alias("n_grams")
+        )
+        .localCheckpoint()  # read by the df-count and the per-doc report
+    )
+    g = base.select("doc_id", "source", F.explode("grams").alias("gram"))
+    bp = (
+        g.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))  # (doc, gram) rows are unique
+        .where(F.col("ndocs") >= min_docs)
+        .select("source", "gram")
+    )
+    hits = (
+        g.join(bp, ["source", "gram"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bp"))
+    )
+    return (
+        base.select("doc_id", "source", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+            F.round(
+                F.round(F.coalesce("n_bp", F.lit(0)) / F.col("n_grams"), 6)
+                + F.lit(1e-9),
+                4,
+            ).alias("bp_frac"),
+        )
+    )
+
+
+def t22_boilerplate(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return boilerplate_report(d).orderBy(
+        "doc_id", "source", "n_grams", "n_bp", "bp_frac"
+    )
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1137,7 +1271,38 @@ TEXT_QUERIES = {
     "t19_token_stats": t19_token_stats,
     "t20_pii_spans": t20_pii_spans,
     "t21_stratified_sample": t21_stratified_sample,
+    "t22_boilerplate": t22_boilerplate,
+    "v05_gopher_rules": v05_gopher_rules,
 }
+
+TEXT_ORACLE_SQL["v05_gopher_rules"] = f"""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') words FROM documents),
+    f AS (SELECT doc_id, len(words) n_words,
+            ROUND(ROUND((length(text) - (len(words) - 1)) * 1.0 / len(words), 6) + 1e-9, 2) mean_wlen,
+            ROUND(ROUND(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(words), 6) + 1e-9, 2) alpha_frac,
+            CAST(len(list_filter(words, x -> x IN ({",".join(f"'{m}'" for m in _EN_STOPWORDS)}))) AS INTEGER) stop_hits
+          FROM w)
+    SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_wlen BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA}
+            AND stop_hits >= {GOPHER_MIN_STOPS}) passes
+    FROM f ORDER BY doc_id, n_words, mean_wlen, alpha_frac, stop_hits, passes"""
+
+TEXT_ORACLE_SQL["t22_boilerplate"] = f"""
+    WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') words FROM documents),
+    g AS (SELECT DISTINCT doc_id, source, array_to_string(words[i:i+{BP_NGRAM - 1}], ' ') gram
+          FROM w, unnest(range(1, greatest(len(words) - {BP_NGRAM - 1}, 1) + 1)) t(i)),
+    base AS (SELECT doc_id, source, COUNT(*) n_grams FROM g GROUP BY doc_id, source),
+    bp AS (SELECT source, gram FROM g GROUP BY source, gram
+           HAVING COUNT(*) >= {BP_MIN_DOCS}),
+    hits AS (SELECT g.doc_id, COUNT(*) n_bp
+             FROM g JOIN bp ON g.source = bp.source AND g.gram = bp.gram
+             GROUP BY g.doc_id)
+    SELECT b.doc_id, b.source, b.n_grams, COALESCE(h.n_bp, 0) n_bp,
+           ROUND(ROUND(COALESCE(h.n_bp, 0) * 1.0 / b.n_grams, 6) + 1e-9, 4) bp_frac
+    FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+    ORDER BY b.doc_id, source, n_grams, n_bp, bp_frac"""
 
 TEXT_ORACLE_SQL["t20_pii_spans"] = f"""
         WITH m AS (

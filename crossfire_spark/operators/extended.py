@@ -284,6 +284,20 @@ EXTENDED_ORACLE_SQL: dict[str, str] = {
                COUNT(*) n_obs, SUM(dur_us) / 1e6 span_s
         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type
         ORDER BY event_type, twa, n_obs, span_s""",
+    "h07_m4_downsample": """
+        WITH span AS (SELECT event_type, epoch_us(MIN(ts)) t0, epoch_us(MAX(ts)) t1
+                      FROM events GROUP BY event_type),
+        b AS (SELECT e.event_type,
+                     CAST((epoch_us(e.ts) - s.t0) * 64 // (s.t1 - s.t0 + 1) AS INTEGER) bucket,
+                     e.ts, e.value
+              FROM events e JOIN span s USING (event_type))
+        SELECT event_type, bucket,
+               ROUND(arg_min(value, ts), 2) v_first,
+               ROUND(arg_max(value, ts), 2) v_last,
+               ROUND(MIN(value), 2) v_min, ROUND(MAX(value), 2) v_max,
+               COUNT(*) n_points
+        FROM b GROUP BY event_type, bucket
+        ORDER BY event_type, bucket, v_first, v_last, v_min, v_max, n_points""",
     "v04_outlier_report": f"""
         WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) med
                      FROM documents GROUP BY source),
@@ -525,6 +539,58 @@ def h06_time_weighted(spark, sf_dir):
     return time_weighted_avg(e).orderBy("event_type", "twa", "n_obs", "span_s")
 
 
+M4_WIDTH = 64  # pixel buckets per series
+
+
+def m4_downsample(events: DataFrame, width: int = M4_WIDTH) -> DataFrame:
+    """M4 visualization-aware downsampling (Jugel et al., VLDB 2014):
+    per series, split the time range into ``width`` pixel-column
+    buckets and keep each bucket's first, last, min, and max values —
+    the lossless reduction for line-chart rendering (every pixel the
+    full-resolution chart would light is preserved).
+
+    Scale shape: per-series (t0, t1) spans are one map-side-combinable
+    aggregate broadcast back onto the stream; the bucket id is pure
+    integer arithmetic (``div`` — no float in the boundary, so the
+    oracle's ``//`` states the identical bucketing); the M4 tuple
+    itself is ONE two-phase hash agg with ``min_by``/``max_by``
+    arg-extremes — no window, no self-join, one shuffle on (series,
+    bucket). A 100 TB tick table reduces to series×64 rows. ``ts`` is
+    unique per series bucket in this dataset (the h02 convention), so
+    the arg-extremes are engine-independent."""
+    span = events.groupBy("event_type").agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    # (t - t0) * width div (t1 - t0 + 1): exact integer bucketing in
+    # [0, width-1]; the +1 keeps t = t1 inside the last bucket.
+    bucket = F.expr(
+        f"(unix_micros(ts) - t0) * {M4_WIDTH} div (t1 - t0 + 1)"
+    ).cast("int")
+    return (
+        events.join(F.broadcast(span), "event_type")
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("v_first"),
+            F.round(F.max_by("value", "ts"), 2).alias("v_last"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def h07_m4_downsample(spark, sf_dir):
+    """M4 downsample of the events table to 64 pixel columns per
+    event_type — oracled by the identical integer bucketing + arg-
+    extreme aggregate in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return m4_downsample(e).orderBy(
+        "event_type", "bucket", "v_first", "v_last", "v_min", "v_max", "n_points"
+    )
+
+
 DRIFT_BUCKETS = 10
 DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket; bucket 9 is open-ended
 DRIFT_EPS = 1e-6
@@ -706,6 +772,7 @@ EXTENDED_QUERIES = {
     "h04_gap_fill": h04_gap_fill,
     "h05_sessionize": h05_sessionize,
     "h06_time_weighted": h06_time_weighted,
+    "h07_m4_downsample": h07_m4_downsample,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,

@@ -148,3 +148,136 @@ def test_table_diff_localizes_drift(spark, sf_dir):
     ).select((_hash_u16(F.col("o_orderkey")) % DIFF_BUCKETS).alias("b"))
     expected_bad = {r["b"] for r in bad_keys.distinct().collect()}
     assert {b for b, m in out.items() if not m} == expected_bad
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    """The distributed peel must equal an exact single-threaded peel
+    of the same graph (k-core is unique, so any peel order agrees),
+    and must be a fixpoint: every member keeps >= K in-core
+    neighbors."""
+    from crossfire_spark.functions.graph import KCORE_K, doc_link_graph, kcore
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = doc_link_graph(d)
+    got = {r["node"]: r["core_deg"] for r in kcore(edges).collect()}
+
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in edges.select("src", "dst").collect()
+        if a != b
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        drop = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    assert got == {n: len(nb) for n, nb in adj.items()}
+    assert all(deg >= KCORE_K for deg in got.values())
+
+
+def test_m4_bounds_and_coverage(spark, sf_dir):
+    """M4 pixel buckets stay inside [0, width); each bucket's first/
+    last values sit inside [v_min, v_max]; every event lands in
+    exactly one bucket (point counts re-sum to the table size)."""
+    from crossfire_spark.operators.extended import M4_WIDTH, h07_m4_downsample
+
+    e = load_table(spark, sf_dir, "events")
+    rows = h07_m4_downsample(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < M4_WIDTH for r in rows)
+    assert all(
+        r["v_min"] <= min(r["v_first"], r["v_last"])
+        and max(r["v_first"], r["v_last"]) <= r["v_max"]
+        for r in rows
+    )
+    assert sum(r["n_points"] for r in rows) == e.count()
+
+
+def test_range_search_soundness_vs_topk(spark, sf_dir):
+    """Radius search returns exactly the >= tau slice: every result
+    clears the threshold, and every top-k hit (s01, same scoring)
+    that clears tau is present with the identical rounded sim."""
+    from crossfire_spark.functions.similarity import (
+        RANGE_TAU,
+        s01_cosine_topk,
+        s12_range_search,
+    )
+
+    got = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in s12_range_search(spark, sf_dir).collect()
+    }
+    assert all(s >= RANGE_TAU for s in got.values())
+    for r in s01_cosine_topk(spark, sf_dir).collect():
+        if r["sim"] >= RANGE_TAU:
+            assert got[(r["qid"], r["vec_id"])] == r["sim"]
+
+
+def test_gopher_rules_python_oracle(spark, sf_dir):
+    """Signal-by-signal pure-Python recompute of the Gopher rules."""
+    from crossfire_spark.functions.text import (
+        GOPHER_MIN_ALPHA,
+        GOPHER_MIN_STOPS,
+        GOPHER_MIN_WLEN,
+        GOPHER_MAX_WLEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        _EN_STOPWORDS,
+        v05_gopher_rules,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in v05_gopher_rules(spark, sf_dir).collect():
+        words = texts[r["doc_id"]].lower().split(" ")
+        n = len(words)
+        assert r["n_words"] == n
+        mean_wlen = round(
+            round((len(texts[r["doc_id"]]) - (n - 1)) / n, 6) + 1e-9, 2
+        )
+        alpha = round(
+            round(sum(any(c.isalpha() for c in w) for w in words) / n, 6)
+            + 1e-9,
+            2,
+        )
+        stops = sum(w in _EN_STOPWORDS for w in words)
+        assert (r["mean_wlen"], r["alpha_frac"], r["stop_hits"]) == (
+            mean_wlen,
+            alpha,
+            stops,
+        )
+        assert r["passes"] == (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_WLEN <= mean_wlen <= GOPHER_MAX_WLEN
+            and alpha >= GOPHER_MIN_ALPHA
+            and stops >= GOPHER_MIN_STOPS
+        )
+
+
+def test_boilerplate_constructed(spark):
+    """A planted shared 3-gram is flagged within its source only;
+    per-doc gram accounting is distinct-gram based."""
+    from crossfire_spark.functions.text import boilerplate_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "terms of service apply here now"),
+            (2, "srcA", "terms of service apply to all"),
+            (3, "srcB", "terms of service apply somewhere else"),
+            (4, "srcB", "completely different words entirely here folks"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_report(docs).collect()}
+    # docs 1 and 2 share 'terms of service' / 'of service apply' in srcA
+    assert out[1]["n_bp"] == 2 and out[2]["n_bp"] == 2
+    # doc 3's identical grams sit alone in srcB: not boilerplate there
+    assert out[3]["n_bp"] == 0 and out[4]["n_bp"] == 0
+    assert all(r["n_grams"] == 4 for r in out.values())
+    assert out[1]["bp_frac"] == 0.5

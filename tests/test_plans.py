@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "s10_pq_index",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 162 and len(osql) == 151
+    assert len(qs) == 167 and len(osql) == 156
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
