@@ -766,6 +766,94 @@ def d18_winnow_overlap(spark, sf_dir):
     )
 
 
+DUP_SPAN_L = 4  # words per exact-match gram (detects shared runs >= L)
+
+
+def d20_dup_span_fraction(spark, sf_dir):
+    """Per-document duplicated-span fraction — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): the fraction of a document's token
+    positions covered by some L-word gram that also occurs in ANOTHER
+    document. Training pipelines threshold this to drop or trim docs
+    whose content is mostly copied boilerplate/mirrored text, a
+    different axis from whole-doc similarity (d02/d03): a 5% overlap
+    of a long doc scores low here even when the shared passage is an
+    exact copy, and a short fully-mirrored doc scores 1.0.
+
+    Scale shape — NO document-pair join anywhere (contrast d18, whose
+    output is pairs): gram rows reduce to (hash, min_doc, max_doc) by
+    one map-side-combinable aggregate; "duplicated across distinct
+    docs" is min != max, so hot boilerplate grams cost one aggregate
+    row instead of a quadratic pair fan-out. Coverage is a bounded
+    ×L position explode of the *duplicated* grams only, then a
+    distinct + per-doc count. Everything is gram-key or doc-key
+    partitioned; nothing collects.
+
+    The gram hash is the first 8 hex digits of md5 (identical integer
+    in Spark's ``conv`` and DuckDB's hex cast — the d18 idiom), so
+    the oracle states the same selection."""
+    return dup_span_report(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_report(d: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac) — see
+    :func:`d20_dup_span_fraction`."""
+    base = (
+        spread(d)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select("doc_id", F.size("w").alias("n_tokens"), "w")
+        .localCheckpoint()  # consumed by grams AND the final left join
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {L - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {L})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {L - 1})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+    )
+
+
 def d08_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix — "which input sources copy
     from each other": for every source pair, the number of distinct
@@ -1549,6 +1637,7 @@ DEDUP_QUERIES = {
     "d17_hashed_decontam": d17_hashed_decontam,
     "d18_winnow_overlap": d18_winnow_overlap,
     "d19_dedup_keep_best": d19_dedup_keep_best,
+    "d20_dup_span_fraction": d20_dup_span_fraction,
     "d08_source_overlap": d08_source_overlap,
     "d10_chunk_dedup": d10_chunk_dedup,
     "d11_dedup_savings": d11_dedup_savings,
@@ -1590,6 +1679,23 @@ DEDUP_ORACLE_SQL["d18_winnow_overlap"] = f"""
         FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
         ORDER BY doc_a, doc_b, n_shared"""
+
+DEDUP_ORACLE_SQL["d20_dup_span_fraction"] = f"""
+        WITH wds AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        base AS (SELECT doc_id, len(w) n_tokens, w FROM wds),
+        g AS (SELECT doc_id, i pos,
+                     CAST(concat('0x', substr(md5(array_to_string(w[i:i+{DUP_SPAN_L - 1}], ' ')), 1, 8)) AS BIGINT) h
+              FROM base, unnest(range(1, len(w) - {DUP_SPAN_L - 1} + 1)) t(i)
+              WHERE n_tokens >= {DUP_SPAN_L}),
+        duph AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+        cov AS (SELECT DISTINCT doc_id, p
+                FROM g JOIN duph USING (h), unnest(range(pos, pos + {DUP_SPAN_L})) c(p)),
+        cnt AS (SELECT doc_id, COUNT(*) dup_tokens FROM cov GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) n_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) dup_tokens,
+               ROUND(COALESCE(c.dup_tokens, 0) * 1.0 / b.n_tokens, 4) dup_frac
+        FROM base b LEFT JOIN cnt c USING (doc_id)
+        ORDER BY doc_id, n_tokens, dup_tokens, dup_frac"""
 
 DEDUP_ORACLE_SQL["d15_sparse_cosine"] = f"""
         WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),

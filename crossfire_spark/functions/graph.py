@@ -374,15 +374,107 @@ def _kcore_oracle() -> str:
         GROUP BY node ORDER BY node, core_deg"""
 
 
+LINKPRED_MIN_COMMON = 2
+
+
+def link_prediction(edges: DataFrame) -> DataFrame:
+    """(p, q, common, jaccard) — common-neighbor link prediction over
+    the UNDIRECTED closure: for every non-adjacent node pair sharing
+    >= LINKPRED_MIN_COMMON neighbors, the shared-neighbor count and
+    the neighborhood Jaccard — the classic missing-edge /
+    recommendation primitive (Liben-Nowell & Kleinberg 2003).
+
+    Shape: one adjacency self-join keyed on the CENTER node (fan-out
+    Σ deg² — every common neighbor must be enumerated, so unlike
+    triangles (g03) degree orientation cannot prune it), one pair
+    aggregate, an anti-join against the edge set, two degree lookups.
+    At corpus scale the Σ deg² term is bounded the way every LSH
+    bucket here is: celebrity centers (deg > cap) would be dropped
+    before the self-join — standard practice, since common-neighbor
+    evidence through a hub is uninformative (the Adamic-Adar
+    argument). The synthetic graph's degree is <= 4, so the declared
+    form is exact and IS the oracle."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # read by adjacency (twice via adj) + anti-join
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select(F.col("node").alias("p"), F.col("nbr").alias("x"))
+    a2 = adj.select(F.col("node").alias("q"), F.col("nbr").alias("x"))
+    cn = (
+        a1.join(a2, "x")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= LINKPRED_MIN_COMMON)
+    )
+    cand = cn.join(
+        und.select(F.col("a").alias("p"), F.col("b").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    dp = deg.select(F.col("node").alias("p"), F.col("deg").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("deg").alias("dq"))
+    return cand.join(dp, "p").join(dq, "q").select(
+        "p",
+        "q",
+        "common",
+        F.round(
+            F.col("common") / (F.col("dp") + F.col("dq") - F.col("common")), 4
+        ).alias("jaccard"),
+    )
+
+
+def g05_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the synthetic document
+    link graph — oracled by the identical computation in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return link_prediction(doc_link_graph(d)).orderBy(
+        "p", "q", "common", "jaccard"
+    )
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        adj AS (SELECT a node, b nbr FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT node, COUNT(*) deg FROM adj GROUP BY node),
+        cn AS (SELECT a1.node p, a2.node q, COUNT(*) common
+               FROM adj a1 JOIN adj a2
+                 ON a1.nbr = a2.nbr AND a1.node < a2.node
+               GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_COMMON}),
+        cand AS (SELECT cn.* FROM cn ANTI JOIN und
+                   ON cn.p = und.a AND cn.q = und.b)
+        SELECT c.p, c.q, c.common,
+               ROUND(c.common * 1.0 / (dp.deg + dq.deg - c.common), 4) jaccard
+        FROM cand c JOIN deg dp ON c.p = dp.node JOIN deg dq ON c.q = dq.node
+        ORDER BY p, q, common, jaccard"""
+
+
 GRAPH_QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_stats": g02_degree_stats,
     "g03_triangle_count": g03_triangle_count,
     "g04_kcore": g04_kcore,
+    "g05_link_prediction": g05_link_prediction,
 }
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
     "g02_degree_stats": _deg_oracle(),
     "g03_triangle_count": _tri_oracle(),
     "g04_kcore": _kcore_oracle(),
+    "g05_link_prediction": _linkpred_oracle(),
 }

@@ -1250,6 +1250,71 @@ def t22_boilerplate(spark, sf_dir):
     )
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dsir, selected) — DSIR importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by the mean per-token
+    log-ratio of an add-one-smoothed TARGET unigram LM (here: the
+    ``lang = 'en'`` slice) over the RAW-corpus LM; ``selected`` marks
+    docs that look more target-like than raw (mean log-ratio > 0).
+    The domain-upsampling primitive every pretraining mixture uses to
+    tilt a crawl toward a quality/domain exemplar set.
+
+    Scale shape: both LMs are one map-side-combinable word aggregate
+    each (the raw counts subsume the corpus scan; the target slice
+    prunes at the parquet filter); the model table is vocab-bounded —
+    at 100 TB DSIR hashes n-grams into a FIXED 10k-bucket table
+    precisely so this stays broadcastable, and the declared form
+    broadcasts it the same way. Scoring is one broadcast join + one
+    per-doc mean; nothing collects. Mean stabilized ROUND(·,6)+1e-9
+    → 3 dp (the house float discipline)."""
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    raw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_r")).localCheckpoint()
+    tgt = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = raw.agg(
+        F.sum("c_r").alias("n_r"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(tgt.agg(F.sum("c_t").alias("n_t")))
+    model = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1.0)
+                    / (F.col("n_t") + F.col("v"))
+                )
+                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + F.col("v")))
+            ).alias("lw"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.round(F.avg("lw"), 6) + F.lit(1e-9), 3).alias("dsir"),
+        )
+        .select(
+            "doc_id", "n_tokens", "dsir", (F.col("dsir") > 0).alias("selected")
+        )
+    )
+
+
+def t23_dsir_weights(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return dsir_weights(d).orderBy("doc_id", "n_tokens", "dsir", "selected")
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1272,8 +1337,29 @@ TEXT_QUERIES = {
     "t20_pii_spans": t20_pii_spans,
     "t21_stratified_sample": t21_stratified_sample,
     "t22_boilerplate": t22_boilerplate,
+    "t23_dsir_weights": t23_dsir_weights,
     "v05_gopher_rules": v05_gopher_rules,
 }
+
+TEXT_ORACLE_SQL["t23_dsir_weights"] = f"""
+        WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) w
+                      FROM documents),
+        raw AS (SELECT w, COUNT(*) c_r FROM toks GROUP BY w),
+        tgt AS (SELECT w, COUNT(*) c_t FROM toks
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY w),
+        tot AS (SELECT (SELECT SUM(c_r) FROM raw) n_r,
+                       (SELECT COUNT(*) FROM raw) v,
+                       (SELECT SUM(c_t) FROM tgt) n_t),
+        model AS (SELECT raw.w,
+                         ln((COALESCE(tgt.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+                         - ln((raw.c_r + 1.0) / (tot.n_r + tot.v)) lw
+                  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) n_tokens,
+               ROUND(ROUND(AVG(lw), 6) + 1e-9, 3) dsir,
+               ROUND(ROUND(AVG(lw), 6) + 1e-9, 3) > 0 selected
+        FROM toks JOIN model USING (w)
+        GROUP BY doc_id
+        ORDER BY doc_id, n_tokens, dsir, selected"""
 
 TEXT_ORACLE_SQL["v05_gopher_rules"] = f"""
     WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') words FROM documents),

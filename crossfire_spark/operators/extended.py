@@ -591,6 +591,60 @@ def h07_m4_downsample(spark, sf_dir):
     )
 
 
+ANOM_LOOKBACK = 10  # trailing observations per user stream
+ANOM_MIN_N = 5      # minimum frame size before scoring
+ANOM_Z = 2.0        # |z| flag threshold
+
+
+def rolling_anomalies(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, value, z) — rolling z-score anomaly flags
+    per user stream: each event's value scored against the mean/std
+    of that user's previous ANOM_LOOKBACK events (frame excludes the
+    current row, so an outlier never masks itself); flagged when the
+    frame holds >= ANOM_MIN_N observations and |z| >= ANOM_Z. The
+    streaming-telemetry outlier primitive (per-entity baseline, not a
+    global quantile — contrast v04's corpus-level outlier report).
+
+    Scale shape: one window partitioned by ``user_id`` — millions of
+    short per-user streams, so no partition outgrows a task at 100×
+    (contrast a per-event_type window: low-cardinality keys would
+    funnel). No joins, no second scan; z is stabilized (ROUND(·,9)
+    +1e-12 → 4 dp) because mean/std accumulate engine-specifically."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)
+    base = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.stddev_pop("value").over(w).alias("sd"),
+        z.alias("z_raw"),
+    )
+    return base.where(
+        (F.col("n") >= ANOM_MIN_N)
+        & (F.col("sd") > 0)
+        & (F.abs("z_raw") >= ANOM_Z)
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.round("z_raw", 9) + F.lit(1e-12), 4).alias("z"),
+    )
+
+
+def h08_rolling_anomaly(spark, sf_dir):
+    """Per-user rolling z-score anomalies over the events table —
+    oracled by the identical frame spec in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return rolling_anomalies(e).orderBy("event_id", "user_id", "value", "z")
+
+
 DRIFT_BUCKETS = 10
 DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket; bucket 9 is open-ended
 DRIFT_EPS = 1e-6
@@ -764,6 +818,85 @@ def v03_table_diff(spark, sf_dir):
     )
 
 
+PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "date"),
+)
+
+
+def column_profile(df: DataFrame) -> DataFrame:
+    """One row per profiled column — (col, n_rows, n_null, n_distinct,
+    min_v, max_v, min_s, max_s): the deequ/TFDV-style table profile a
+    pipeline snapshots before and after every ingest (v02's drift
+    report consumes exactly this kind of summary). Numeric extremes
+    land in typed double columns, string/date extremes in string
+    columns, so the output schema is stable across heterogeneous
+    inputs.
+
+    Scale shape: ONE scan — every metric folds into a single
+    aggregate node (Spark plans the multi-distinct via one expand);
+    the result is |columns| rows built by an array-explode of the
+    one-row aggregate, never a per-column re-scan. Exact distinct
+    counts are the oracle-checkable declared form; at 100 TB swap in
+    ``approx_count_distinct`` (same plan minus the expand)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _kind in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    a = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c, kind in PROFILE_COLS:
+        mn, mx = F.col(f"{c}__mn"), F.col(f"{c}__mx")
+        if kind == "num":
+            vals = (
+                F.round(mn.cast("double"), 2),
+                F.round(mx.cast("double"), 2),
+                null_s,
+                null_s,
+            )
+        elif kind == "str":
+            vals = (null_d, null_d, mn, mx)
+        else:  # timestamp: date portion renders identically in UTC
+            vals = (
+                null_d,
+                null_d,
+                mn.cast("date").cast("string"),
+                mx.cast("date").cast("string"),
+            )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                vals[0].alias("min_v"),
+                vals[1].alias("max_v"),
+                vals[2].alias("min_s"),
+                vals[3].alias("max_s"),
+            )
+        )
+    return a.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def v06_column_profile(spark, sf_dir):
+    """Column profile of the orders table — oracled by the identical
+    per-column aggregate UNION in DuckDB."""
+    o = load_table(spark, sf_dir, "orders")
+    return column_profile(o).orderBy(
+        "col", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "min_s", "max_s"
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -773,9 +906,64 @@ EXTENDED_QUERIES = {
     "h05_sessionize": h05_sessionize,
     "h06_time_weighted": h06_time_weighted,
     "h07_m4_downsample": h07_m4_downsample,
+    "h08_rolling_anomaly": h08_rolling_anomaly,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,
     "v03_table_diff": v03_table_diff,
     "v04_outlier_report": v04_outlier_report,
+    "v06_column_profile": v06_column_profile,
 }
+
+EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
+        WITH scored AS (
+            SELECT event_id, user_id, value,
+                   COUNT(value) OVER w n,
+                   AVG(value) OVER w mu,
+                   STDDEV_POP(value) OVER w sd
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, value,
+               ROUND(ROUND((value - mu) / sd, 9) + 1e-12, 4) z
+        FROM scored
+        WHERE n >= {ANOM_MIN_N} AND sd > 0 AND abs((value - mu) / sd) >= {ANOM_Z}
+        ORDER BY event_id, user_id, value, z"""
+
+EXTENDED_ORACLE_SQL["v06_column_profile"] = """
+        SELECT 'o_orderkey' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_orderkey) n_distinct,
+               ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 2) min_v, ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 2) max_v, CAST(NULL AS VARCHAR) min_s, CAST(NULL AS VARCHAR) max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_custkey) n_distinct,
+               ROUND(CAST(MIN(o_custkey) AS DOUBLE), 2) min_v, ROUND(CAST(MAX(o_custkey) AS DOUBLE), 2) max_v, CAST(NULL AS VARCHAR) min_s, CAST(NULL AS VARCHAR) max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_totalprice) n_distinct,
+               ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) min_v, ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) max_v, CAST(NULL AS VARCHAR) min_s, CAST(NULL AS VARCHAR) max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_orderstatus) n_distinct,
+               CAST(NULL AS DOUBLE) min_v, CAST(NULL AS DOUBLE) max_v, MIN(o_orderstatus) min_s, MAX(o_orderstatus) max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_orderpriority) n_distinct,
+               CAST(NULL AS DOUBLE) min_v, CAST(NULL AS DOUBLE) max_v, MIN(o_orderpriority) min_s, MAX(o_orderpriority) max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate' col, COUNT(*) n_rows,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+               COUNT(DISTINCT o_orderdate) n_distinct,
+               CAST(NULL AS DOUBLE) min_v, CAST(NULL AS DOUBLE) max_v, CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) min_s, CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) max_s
+        FROM orders
+        ORDER BY col, n_rows, n_null, n_distinct, min_v, max_v, min_s, max_s"""

@@ -281,3 +281,108 @@ def test_boilerplate_constructed(spark):
     assert out[3]["n_bp"] == 0 and out[4]["n_bp"] == 0
     assert all(r["n_grams"] == 4 for r in out.values())
     assert out[1]["bp_frac"] == 0.5
+
+
+def test_dup_span_fraction_planted(spark):
+    """A planted 5-word passage shared by docs 1 and 2 covers exactly
+    its own positions (union of overlapping L-grams, counted once);
+    the unique doc scores 0; a doc shorter than L words forms no grams
+    and scores 0 with its true token count."""
+    from crossfire_spark.functions.dedup import dup_span_report
+
+    docs = spark.createDataFrame(
+        [
+            # shared run: "the quick brown fox jumps" (5 words -> two
+            # overlapping 4-grams in each doc)
+            (1, "the quick brown fox jumps over rivers"),
+            (2, "yesterday the quick brown fox jumps away"),
+            (3, "nothing here matches anything else at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_report(docs).collect()}
+    # doc 1: positions 1..5 covered (grams @1 and @2), 5/7
+    assert out[1]["dup_tokens"] == 5 and out[1]["n_tokens"] == 7
+    assert abs(out[1]["dup_frac"] - round(5 / 7, 4)) < 1e-9
+    # doc 2: shared run sits at positions 2..6
+    assert out[2]["dup_tokens"] == 5 and out[2]["n_tokens"] == 7
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_tokens"] == 2 and out[4]["dup_tokens"] == 0
+
+
+def test_link_prediction_planted(spark):
+    """A path graph 1-2-3 predicts exactly the missing edge (1,3)
+    with one common neighbor short of the threshold when isolated, so
+    use a diamond: 1-2, 1-4, 3-2, 3-4 predicts (1,3) and (2,4) with
+    common=2, jaccard=1.0; adjacent pairs are never predicted."""
+    from crossfire_spark.functions.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 4), (3, 2), (3, 4)], "src long, dst long"
+    )
+    out = {(r["p"], r["q"]): r for r in link_prediction(edges).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["common"] == 2 and out[(1, 3)]["jaccard"] == 1.0
+
+
+def test_rolling_anomaly_planted(spark):
+    """A planted spike after a flat-ish baseline is flagged; the spike
+    itself is excluded from its own frame (trailing window), and early
+    rows under the min-frame threshold are never scored."""
+    import datetime
+
+    from crossfire_spark.operators.extended import rolling_anomalies
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 10.8, 100.0, 10.1]
+    for i, v in enumerate(vals):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 7, v))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = rolling_anomalies(e).collect()
+    flagged = {r["event_id"] for r in out}
+    assert 6 in flagged  # the spike
+    assert all(eid >= 5 for eid in flagged)  # frames of < 5 never score
+    spike = [r for r in out if r["event_id"] == 6][0]
+    assert spike["z"] > 2
+
+
+def test_dsir_prefers_target_like_docs(spark, sf_dir):
+    """Docs IN the target slice score higher on average than docs
+    outside it (the importance weight tilts toward the target
+    distribution), and every weight is finite."""
+    from crossfire_spark.functions.dedup import load_table as _lt
+    from crossfire_spark.functions.text import DSIR_TARGET_LANG, dsir_weights
+
+    d = _lt(spark, sf_dir, "documents")
+    scored = dsir_weights(d).join(d.select("doc_id", "lang"), "doc_id")
+    rows = scored.collect()
+    assert all(r["dsir"] is not None for r in rows)
+    tgt = [r["dsir"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["dsir"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_column_profile_matches_direct_aggregates(spark, sf_dir):
+    """Profile rows agree with independently-computed per-column
+    aggregates, and the typed min/max columns are populated exactly
+    for their kind."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.operators.extended import column_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = {r["col"]: r for r in column_profile(o).collect()}
+    n = o.count()
+    assert all(r["n_rows"] == n for r in prof.values())
+    assert prof["o_orderkey"]["n_distinct"] == n  # primary key
+    assert prof["o_orderkey"]["n_null"] == 0
+    assert prof["o_orderkey"]["min_s"] is None
+    assert prof["o_orderstatus"]["min_v"] is None
+    statuses = sorted(
+        r["o_orderstatus"] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    assert prof["o_orderstatus"]["min_s"] == statuses[0]
+    assert prof["o_orderstatus"]["max_s"] == statuses[-1]
