@@ -612,6 +612,98 @@ def m04_image_decode(spark, sf_dir):
     )
 
 
+DHASH_PATTERNS = 50  # distinct base patterns in the synthetic corpus
+DHASH_W, DHASH_H = 9, 8  # dHash sampling grid (64 gradient bits)
+
+
+def synthesize_gradient_images(docs: DataFrame) -> DataFrame:
+    """Real PPM images with a controlled near-duplicate structure:
+    each doc renders base pattern ``doc_id % DHASH_PATTERNS`` (a 16x12
+    gray grid, values < 200, drawn from the frozen legacy MT19937
+    keyed by the pattern id) PLUS a per-doc uniform brightness offset
+    (< 55, so no byte ever clips). Same pattern + different
+    brightness = the canonical perceptual near-duplicate pair."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                p = did % DHASH_PATTERNS
+                bright = (did // DHASH_PATTERNS) % 55
+                # legacy RandomState = frozen MT19937: the pattern is
+                # a stable deterministic function of p on every build
+                base = np.random.RandomState(int(p)).randint(
+                    0, 200, size=(12, 16)
+                )
+                gray = (base + bright).astype(np.uint8)
+                out.append(encode_ppm(np.stack([gray] * 3, axis=-1)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """(media_id, dh) — difference hash over a binary image column:
+    REAL decode (PIL or the PPM parser), nearest resize to the 9x8
+    grid, 64 horizontal-gradient sign bits as a hex string. dHash is
+    brightness-invariant by construction (a uniform offset cancels in
+    every adjacent-pixel difference) — the property perceptual dedup
+    relies on."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                gray = arr.mean(axis=2)
+                small = resize_nearest(gray, DHASH_W, DHASH_H)
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                mids.append(mid)
+                hashes.append(f"{val:016x}")
+            yield pd.DataFrame({"media_id": mids, "dh": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema="media_id long, dh string"
+    )
+
+
+def m07_image_neardup(spark, sf_dir):
+    """Perceptual image dedup over a REAL codec path: synthesize PPM
+    bytes (pattern + per-doc brightness), decode, dHash, cluster on
+    the hash. Brightness-shifted renders of one pattern collapse into
+    one cluster, so the cluster report equals GROUP BY
+    ``doc_id % DHASH_PATTERNS`` — a closed-form DuckDB oracle over a
+    genuine decode→resize→hash pipeline (distinct patterns hashing
+    distinctly is deterministic in the construction; the oracle match
+    at both SFs pins it).
+
+    Scale shape: the hash kernel is mapInPandas (Arrow batches, blobs
+    never shuffle); clustering shuffles 8-byte hashes only — the
+    whole corpus of image bytes reduces to (id, hash) before any
+    exchange, exactly how a production perceptual-dedup pass stays
+    I/O-bound instead of shuffle-bound."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashes = dhash_images(synthesize_gradient_images(docs))
+    return (
+        hashes.groupBy("dh")
+        .agg(
+            F.min("media_id").alias("cluster_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cluster_rep", "n_members")
+        .orderBy("cluster_rep", "n_members")
+    )
+
+
 MULTIMODAL_QUERIES = {
     "m01_media_features": m01_media_features,
     "m02_image_resize": m02_image_resize,
@@ -619,6 +711,7 @@ MULTIMODAL_QUERIES = {
     "m04_image_decode": m04_image_decode,
     "m05_audio_decode": m05_audio_decode,
     "m06_keyframes": m06_keyframes,
+    "m07_image_neardup": m07_image_neardup,
 }
 # All three kernels are deterministic functions of the byte stream,
 # so all three mapInPandas pipelines get full DuckDB oracles: m01
@@ -709,3 +802,9 @@ MULTIMODAL_ORACLE_SQL: dict[str, str] = {
         FROM x GROUP BY doc_id, n
         ORDER BY media_id, n_samples, sr, rms, peak, zc""",
 }
+
+MULTIMODAL_ORACLE_SQL["m07_image_neardup"] = f"""
+        SELECT MIN(doc_id) cluster_rep, COUNT(*) n_members
+        FROM documents
+        GROUP BY doc_id % {DHASH_PATTERNS}
+        ORDER BY cluster_rep, n_members"""

@@ -143,9 +143,123 @@ def st04_stateful_totals(spark, sf_dir):
     )
 
 
+ANOM_STATE_SCHEMA = "us array<long>, vs array<double>"
+ANOM_OUTPUT_SCHEMA = "event_id long, user_id long, value double, z double"
+
+
+def stream_anomalies(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Streaming per-user rolling z-score anomalies — the continuous
+    form of the batch ``h08_rolling_anomaly`` operator: state carries
+    each user's trailing ANOM_LOOKBACK values across micro-batches;
+    every arriving event is scored against its user's window BEFORE
+    being appended (trailing-exclusive frame, identical to h08's
+    ``rowsBetween(-K, -1)``), so a bounded in-order replay emits
+    exactly the batch operator's rows — h08's DuckDB oracle checks
+    the whole streaming loop.
+
+    Scale notes: state keys are bucketed (``pmod(user_id, n)``, the
+    st04 lesson — per-group Python dispatch, not arithmetic, bounds
+    stateful ops at high key cardinality) and each bucket's state is
+    flat parallel arrays of at most LOOKBACK entries per user. Within
+    a batch the per-user scoring is a vectorized pandas rolling pass.
+    Assumes per-user event-time-ordered arrival (the file replay here
+    is ordered; production fronts this with a watermark + in-batch
+    sort exactly as this kernel sorts its batch)."""
+    from crossfire_spark.operators.extended import (
+        ANOM_LOOKBACK,
+        ANOM_MIN_N,
+        ANOM_Z,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hist: dict[int, list[float]] = {}
+        if state.exists:
+            us, vs = state.get
+            for u, v in zip(us, vs):
+                hist.setdefault(u, []).append(v)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        out: list[tuple] = []
+        for u, g in batch.groupby("user_id", sort=False):
+            h = hist.get(u, [])
+            vals = [float(x) for x in g["value"]]
+            s = pd.Series(h + vals, dtype=float)
+            prev = s.shift(1).rolling(ANOM_LOOKBACK, min_periods=1)
+            mu, sd, n = prev.mean(), prev.std(ddof=0), prev.count()
+            k = len(h)
+            for i, eid in enumerate(g["event_id"]):
+                j = k + i
+                if n.iloc[j] >= ANOM_MIN_N and sd.iloc[j] > 0:
+                    z = (vals[i] - mu.iloc[j]) / sd.iloc[j]
+                    if abs(z) >= ANOM_Z:
+                        out.append(
+                            (
+                                int(eid),
+                                int(u),
+                                vals[i],
+                                round(round(z, 9) + 1e-12, 4),
+                            )
+                        )
+            hist[u] = (h + vals)[-ANOM_LOOKBACK:]
+        flat_u: list[int] = []
+        flat_v: list[float] = []
+        for u, h in hist.items():
+            flat_u.extend([u] * len(h))
+            flat_v.extend(h)
+        state.update((flat_u, flat_v))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "value", "z"]
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                    "z": pd.Series([], dtype="float64"),
+                }
+            )
+
+    bucketed = events.withColumn(
+        "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st15_stream_anomaly(spark, sf_dir):
+    """Bounded replay of the streaming anomaly detector; must emit
+    exactly the batch h08 rows (same oracle)."""
+    from crossfire_spark.streaming.jobs import events_stream, run_stream_to_memory
+
+    out = run_stream_to_memory(
+        stream_anomalies(events_stream(spark, sf_dir)), mode="append"
+    )
+    return out.orderBy("event_id", "user_id", "value", "z")
+
+
 STATEFUL_ORACLE_SQL = {
     "st04_stateful_totals": """
         SELECT user_id, COUNT(*) c, ROUND(SUM(value),2) s
         FROM events GROUP BY user_id ORDER BY user_id, c, s""",
 }
 STATEFUL_QUERIES = {"st04_stateful_totals": st04_stateful_totals}
+
+
+def _register_st15() -> None:
+    from crossfire_spark.operators.extended import EXTENDED_ORACLE_SQL
+
+    STATEFUL_QUERIES["st15_stream_anomaly"] = st15_stream_anomaly
+    STATEFUL_ORACLE_SQL["st15_stream_anomaly"] = EXTENDED_ORACLE_SQL[
+        "h08_rolling_anomaly"
+    ]
+
+
+_register_st15()

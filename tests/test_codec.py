@@ -125,3 +125,26 @@ def test_pil_dispatch_with_mocked_pil(monkeypatch):
     out = decode_image(payload)
     assert calls == [("open", b"P6"), ("convert", "RGB")]
     assert np.array_equal(out, expected)
+
+
+def test_dhash_brightness_invariance_and_distinctness(spark):
+    """dHash collapses brightness-shifted renders of one pattern into
+    one hash (uniform offsets cancel in every adjacent difference)
+    and separates distinct patterns — the two properties
+    m07_image_neardup's closed-form oracle rests on."""
+    from crossfire_spark.functions.multimodal import (
+        DHASH_PATTERNS,
+        dhash_images,
+        synthesize_gradient_images,
+    )
+
+    # ids 0..49 render the 50 base patterns; ids 50..99 re-render them
+    # brightness-shifted
+    docs = spark.range(2 * DHASH_PATTERNS).withColumnRenamed("id", "doc_id")
+    out = {
+        r["media_id"]: r["dh"]
+        for r in dhash_images(synthesize_gradient_images(docs)).collect()
+    }
+    for p in range(DHASH_PATTERNS):
+        assert out[p] == out[p + DHASH_PATTERNS]
+    assert len({out[p] for p in range(DHASH_PATTERNS)}) == DHASH_PATTERNS

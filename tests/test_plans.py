@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "s10_pq_index",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 172 and len(osql) == 161
+    assert len(qs) == 174 and len(osql) == 163
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

@@ -318,3 +318,40 @@ def test_st14_maintained_index_equals_adhoc(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+
+
+def test_st15_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """The streaming anomaly detector must emit the SAME rows as the
+    batch h08 operator when the replay is split at the time median
+    into two in-order micro-batches — the second batch's early frames
+    depend on state carried from the first, so equality proves the
+    cross-batch window handoff."""
+    from crossfire_spark.operators.extended import rolling_anomalies
+    from crossfire_spark.streaming.stateful import stream_anomalies
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first()["c"]
+    src = str(tmp_path / "src")
+    early = events.where(F.unix_micros("ts") <= cut)
+    late = events.where(F.unix_micros("ts") > cut)
+    early.coalesce(1).write.parquet(src + "/f0")
+    late.coalesce(1).write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    from crossfire_spark.streaming.jobs import run_stream_to_memory
+
+    got = run_stream_to_memory(stream_anomalies(stream), mode="append")
+    want = rolling_anomalies(events)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
