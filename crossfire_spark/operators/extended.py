@@ -837,21 +837,26 @@ def column_profile(df: DataFrame) -> DataFrame:
     columns, so the output schema is stable across heterogeneous
     inputs.
 
-    Scale shape: ONE scan — every metric folds into a single
-    aggregate node (Spark plans the multi-distinct via one expand);
-    the result is |columns| rows built by an array-explode of the
-    one-row aggregate, never a per-column re-scan. Exact distinct
-    counts are the oracle-checkable declared form; at 100 TB swap in
-    ``approx_count_distinct`` (same plan minus the expand)."""
+    Scale shape: one full scan folds every non-distinct metric into a
+    single HashAggregate; each exact distinct count is its own
+    column-pruned scan (columnar parquet reads exactly that column)
+    joined back as a 1-row broadcast. NOT the one-agg multi-distinct
+    form: Spark rewrites that via an Expand that multiplies the whole
+    row stream ×(k+1) through two SortAggregates (measured 4.2 s vs
+    1.3 s here at sf0.1). At 100 TB swap ``approx_count_distinct``
+    into the first scan and drop the per-column scans entirely."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, _kind in PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
             F.min(c).alias(f"{c}__mn"),
             F.max(c).alias(f"{c}__mx"),
         ]
     a = df.agg(*aggs)
+    for c, _kind in PROFILE_COLS:
+        a = a.crossJoin(
+            F.broadcast(df.agg(F.countDistinct(c).alias(f"{c}__nd")))
+        )
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     structs = []
