@@ -1139,6 +1139,77 @@ SIMILARITY_ORACLE_SQL: dict[str, str] = {
         ORDER BY qid, vec_id, sim""",
 }
 
+MMR_LAMBDA = 0.7
+MMR_CAND = 20  # relevance candidates per query (s01's discipline)
+MMR_K = 5      # diversified picks per query
+
+
+def mmr_rerank(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """(qid, rank, vec_id, mmr) — Maximal Marginal Relevance
+    re-ranking (Carbonell & Goldstein 1998): per query, greedily pick
+    MMR_K of the top-MMR_CAND cosine candidates maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) — the standard
+    redundancy-suppressing rerank for retrieval-augmented pipelines
+    (near-identical passages stop crowding out coverage).
+
+    Scale shape: relevance candidates come from the existing
+    ``cosine_topk`` plan (broadcast queries, per-query window over
+    candidates only); the greedy stage is inherently sequential but
+    per-query and bounded (≤ MMR_CAND rows, ≤ MMR_CAND² pair sims),
+    so it runs as a vectorized numpy kernel inside one
+    ``applyInPandas`` keyed by qid — thousands of queries re-rank in
+    parallel, nothing quadratic in the corpus. Determinism: sims are
+    rounded to 4 dp BEFORE the greedy loop and ties break on min
+    vec_id, so every engine picks the same sequence (pinned by a pure-
+    Python recompute test; iterative argmax is not SQL-expressible, so
+    this is a rows-only registry entry)."""
+    import numpy as np
+    import pandas as pd
+
+    cands = cosine_topk(embeddings, queries, k=MMR_CAND)
+    with_vec = cands.join(
+        embeddings.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["ce"]])
+        nrm = np.linalg.norm(V, axis=1)
+        pair = np.round(V @ V.T / np.outer(nrm, nrm), 4)
+        rel = pdf["sim"].to_numpy()  # already rounded by cosine_topk
+        ids = pdf["vec_id"].to_numpy()
+        picked: list[int] = []
+        out = []
+        avail = list(range(len(ids)))
+        for rank in range(1, min(MMR_K, len(ids)) + 1):
+            if picked:
+                red = pair[np.ix_(avail, picked)].max(axis=1)
+            else:
+                red = np.zeros(len(avail))
+            score = np.round(
+                MMR_LAMBDA * rel[avail] - (1 - MMR_LAMBDA) * red, 4
+            )
+            best = int(np.lexsort((ids[avail], -score))[0])
+            i = avail[best]
+            out.append(
+                (int(pdf["qid"].iloc[0]), rank, int(ids[i]), float(score[best]))
+            )
+            picked.append(i)
+            avail.remove(i)
+        return pd.DataFrame(out, columns=["qid", "rank", "vec_id", "mmr"])
+
+    return with_vec.groupBy("qid").applyInPandas(
+        kernel, schema="qid long, rank int, vec_id long, mmr double"
+    )
+
+
+def s13_mmr_rerank(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return mmr_rerank(em, _query_set(em)).orderBy(
+        "qid", "rank", "vec_id", "mmr"
+    )
+
+
 SIMILARITY_QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_topk": s02_lsh_topk,
@@ -1151,6 +1222,7 @@ SIMILARITY_QUERIES = {
     "s09_pq_topk": s09_pq_topk,
     "s11_filtered_topk": s11_filtered_topk,
     "s12_range_search": s12_range_search,
+    "s13_mmr_rerank": s13_mmr_rerank,
 }
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""

@@ -902,6 +902,43 @@ def v06_column_profile(spark, sf_dir):
     )
 
 
+
+
+QUANTILE_PS = (0.5, 0.9, 0.99)
+
+
+def v07_quantile_report(spark, sf_dir):
+    """Per-status order-value quantiles (p50/p90/p99) — the latency-
+    style distribution report every pipeline SLA dashboard needs.
+    EXACT percentiles (Spark's ``percentile`` ≡ DuckDB's
+    ``quantile_cont``: linear interpolation at p·(n−1)) so the DuckDB
+    oracle is exact; at 100 TB swap ``approx_percentile`` (t-digest
+    sketch, map-side combinable, no per-group sort) into the same
+    plan — exact per-group percentile sorts each group's values and
+    is the declared oracle tier only. One hash agg, one shuffle on
+    the 3-value status key; stabilized ROUND(·,6)+1e-9 → 2 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    ps = ", ".join(str(p) for p in QUANTILE_PS)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"percentile(o_totalprice, array({ps}))").alias("q"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            *[
+                F.round(F.round(F.col("q")[i], 6) + F.lit(1e-9), 2).alias(
+                    f"p{int(p * 100)}"
+                )
+                for i, p in enumerate(QUANTILE_PS)
+            ],
+        )
+        .orderBy("o_orderstatus", "n", "p50", "p90", "p99")
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -918,6 +955,7 @@ EXTENDED_QUERIES = {
     "v03_table_diff": v03_table_diff,
     "v04_outlier_report": v04_outlier_report,
     "v06_column_profile": v06_column_profile,
+    "v07_quantile_report": v07_quantile_report,
 }
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
@@ -972,3 +1010,11 @@ EXTENDED_ORACLE_SQL["v06_column_profile"] = """
                CAST(NULL AS DOUBLE) min_v, CAST(NULL AS DOUBLE) max_v, CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) min_s, CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) max_s
         FROM orders
         ORDER BY col, n_rows, n_null, n_distinct, min_v, max_v, min_s, max_s"""
+
+EXTENDED_ORACLE_SQL["v07_quantile_report"] = """
+        SELECT o_orderstatus, COUNT(*) n,
+               ROUND(ROUND(quantile_cont(o_totalprice, 0.5), 6) + 1e-9, 2) p50,
+               ROUND(ROUND(quantile_cont(o_totalprice, 0.9), 6) + 1e-9, 2) p90,
+               ROUND(ROUND(quantile_cont(o_totalprice, 0.99), 6) + 1e-9, 2) p99
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus, n, p50, p90, p99"""

@@ -386,3 +386,70 @@ def test_column_profile_matches_direct_aggregates(spark, sf_dir):
     )
     assert prof["o_orderstatus"]["min_s"] == statuses[0]
     assert prof["o_orderstatus"]["max_s"] == statuses[-1]
+
+
+def test_mmr_rerank_matches_python_recompute(spark, sf_dir):
+    """s13 is rows-only (iterative argmax is not SQL-expressible):
+    pin the PICK SEQUENCE exactly against an independent pure-Python
+    greedy recompute from the raw embeddings (the scores themselves
+    are asserted to 2e-4 — numpy's BLAS dot products sum in a
+    different order than a sequential Python loop, so a cosine
+    sitting exactly on a 4-dp rounding boundary may render one ulp
+    apart; the greedy selection is insensitive to it on this data)."""
+    import math
+
+    from crossfire_spark.functions.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_LAMBDA,
+        QUERY_STRIDE,
+        s13_mmr_rerank,
+    )
+
+    got = [
+        (r["qid"], r["rank"], r["vec_id"], r["mmr"])
+        for r in s13_mmr_rerank(spark, sf_dir).collect()
+    ]
+    em = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = []
+    for qid in sorted(v for v in em if v % QUERY_STRIDE == 0):
+        sims = sorted(
+            (
+                (round(cos(em[qid], em[v]), 4), v)
+                for v in em
+                if v != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CAND]
+        cand = [v for _, v in sims]
+        rel = {v: s for s, v in sims}
+        picked = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for v in cand:
+                if v in picked:
+                    continue
+                red = max(
+                    (round(cos(em[v], em[p]), 4) for p in picked), default=0.0
+                )
+                score = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 4)
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v, score)
+            picked.append(best[1])
+            want.append((qid, rank, best[1], best[2]))
+    got_s, want_s = sorted(got), sorted(want)
+    assert [t[:3] for t in got_s] == [t[:3] for t in want_s]
+    assert all(
+        abs(g[3] - w[3]) <= 2e-4 for g, w in zip(got_s, want_s)
+    )

@@ -108,9 +108,10 @@ def test_registry_contract_consistency():
         "s04_ivf_kmeans",
         "s09_pq_topk",
         "s10_pq_index",
+        "s13_mmr_rerank",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 174 and len(osql) == 163
+    assert len(qs) == 176 and len(osql) == 164
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
