@@ -464,12 +464,90 @@ def _linkpred_oracle() -> str:
         ORDER BY p, q, common, jaccard"""
 
 
+LP_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+    """(node, community) — synchronous label propagation (Raghavan et
+    al. 2007) over the undirected closure: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors (ties → smallest label). Fixed ``rounds`` synchronous
+    iterations make the result engine-independent (asynchronous LPA is
+    order-dependent), so the identical computation unrolls into the
+    DuckDB oracle.
+
+    Scale shape per round: one equi-join of labels to the adjacency
+    on the neighbor key + two map-side-combinable aggregates (label
+    counts, per-node argmax) — node/label-keyed shuffles only, no
+    windows over the corpus; ``localCheckpoint`` cuts the per-round
+    lineage exactly as pagerank's loop does."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()  # re-read every round
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = adj.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        ).select("node", "lbl")
+        counts = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def g06_labelprop_communities(spark, sf_dir):
+    """Label-propagation communities over the synthetic document link
+    graph — oracled by the identical synchronous rounds unrolled as
+    DuckDB CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    return label_propagation(doc_link_graph(d)).orderBy("node", "community")
+
+
+def _lp_oracle() -> str:
+    rounds = ""
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        rounds += f""",
+        n{i} AS (SELECT a.node, l.lbl, COUNT(*) c
+                 FROM adj a JOIN {prev} l ON a.nbr = l.node GROUP BY 1, 2),
+        l{i} AS (SELECT node, lbl FROM n{i}
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                            ORDER BY c DESC, lbl) = 1)"""
+        prev = f"l{i}"
+    return f"""
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        adj AS (SELECT a node, b nbr FROM und UNION ALL SELECT b, a FROM und),
+        l0 AS (SELECT DISTINCT node, node lbl FROM adj){rounds}
+        SELECT node, lbl community FROM {prev}
+        ORDER BY node, community"""
+
+
 GRAPH_QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_stats": g02_degree_stats,
     "g03_triangle_count": g03_triangle_count,
     "g04_kcore": g04_kcore,
     "g05_link_prediction": g05_link_prediction,
+    "g06_labelprop_communities": g06_labelprop_communities,
 }
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
@@ -477,4 +555,5 @@ GRAPH_ORACLE_SQL = {
     "g03_triangle_count": _tri_oracle(),
     "g04_kcore": _kcore_oracle(),
     "g05_link_prediction": _linkpred_oracle(),
+    "g06_labelprop_communities": _lp_oracle(),
 }

@@ -1315,6 +1315,68 @@ def t23_dsir_weights(spark, sf_dir):
     return dsir_weights(d).orderBy("doc_id", "n_tokens", "dsir", "selected")
 
 
+NOVELTY_N = 3  # words per novelty gram
+
+
+def ngram_novelty(d: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_frac) — corpus novelty
+    curve: for each document (in doc_id ingestion order), the
+    fraction of its distinct word n-grams not seen in ANY
+    earlier-ingested document. The curation signal for "is this dump
+    still adding new content or just re-crawling" — falling novelty
+    is the standard stop-ingesting indicator.
+
+    Scale shape: a gram is novel for exactly the doc holding its
+    MINIMUM doc_id, so the whole computation is one
+    map-side-combinable (gram → min_doc) aggregate joined back to the
+    per-doc distinct-gram stream — no ordered scan, no window over
+    the corpus, no pair join. Gram text reduces to an 8-byte xxhash
+    before the shuffle; both aggregates are gram- or doc-keyed."""
+    grams = (
+        spread(d)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+                        f" i -> concat_ws(' ', slice(w, i, {n})))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("h"))
+        .localCheckpoint()  # consumed by first-seen agg AND per-doc join
+    )
+    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+def t24_ngram_novelty(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d).orderBy(
+        "doc_id", "n_grams", "n_novel", "novelty_frac"
+    )
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1338,8 +1400,25 @@ TEXT_QUERIES = {
     "t21_stratified_sample": t21_stratified_sample,
     "t22_boilerplate": t22_boilerplate,
     "t23_dsir_weights": t23_dsir_weights,
+    "t24_ngram_novelty": t24_ngram_novelty,
     "v05_gopher_rules": v05_gopher_rules,
 }
+
+# the oracle groups by the gram STRING (DuckDB has no xxhash64); the
+# engine's 8-byte hash changes the shuffle payload, not the grouping
+TEXT_ORACLE_SQL["t24_ngram_novelty"] = f"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     array_to_string(words[i:i+{NOVELTY_N - 1}], ' ') gram
+              FROM w, unnest(range(1, greatest(len(words) - {NOVELTY_N - 1}, 1) + 1)) t(i)),
+        fs AS (SELECT gram, MIN(doc_id) first_doc FROM g GROUP BY gram)
+        SELECT g.doc_id, COUNT(*) n_grams,
+               CAST(SUM(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+               ROUND(SUM(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) novelty_frac
+        FROM g JOIN fs USING (gram)
+        GROUP BY g.doc_id
+        ORDER BY doc_id, n_grams, n_novel, novelty_frac"""
 
 TEXT_ORACLE_SQL["t23_dsir_weights"] = f"""
         WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) w

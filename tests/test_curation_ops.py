@@ -453,3 +453,40 @@ def test_mmr_rerank_matches_python_recompute(spark, sf_dir):
     assert all(
         abs(g[3] - w[3]) <= 2e-4 for g, w in zip(got_s, want_s)
     )
+
+
+def test_ngram_novelty_planted(spark):
+    """The first-ingested doc is fully novel; an exact re-crawl of it
+    is fully stale; partial overlap lands in between with distinct-
+    gram accounting."""
+    from crossfire_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact re-crawl
+            (3, "alpha beta gamma epsilon zeta"),  # one shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty_frac"] == 1.0 and out[1]["n_grams"] == 2
+    assert out[2]["novelty_frac"] == 0.0
+    # doc 3 grams: 'alpha beta gamma' (seen), 'beta gamma epsilon',
+    # 'gamma epsilon zeta' (novel)
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 2
+
+
+def test_labelprop_two_cliques(spark):
+    """Two triangles bridged by one edge resolve into two communities
+    after the synchronous rounds; each triangle is label-uniform."""
+    from crossfire_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    assert out[1] == out[2]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[5]
