@@ -939,6 +939,64 @@ def v07_quantile_report(spark, sf_dir):
     )
 
 
+
+
+FK_CHECKS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def fk_orphan_check(
+    name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str
+) -> DataFrame:
+    """One FK edge → a 1-row (fk, n_rows, orphan_keys, orphan_rows)
+    aggregate — see :func:`v08_referential_integrity`."""
+    p = dim.select(F.col(pk).alias("_pk"))
+    keys = fact.select(F.col(fk).alias("_pk")).groupBy("_pk").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    orphans = keys.join(p, "_pk", "left_anti")
+    return orphans.agg(
+        F.lit(name).alias("fk"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("orphan_keys"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("orphan_rows"),
+    ).crossJoin(F.broadcast(fact.agg(F.count(F.lit(1)).alias("n_rows"))))
+
+
+def v08_referential_integrity(spark, sf_dir):
+    """Referential-integrity report — for each declared FK edge, the
+    row count checked, the DISTINCT orphaned key count, and the rows
+    carrying an orphaned key. The cross-table counterpart of v01's
+    single-table constraint suite; ingest pipelines run exactly this
+    before promoting a snapshot.
+
+    Scale shape: each check is (distinct FK keys) anti-join (PK side)
+    — the anti-join runs on the DEDUPED key set (map-side-combinable
+    distinct first), so a 100 TB fact table reduces to its key
+    cardinality before any join; orphaned-row counts come from one
+    broadcast-back of the (small) orphan key set. The per-check
+    results are 1-row aggregates unioned into the report."""
+    parts = [
+        fk_orphan_check(
+            name,
+            load_table(spark, sf_dir, ft),
+            fk,
+            load_table(spark, sf_dir, pt),
+            pk,
+        )
+        for name, ft, fk, pt, pk in FK_CHECKS
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select("fk", "n_rows", "orphan_keys", "orphan_rows").orderBy(
+        "fk", "n_rows", "orphan_keys", "orphan_rows"
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -956,6 +1014,7 @@ EXTENDED_QUERIES = {
     "v04_outlier_report": v04_outlier_report,
     "v06_column_profile": v06_column_profile,
     "v07_quantile_report": v07_quantile_report,
+    "v08_referential_integrity": v08_referential_integrity,
 }
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
@@ -1018,3 +1077,33 @@ EXTENDED_ORACLE_SQL["v07_quantile_report"] = """
                ROUND(ROUND(quantile_cont(o_totalprice, 0.99), 6) + 1e-9, 2) p99
         FROM orders GROUP BY o_orderstatus
         ORDER BY o_orderstatus, n, p50, p90, p99"""
+
+EXTENDED_ORACLE_SQL["v08_referential_integrity"] = """
+        SELECT 'lineitem->orders' fk, (SELECT COUNT(*) FROM lineitem) n_rows,
+               COUNT(*) FILTER (orphan) orphan_keys,
+               CAST(COALESCE(SUM(n) FILTER (orphan), 0) AS BIGINT) orphan_rows
+        FROM (SELECT l_orderkey k, COUNT(*) n,
+                     l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) orphan
+              FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'orders->customer' fk, (SELECT COUNT(*) FROM orders) n_rows,
+               COUNT(*) FILTER (orphan) orphan_keys,
+               CAST(COALESCE(SUM(n) FILTER (orphan), 0) AS BIGINT) orphan_rows
+        FROM (SELECT o_custkey k, COUNT(*) n,
+                     o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) orphan
+              FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'lineitem->part' fk, (SELECT COUNT(*) FROM lineitem) n_rows,
+               COUNT(*) FILTER (orphan) orphan_keys,
+               CAST(COALESCE(SUM(n) FILTER (orphan), 0) AS BIGINT) orphan_rows
+        FROM (SELECT l_partkey k, COUNT(*) n,
+                     l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL) orphan
+              FROM lineitem GROUP BY l_partkey)
+        UNION ALL
+        SELECT 'lineitem->supplier' fk, (SELECT COUNT(*) FROM lineitem) n_rows,
+               COUNT(*) FILTER (orphan) orphan_keys,
+               CAST(COALESCE(SUM(n) FILTER (orphan), 0) AS BIGINT) orphan_rows
+        FROM (SELECT l_suppkey k, COUNT(*) n,
+                     l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL) orphan
+              FROM lineitem GROUP BY l_suppkey)
+        ORDER BY fk, n_rows, orphan_keys, orphan_rows"""

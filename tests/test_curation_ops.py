@@ -490,3 +490,27 @@ def test_labelprop_two_cliques(spark):
     assert out[1] == out[2]
     assert out[4] == out[5] == out[6]
     assert out[1] != out[5]
+
+
+def test_fk_orphan_check_planted(spark, sf_dir):
+    """Dropping half the orders makes exactly the lineitems of the
+    dropped orders orphans — counts must localize precisely; the
+    intact dimension checks clean."""
+    from crossfire_spark.operators.extended import fk_orphan_check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    kept = o.where(F.col("o_orderkey") % 2 == 0)
+    r = fk_orphan_check("t", li, "l_orderkey", kept, "o_orderkey").first()
+    expect_rows = li.where(F.col("l_orderkey") % 2 == 1).count()
+    expect_keys = (
+        li.where(F.col("l_orderkey") % 2 == 1)
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert r["orphan_rows"] == expect_rows
+    assert r["orphan_keys"] == expect_keys
+    assert r["n_rows"] == li.count()
+    clean = fk_orphan_check("t", li, "l_orderkey", o, "o_orderkey").first()
+    assert clean["orphan_keys"] == 0 and clean["orphan_rows"] == 0
