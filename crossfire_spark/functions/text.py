@@ -1263,39 +1263,39 @@ def dsir_weights(d: DataFrame) -> DataFrame:
     The domain-upsampling primitive every pretraining mixture uses to
     tilt a crawl toward a quality/domain exemplar set.
 
-    Scale shape: both LMs are one map-side-combinable word aggregate
-    each (the raw counts subsume the corpus scan; the target slice
-    prunes at the parquet filter); the model table is vocab-bounded —
-    at 100 TB DSIR hashes n-grams into a FIXED 10k-bucket table
-    precisely so this stays broadcastable, and the declared form
-    broadcasts it the same way. Scoring is one broadcast join + one
-    per-doc mean; nothing collects. Mean stabilized ROUND(·,6)+1e-9
-    → 3 dp (the house float discipline)."""
+    Scale shape: BOTH LMs come from one map-side-combinable word
+    aggregate (count + conditional count per word — a single corpus
+    token pass), so the whole op is two corpus scans: model build and
+    scoring. The model table is vocab-bounded — at 100 TB DSIR hashes
+    n-grams into a FIXED 10k-bucket table precisely so this stays
+    broadcastable, and the declared form broadcasts it the same way.
+    Scoring is one broadcast join + one per-doc mean; nothing
+    collects. Mean stabilized ROUND(·,6)+1e-9 → 3 dp (the house
+    float discipline)."""
     toks = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
-    raw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_r")).localCheckpoint()
-    tgt = (
-        toks.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    tot = raw.agg(
-        F.sum("c_r").alias("n_r"), F.count(F.lit(1)).alias("v")
-    ).crossJoin(tgt.agg(F.sum("c_t").alias("n_t")))
-    model = (
-        raw.join(tgt, "w", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w",
-            (
-                F.log(
-                    (F.coalesce("c_t", F.lit(0)) + 1.0)
-                    / (F.col("n_t") + F.col("v"))
-                )
-                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + F.col("v")))
-            ).alias("lw"),
+    cnt = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(
+                (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+            ).alias("c_t"),
         )
+        .localCheckpoint()  # read by totals AND the model projection
+    )
+    tot = cnt.agg(
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c_t").alias("n_t"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + F.col("v")))
+        ).alias("lw"),
     )
     return (
         toks.join(F.broadcast(model), "w")
