@@ -164,7 +164,70 @@ def a02_asof_forward(spark, sf_dir):
     ).orderBy("event_id", "user_id", "next_ts", "next_value")
 
 
+def a03_asof_nearest(spark, sf_dir):
+    """Nearest as-of join — each event gets the time-CLOSEST 'click'
+    of its user, looking both directions (ties → the earlier one, the
+    pandas ``merge_asof(direction='nearest')`` convention). Composed
+    from the backward and forward merge passes over the same keyed
+    union — still no row-pairing join with the right side; the final
+    pick is a per-row CASE on the two carried candidates."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    left = e.select("event_id", "user_id", "ts")
+    b = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    f = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], prefix="next_", direction="forward",
+    )
+    j = b.join(f.select("event_id", "next_ts", "next_value"), "event_id")
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_prev <= d_next)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(take_prev, F.col("prev_ts")).otherwise(F.col("next_ts")).alias(
+            "near_ts"
+        ),
+        F.round(
+            F.when(take_prev, F.col("prev_value")).otherwise(
+                F.col("next_value")
+            ),
+            2,
+        ).alias("near_value"),
+    ).orderBy("event_id", "user_id", "near_ts", "near_value")
+
+
 ASOF_ORACLE_SQL = {
+    "a03_asof_nearest": """
+        WITH c AS (SELECT user_id, ts, MAX(value) AS "value" FROM events
+                   WHERE event_type = 'click' GROUP BY user_id, ts),
+        b AS (SELECT e.event_id, e.user_id, e.ts, p.ts prev_ts, p.value prev_value
+              FROM events e ASOF LEFT JOIN c p
+                ON e.user_id = p.user_id AND e.ts > p.ts),
+        f AS (SELECT e.event_id, n.ts next_ts, n.value next_value
+              FROM events e ASOF LEFT JOIN c n
+                ON e.user_id = n.user_id AND e.ts < n.ts)
+        SELECT b.event_id, b.user_id,
+               CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL OR
+                         epoch_us(b.ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(b.ts))
+                    THEN prev_ts ELSE next_ts END near_ts,
+               ROUND(CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL OR
+                          epoch_us(b.ts) - epoch_us(prev_ts)
+                          <= epoch_us(next_ts) - epoch_us(b.ts))
+                     THEN prev_value ELSE next_value END, 2) near_value
+        FROM b JOIN f USING (event_id)
+        ORDER BY event_id, user_id, near_ts, near_value""",
     "a01_asof_join": """
         SELECT e.event_id, e.user_id, b.ts prev_ts, ROUND(b.value, 2) prev_value
         FROM events e ASOF LEFT JOIN
@@ -183,4 +246,5 @@ ASOF_ORACLE_SQL = {
 ASOF_QUERIES = {
     "a01_asof_join": a01_asof_join,
     "a02_asof_forward": a02_asof_forward,
+    "a03_asof_nearest": a03_asof_nearest,
 }
