@@ -26,10 +26,13 @@ Builder = Callable[[SparkSession, str], DataFrame]
 _DRIVER_SAMPLE_PREFIX = (
     # relational core (filters/joins/aggs/windows/sets)
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16",
-    # dedup family
+    # dedup family (incl. the round-5 span-fraction signal)
     "d01_dedup_bag", "d02_ngram_jaccard", "d05_embed_neardup",
     "d06_dup_clusters", "d07_contamination", "d11_dedup_savings",
+    "d20_dup_span_fraction",
+    # round-5 families: anomaly, profile, DSIR, link prediction, as-of
+    "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
+    "g05_link_prediction", "a03_asof_nearest",
     # text pipeline
     "t01_langid", "t02_quality", "t03_tokens", "t05_quality_filter",
     "t09_bm25", "t13_mixture_sample",
