@@ -591,6 +591,103 @@ def h07_m4_downsample(spark, sf_dir):
     )
 
 
+LTTB_BUCKETS = 32
+
+
+def lttb_downsample(events: DataFrame, buckets: int = LTTB_BUCKETS) -> DataFrame:
+    """(event_type, bucket, ts, value) — parallel LTTB downsample:
+    per series, keep from each time bucket the point forming the
+    LARGEST TRIANGLE with the neighboring buckets' centroids
+    (Steinarsson's Largest-Triangle-Three-Buckets with FIXED
+    bucket-average anchors — the parallelizable variant: classic LTTB
+    anchors on the previously *selected* point, a sequential chain;
+    anchoring on bucket centroids makes every bucket independent, the
+    standard trade for distributed execution). Complements h07's M4:
+    M4 preserves pixel extremes, LTTB preserves visual shape.
+
+    Scale shape: one span aggregate broadcast back, one centroid
+    aggregate (series×B rows — the lag/lead over it is metadata-
+    sized), one broadcast join of centroids onto the stream, one
+    argmax-by-struct hash agg. No corpus window, no self-join.
+    Determinism: the ranking key is the triangle area ROUNDED to 6 dp
+    (floats cross engines) with a min-ts tiebreak; first/last buckets
+    anchor on their own centroid side only, degenerating to max
+    distance from the single anchor — same formula with the missing
+    anchor coalesced to the point itself."""
+    from pyspark.sql import Window
+
+    span = events.groupBy("event_type").agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    bucket = F.expr(
+        f"(unix_micros(ts) - t0) * {buckets} div (t1 - t0 + 1)"
+    ).cast("int")
+    pts = (
+        events.join(F.broadcast(span), "event_type")
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            "ts",
+            "value",
+            ((F.unix_micros("ts") - F.col("t0")) / F.lit(1e6)).alias("x"),
+        )
+        .localCheckpoint()  # centroids AND the scoring join read it
+    )
+    cent = pts.groupBy("event_type", "bucket").agg(
+        F.avg("x").alias("cx"), F.avg("value").alias("cy")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    anchors = cent.select(
+        "event_type",
+        "bucket",
+        F.lag("cx").over(w).alias("px"),
+        F.lag("cy").over(w).alias("py"),
+        F.lead("cx").over(w).alias("nx"),
+        F.lead("cy").over(w).alias("ny"),
+    )
+    j = pts.join(F.broadcast(anchors), ["event_type", "bucket"])
+    px = F.coalesce("px", F.col("x"))
+    py = F.coalesce("py", F.col("value"))
+    nx = F.coalesce("nx", F.col("x"))
+    ny = F.coalesce("ny", F.col("value"))
+    area = F.abs(
+        (px - nx) * (F.col("value") - py) - (px - F.col("x")) * (ny - py)
+    )
+    scored = j.select(
+        "event_type",
+        "bucket",
+        "ts",
+        "value",
+        F.round(area, 6).alias("a"),
+    )
+    return (
+        scored.groupBy("event_type", "bucket")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("a")).alias("na"),
+                    F.col("ts").alias("ts"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("m.ts").alias("ts"),
+            F.round(F.col("m.value"), 2).alias("value"),
+        )
+    )
+
+
+def h09_lttb_downsample(spark, sf_dir):
+    """Parallel-LTTB downsample of the events table — oracled by the
+    identical centroid-anchor argmax in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return lttb_downsample(e).orderBy("event_type", "bucket", "ts", "value")
+
+
 ANOM_LOOKBACK = 10  # trailing observations per user stream
 ANOM_MIN_N = 5      # minimum frame size before scoring
 ANOM_Z = 2.0        # |z| flag threshold
@@ -1007,6 +1104,7 @@ EXTENDED_QUERIES = {
     "h06_time_weighted": h06_time_weighted,
     "h07_m4_downsample": h07_m4_downsample,
     "h08_rolling_anomaly": h08_rolling_anomaly,
+    "h09_lttb_downsample": h09_lttb_downsample,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,
@@ -1107,3 +1205,31 @@ EXTENDED_ORACLE_SQL["v08_referential_integrity"] = """
                      l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL) orphan
               FROM lineitem GROUP BY l_suppkey)
         ORDER BY fk, n_rows, orphan_keys, orphan_rows"""
+
+EXTENDED_ORACLE_SQL["h09_lttb_downsample"] = f"""
+        WITH span AS (SELECT event_type, epoch_us(MIN(ts)) t0, epoch_us(MAX(ts)) t1
+                      FROM events GROUP BY event_type),
+        pts AS (SELECT e.event_type,
+                       CAST((epoch_us(e.ts) - s.t0) * {LTTB_BUCKETS} // (s.t1 - s.t0 + 1) AS INTEGER) bucket,
+                       e.ts, e.value,
+                       (epoch_us(e.ts) - s.t0) / 1e6 x
+                FROM events e JOIN span s USING (event_type)),
+        cent AS (SELECT event_type, bucket, AVG(x) cx, AVG(value) cy
+                 FROM pts GROUP BY event_type, bucket),
+        anch AS (SELECT event_type, bucket,
+                        LAG(cx)  OVER w px, LAG(cy)  OVER w py,
+                        LEAD(cx) OVER w nx, LEAD(cy) OVER w ny
+                 FROM cent WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        scored AS (SELECT p.event_type, p.bucket, p.ts, p.value,
+                          ROUND(ABS((COALESCE(a.px, p.x) - COALESCE(a.nx, p.x))
+                                    * (p.value - COALESCE(a.py, p.value))
+                                    - (COALESCE(a.px, p.x) - p.x)
+                                    * (COALESCE(a.ny, p.value) - COALESCE(a.py, p.value))), 6) a
+                   FROM pts p JOIN anch a USING (event_type, bucket))
+        SELECT event_type, bucket, ts, ROUND(value, 2) "value"
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                           ORDER BY a DESC, ts) rn
+              FROM scored)
+        WHERE rn = 1
+        ORDER BY event_type, bucket, ts, "value"
+"""

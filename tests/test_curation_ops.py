@@ -514,3 +514,23 @@ def test_fk_orphan_check_planted(spark, sf_dir):
     assert r["n_rows"] == li.count()
     clean = fk_orphan_check("t", li, "l_orderkey", o, "o_orderkey").first()
     assert clean["orphan_keys"] == 0 and clean["orphan_rows"] == 0
+
+
+def test_lttb_keeps_shape_extremes(spark):
+    """A flat series with one planted spike must keep the spike (it
+    forms the largest triangle with its neighbor-bucket centroids),
+    and exactly one point survives per occupied bucket."""
+    import datetime
+
+    from crossfire_spark.operators.extended import LTTB_BUCKETS, lttb_downsample
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(320):
+        v = 100.0 if i == 167 else 10.0 + (i % 3) * 0.01
+        rows.append(("s", t0 + datetime.timedelta(seconds=i), v))
+    e = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = lttb_downsample(e).collect()
+    assert len(out) == LTTB_BUCKETS
+    assert len({r["bucket"] for r in out}) == LTTB_BUCKETS
+    assert any(r["value"] == 100.0 for r in out)
