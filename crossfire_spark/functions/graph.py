@@ -541,6 +541,55 @@ def _lp_oracle() -> str:
         ORDER BY node, community"""
 
 
+REACH_DEPTH = 4
+REACH_SRC = 0
+
+
+def g07_reachability(spark, sf_dir):
+    """Bounded-depth BFS distances from node 0 over the synthetic
+    link graph, expressed as a RECURSIVE CTE — exercising Spark 4's
+    recursive-CTE surface (SPARK-24497) end-to-end against DuckDB's
+    recursive CTE running the IDENTICAL statement. Each recursion
+    step plans as one equi-join of the frontier to the edge table +
+    union; the closing MIN(dist) collapses multi-path duplicates.
+    At corpus scale the production discipline is deduping the
+    frontier INSIDE the recursion (GROUP BY per step) — with the
+    bounded depth and degree ≤ 4 here the duplicate fan-out is
+    negligible and the declared form is the exact oracle statement."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_link_graph(d).createOrReplaceTempView("_g07_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, dist) AS (
+            SELECT CAST({REACH_SRC} AS BIGINT) node, 0 dist
+            UNION ALL
+            SELECT e.dst, r.dist + 1
+            FROM reach r JOIN _g07_edges e ON e.src = r.node
+            WHERE r.dist < {REACH_DEPTH}
+        )
+        SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+        ORDER BY node, dist"""
+    )
+
+
+def _reach_oracle() -> str:
+    return f"""
+        WITH RECURSIVE nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        reach(node, dist) AS (
+            SELECT CAST({REACH_SRC} AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, r.dist + 1
+            FROM reach r JOIN e ON e.src = r.node
+            WHERE r.dist < {REACH_DEPTH})
+        SELECT node, MIN(dist) dist FROM reach GROUP BY node
+        ORDER BY node, dist"""
+
+
 GRAPH_QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_stats": g02_degree_stats,
@@ -548,6 +597,7 @@ GRAPH_QUERIES = {
     "g04_kcore": g04_kcore,
     "g05_link_prediction": g05_link_prediction,
     "g06_labelprop_communities": g06_labelprop_communities,
+    "g07_reachability": g07_reachability,
 }
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
@@ -556,4 +606,5 @@ GRAPH_ORACLE_SQL = {
     "g04_kcore": _kcore_oracle(),
     "g05_link_prediction": _linkpred_oracle(),
     "g06_labelprop_communities": _lp_oracle(),
+    "g07_reachability": _reach_oracle(),
 }
