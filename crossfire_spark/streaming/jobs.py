@@ -662,6 +662,35 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY user_id ORDER BY user_id, c, s""",
 }
 
+
+
+STREAM_TOPK = 10
+
+
+def st16_stream_topk(spark, sf_dir):
+    """Continuous top-k: per-user value totals maintained by the
+    streaming engine (complete-mode state), the final state ranked to
+    the top-STREAM_TOPK users — the "live leaderboard" pattern. The
+    post-sink rank is a TakeOrdered over state cardinality, never the
+    event stream; for unbounded key spaces production bounds the state
+    with the bucketed-state discipline st04/st15 use."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"))
+    )
+    sink = run_stream_to_memory(agg, mode="complete")
+    return (
+        sink.orderBy(F.col("s").desc(), "user_id")
+        .limit(STREAM_TOPK)
+        .select(
+            "user_id",
+            F.round(F.round("s", 6) + F.lit(1e-9), 2).alias("total"),
+        )
+        .orderBy("user_id", "total")
+    )
+
+
 STREAMING_QUERIES = {
     "st01_stream_tumbling": st01_stream_tumbling,
     "st02_stream_sliding": st02_stream_sliding,
@@ -674,6 +703,7 @@ STREAMING_QUERIES = {
     "st12_stream_matview": st12_stream_matview,
     "st13_stream_quality": st13_stream_quality,
     "st14_index_maintenance": st14_index_maintenance,
+    "st16_stream_topk": st16_stream_topk,
 }
 
 # st11's oracle is the t10 batch SQL verbatim: a stateless projection
@@ -681,3 +711,10 @@ STREAMING_QUERIES = {
 from crossfire_spark.functions.text import TEXT_ORACLE_SQL as _TEXT_ORACLE_SQL  # noqa: E402
 
 STREAMING_ORACLE_SQL["st11_stream_pii"] = _TEXT_ORACLE_SQL["t10_pii_scrub"]
+
+STREAMING_ORACLE_SQL["st16_stream_topk"] = f"""
+        SELECT * FROM (
+            SELECT user_id, ROUND(ROUND(SUM(value), 6) + 1e-9, 2) total
+            FROM events GROUP BY user_id
+            ORDER BY SUM(value) DESC, user_id LIMIT {STREAM_TOPK})
+        ORDER BY user_id, total"""
