@@ -72,3 +72,49 @@ def test_salted_agg_matches_bruteforce(spark, data):
         vs = [v for kk, v in data if kk == k]
         expect.add((k, len(vs), sum(vs)))
     assert got == expect
+
+
+doc_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=doc_corpus)
+def test_dup_span_fraction_matches_bruteforce(spark, corpus):
+    """d20's duplicated-span coverage must equal a brute-force
+    recompute on arbitrary tiny corpora: a position is covered iff
+    some L-gram through it appears verbatim in another document."""
+    from crossfire_spark.functions.dedup import DUP_SPAN_L, dup_span_report
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in dup_span_report(docs).collect()
+    }
+    L = DUP_SPAN_L
+    toks = [" ".join(w).split(" ") for w in corpus]  # split('') -> ['']
+    grams = {}
+    for i, words in enumerate(toks):
+        for p in range(len(words) - L + 1):
+            grams.setdefault(" ".join(words[p : p + L]), set()).add(i)
+    for i, words in enumerate(toks):
+        covered = set()
+        for p in range(len(words) - L + 1):
+            g = " ".join(words[p : p + L])
+            if len(grams[g]) > 1:
+                covered.update(range(p, p + L))
+        assert got[i] == (len(words), len(covered)), (i, corpus)
