@@ -1377,6 +1377,43 @@ def t24_ngram_novelty(spark, sf_dir):
     )
 
 
+HH_TOPK = 20
+
+
+def heavy_hitters_exact(d: DataFrame, k: int = HH_TOPK) -> DataFrame:
+    """(w, c) — exact corpus term heavy hitters: one
+    map-side-combinable word count + TakeOrdered top-k. The declared
+    oracle tier; the scan cost is one token pass, the shuffle is
+    vocab-bounded."""
+    toks = spread(d).select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(k)
+    )
+
+
+def heavy_hitters_sketch(d: DataFrame, k: int = HH_TOPK) -> DataFrame:
+    """(w, c) — sketch tier: ``approx_top_k`` (Spark 4's
+    frequent-items sketch aggregate) — ONE aggregation row travels to
+    the driver instead of a vocab-wide shuffle, the 100 TB path when
+    the vocabulary itself is huge (hashed n-grams, URLs). No
+    cross-engine oracle (sketch internals); agreement with the exact
+    tier is pinned in tests."""
+    toks = spread(d).select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        toks.agg(F.expr(f"approx_top_k(w, {k})").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(F.col("e.item").alias("w"), F.col("e.count").alias("c"))
+    )
+
+
+def t25_heavy_hitters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_exact(d).orderBy("w", "c")
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1401,6 +1438,7 @@ TEXT_QUERIES = {
     "t22_boilerplate": t22_boilerplate,
     "t23_dsir_weights": t23_dsir_weights,
     "t24_ngram_novelty": t24_ngram_novelty,
+    "t25_heavy_hitters": t25_heavy_hitters,
     "v05_gopher_rules": v05_gopher_rules,
 }
 
@@ -1630,3 +1668,10 @@ TEXT_ORACLE_SQL["t21_stratified_sample"] = f"""
                    FROM keyed)
         SELECT source, doc_id, rank FROM ranked WHERE rank <= {STRATIFIED_K}
         ORDER BY source, doc_id, rank"""
+
+TEXT_ORACLE_SQL["t25_heavy_hitters"] = f"""
+        SELECT * FROM (
+            SELECT w, COUNT(*) c
+            FROM (SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+            GROUP BY w ORDER BY c DESC, w LIMIT {HH_TOPK})
+        ORDER BY w, c"""

@@ -534,3 +534,18 @@ def test_lttb_keeps_shape_extremes(spark):
     assert len(out) == LTTB_BUCKETS
     assert len({r["bucket"] for r in out}) == LTTB_BUCKETS
     assert any(r["value"] == 100.0 for r in out)
+
+
+def test_heavy_hitters_sketch_agrees_with_exact(spark, sf_dir):
+    """The approx_top_k sketch tier must recover the exact top-k term
+    set with exact counts on this corpus (the sketch only degrades
+    under capacity pressure far above a 31-word vocabulary)."""
+    from crossfire_spark.functions.text import (
+        heavy_hitters_exact,
+        heavy_hitters_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {(r["w"], r["c"]) for r in heavy_hitters_exact(d).collect()}
+    sketch = {(r["w"], r["c"]) for r in heavy_hitters_sketch(d).collect()}
+    assert exact == sketch

@@ -111,7 +111,7 @@ def test_registry_contract_consistency():
         "s13_mmr_rerank",
         "st14_index_maintenance",
     ]
-    assert len(qs) == 183 and len(osql) == 171
+    assert len(qs) == 184 and len(osql) == 172
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
