@@ -1094,6 +1094,40 @@ def v08_referential_integrity(spark, sf_dir):
     )
 
 
+
+
+def v09_sketch_cardinality(spark, sf_dir):
+    """Mergeable-sketch cardinality report: per-source distinct
+    bag-fingerprints via Apache DataSketches HLL
+    (``hll_sketch_agg``), plus the GLOBAL estimate computed by
+    MERGING the per-source sketches (``hll_union_agg``) — the
+    capability ``approx_count_distinct`` lacks: per-partition/per-day
+    sketches persist as bytes and union incrementally, so "distinct
+    docs all-time" never rescans history at 100 TB. Estimates sit
+    within the sketch's error bound but the exact integer depends on
+    merge order (sparse→dense promotion), so there is no cross-engine
+    oracle and no run-to-run byte determinism — rows-only, with
+    accuracy (±2% vs exact) and union-vs-direct closeness pinned in
+    tests."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    sk = fp.groupBy("source").agg(F.expr("hll_sketch_agg(fp)").alias("sk"))
+    sk = sk.localCheckpoint()  # per-source estimates AND the union read it
+    per = sk.select("source", F.expr("hll_sketch_estimate(sk)").alias("est"))
+    merged = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).select(F.lit("__all__").alias("source"), "est")
+    return per.unionByName(merged).orderBy("source", "est")
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -1113,6 +1147,7 @@ EXTENDED_QUERIES = {
     "v06_column_profile": v06_column_profile,
     "v07_quantile_report": v07_quantile_report,
     "v08_referential_integrity": v08_referential_integrity,
+    "v09_sketch_cardinality": v09_sketch_cardinality,
 }
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""

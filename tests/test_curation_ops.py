@@ -549,3 +549,41 @@ def test_heavy_hitters_sketch_agrees_with_exact(spark, sf_dir):
     exact = {(r["w"], r["c"]) for r in heavy_hitters_exact(d).collect()}
     sketch = {(r["w"], r["c"]) for r in heavy_hitters_sketch(d).collect()}
     assert exact == sketch
+
+
+def test_sketch_cardinality_accuracy_and_merge(spark, sf_dir):
+    """HLL estimates sit within 2% of exact distinct fingerprints per
+    source and globally, and the merged-union estimate tracks the
+    estimate of one directly-built global sketch to within 1% (the
+    sketch's sparse→dense promotion depends on merge order, so exact
+    register equality across plans is not guaranteed — closeness is
+    the mergeability property that matters)."""
+    from crossfire_spark.operators.extended import v09_sketch_cardinality
+
+    got = {
+        r["source"]: r["est"]
+        for r in v09_sketch_cardinality(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    exact = {
+        r["source"]: r["n"]
+        for r in fp.groupBy("source")
+        .agg(F.countDistinct("fp").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = fp.select("fp").distinct().count()
+    for src, n in exact.items():
+        assert abs(got[src] - n) <= max(2, 0.02 * n), (src, got[src], n)
+    direct = fp.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(fp))").alias("e")
+    ).first()["e"]
+    assert abs(got["__all__"] - direct) <= max(2, 0.01 * direct)

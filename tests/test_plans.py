@@ -110,8 +110,9 @@ def test_registry_contract_consistency():
         "s10_pq_index",
         "s13_mmr_rerank",
         "st14_index_maintenance",
+        "v09_sketch_cardinality",
     ]
-    assert len(qs) == 184 and len(osql) == 172
+    assert len(qs) == 185 and len(osql) == 172
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
