@@ -20,6 +20,8 @@ from crossfire_spark.plans import results_match
 
 @pytest.mark.parametrize("name", sorted(EXTENDED_QUERIES))
 def test_extended_matches_oracle(name, spark, duck, sf_dir):
+    if name not in EXTENDED_ORACLE_SQL:
+        pytest.skip(f"{name} is rows-only (sketch output; pinned elsewhere)")
     sdf = EXTENDED_QUERIES[name](spark, sf_dir)
     cur = duck.execute(EXTENDED_ORACLE_SQL[name])
     ok, reason = results_match(
