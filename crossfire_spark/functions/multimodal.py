@@ -704,6 +704,83 @@ def m07_image_neardup(spark, sf_dir):
     )
 
 
+AFP_PATTERNS = 40   # distinct base waveforms in the synthetic corpus
+AFP_SAMPLES = 400   # samples per clip
+
+
+def synthesize_gain_wavs(docs: DataFrame) -> DataFrame:
+    """Real RIFF/WAV clips with controlled near-duplicate structure:
+    each doc renders base waveform ``doc_id % AFP_PATTERNS`` (signed
+    magnitudes 1..40 from the frozen legacy MT19937 keyed by the
+    pattern) at an integer GAIN of 1-3 (128 ± 3·40 never clips
+    uint8). Same waveform at different gain = the canonical loudness-
+    normalized audio near-duplicate pair."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                p = did % AFP_PATTERNS
+                gain = 1 + (did // AFP_PATTERNS) % 3
+                r = np.random.RandomState(int(p))
+                mag = r.randint(1, 41, AFP_SAMPLES)
+                sgn = r.randint(0, 2, AFP_SAMPLES) * 2 - 1
+                samples = (128 + gain * mag * sgn).astype(np.uint8)
+                out.append(encode_wav(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, fp) — gain-invariant audio fingerprint over a binary
+    WAV column: REAL stdlib-wave decode, then the md5 of the per-
+    sample SIGN bit stream (sign(g·x) = sign(x), so uniform gain
+    cancels — the zero-crossing-pattern idea every audio-dedup
+    fingerprint builds on)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            mids, fps = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                bits = bytes((samples > 128).astype("uint8"))
+                mids.append(mid)
+                fps.append(hashlib.md5(bits).hexdigest())
+            yield pd.DataFrame({"media_id": mids, "fp": fps})
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema="media_id long, fp string"
+    )
+
+
+def m08_audio_neardup(spark, sf_dir):
+    """Gain-invariant audio dedup over a REAL codec path (the audio
+    twin of m07): synthesize WAV bytes (waveform ⊕ gain), decode,
+    sign-fingerprint, cluster on the fingerprint. Gain-shifted renders
+    of one waveform collapse into one cluster, so the report equals
+    GROUP BY ``doc_id % AFP_PATTERNS`` — a closed-form DuckDB oracle
+    over a genuine decode→fingerprint pipeline. Audio bytes never
+    shuffle; only 16-byte fingerprints do."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fps = audio_fingerprints(synthesize_gain_wavs(docs))
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.min("media_id").alias("cluster_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cluster_rep", "n_members")
+        .orderBy("cluster_rep", "n_members")
+    )
+
+
 MULTIMODAL_QUERIES = {
     "m01_media_features": m01_media_features,
     "m02_image_resize": m02_image_resize,
@@ -712,6 +789,7 @@ MULTIMODAL_QUERIES = {
     "m05_audio_decode": m05_audio_decode,
     "m06_keyframes": m06_keyframes,
     "m07_image_neardup": m07_image_neardup,
+    "m08_audio_neardup": m08_audio_neardup,
 }
 # All three kernels are deterministic functions of the byte stream,
 # so all three mapInPandas pipelines get full DuckDB oracles: m01
@@ -807,4 +885,10 @@ MULTIMODAL_ORACLE_SQL["m07_image_neardup"] = f"""
         SELECT MIN(doc_id) cluster_rep, COUNT(*) n_members
         FROM documents
         GROUP BY doc_id % {DHASH_PATTERNS}
+        ORDER BY cluster_rep, n_members"""
+
+MULTIMODAL_ORACLE_SQL["m08_audio_neardup"] = f"""
+        SELECT MIN(doc_id) cluster_rep, COUNT(*) n_members
+        FROM documents
+        GROUP BY doc_id % {AFP_PATTERNS}
         ORDER BY cluster_rep, n_members"""

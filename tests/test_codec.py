@@ -148,3 +148,26 @@ def test_dhash_brightness_invariance_and_distinctness(spark):
     for p in range(DHASH_PATTERNS):
         assert out[p] == out[p + DHASH_PATTERNS]
     assert len({out[p] for p in range(DHASH_PATTERNS)}) == DHASH_PATTERNS
+
+
+def test_audio_fingerprint_gain_invariance_and_distinctness(spark):
+    """The sign fingerprint collapses gain-scaled renders of one
+    waveform into one hash (sign(g*x) = sign(x)) and separates
+    distinct waveforms — the properties m08_audio_neardup's
+    closed-form oracle rests on."""
+    from crossfire_spark.functions.multimodal import (
+        AFP_PATTERNS,
+        audio_fingerprints,
+        synthesize_gain_wavs,
+    )
+
+    # ids 0..39 render the 40 base waveforms at gain 1; ids 40..79
+    # re-render them at gain 2
+    docs = spark.range(2 * AFP_PATTERNS).withColumnRenamed("id", "doc_id")
+    out = {
+        r["media_id"]: r["fp"]
+        for r in audio_fingerprints(synthesize_gain_wavs(docs)).collect()
+    }
+    for p in range(AFP_PATTERNS):
+        assert out[p] == out[p + AFP_PATTERNS]
+    assert len({out[p] for p in range(AFP_PATTERNS)}) == AFP_PATTERNS
