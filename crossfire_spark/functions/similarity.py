@@ -1210,6 +1210,66 @@ def s13_mmr_rerank(spark, sf_dir):
     )
 
 
+# ------------------------------------- random-projection reduction
+RP_DIMS = 16  # Johnson-Lindenstrauss output dims (64 -> 16)
+
+
+def _rp_signs(d_in: int, d_out: int) -> np.ndarray:
+    """(d_in, d_out) Rademacher ±1 projection matrix derived from
+    sha256("{d}#{r}") — deterministic on every executor AND
+    reproducible in ANSI SQL (DuckDB's sha256 emits the identical
+    lowercase hex), which is what makes a hash-seeded random
+    projection oracle-checkable: sign = +1 iff the first hex char
+    < '8' (top bit of the digest clear)."""
+    import hashlib
+
+    s = np.empty((d_in, d_out), dtype=np.float64)
+    for d in range(d_in):
+        for r in range(d_out):
+            hx = hashlib.sha256(f"{d}#{r}".encode()).hexdigest()
+            s[d, r] = 1.0 if hx[0] < "8" else -1.0
+    return s
+
+
+def rp_reduce(em: DataFrame, d_out: int = RP_DIMS) -> DataFrame:
+    """(vec_id, dim, proj) — Johnson-Lindenstrauss random projection
+    of the embedding column to ``d_out`` dims via a sign matrix
+    (Achlioptas'03: ±1 entries preserve pairwise geometry like
+    Gaussians, at matmul-on-int-signs cost). The dimensionality-
+    reduction preprocessor for the ANN family: 4× fewer floats per
+    vector before LSH/IVF/quantization at 100 TB.
+
+    Scale shape: embarrassingly parallel — ONE vectorized Arrow
+    batch kernel (whole-batch numpy matmul against a closure-held
+    (64, d_out) sign matrix, ~8 KiB), zero shuffles before the
+    declared explode. The projection stays attached to ``vec_id``,
+    so downstream index builds consume it without a join."""
+    from pyspark.sql.functions import pandas_udf
+
+    d_in = 64  # embeddings.embedding is a fixed 64-dim float array
+    signs = _rp_signs(d_in, d_out)
+
+    @pandas_udf("array<double>")
+    def _proj(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(list(m @ signs))
+
+    return (
+        em.select("vec_id", _proj("embedding").alias("p"))
+        .select("vec_id", F.posexplode("p").alias("dim", "v"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.round("v", 9) + F.lit(1e-12), 4).alias("proj"),
+        )
+    )
+
+
+def s14_rp_reduce(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return rp_reduce(em).orderBy("vec_id", "dim", "proj")
+
+
 SIMILARITY_QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_topk": s02_lsh_topk,
@@ -1223,7 +1283,24 @@ SIMILARITY_QUERIES = {
     "s11_filtered_topk": s11_filtered_topk,
     "s12_range_search": s12_range_search,
     "s13_mmr_rerank": s13_mmr_rerank,
+    "s14_rp_reduce": s14_rp_reduce,
 }
+
+SIMILARITY_ORACLE_SQL["s14_rp_reduce"] = f"""
+        WITH dims AS (SELECT unnest(range(0, 64)) d),
+        rs AS (SELECT unnest(range(0, {RP_DIMS})) r),
+        signs AS (SELECT d, r,
+                         CASE WHEN substr(sha256(d || '#' || r), 1, 1) < '8'
+                              THEN 1.0 ELSE -1.0 END s
+                  FROM dims, rs),
+        e AS (SELECT vec_id, u.i - 1 AS d, embedding[u.i]::DOUBLE v
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) u(i))
+        SELECT vec_id, r AS dim,
+               ROUND(ROUND(SUM(v * s), 9) + 1e-12, 4) proj
+        FROM e JOIN signs USING (d)
+        GROUP BY vec_id, r
+        ORDER BY vec_id, dim, proj"""
 
 SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""
         WITH {_bm25_sql()},

@@ -1414,6 +1414,71 @@ def t25_heavy_hitters(spark, sf_dir):
     return heavy_hitters_exact(d).orderBy("w", "c")
 
 
+# ------------------------------------------ corpus sentence dedup
+SENT_SEP = ". "
+
+
+def sentence_dedup(d: DataFrame) -> DataFrame:
+    """CCNet-style corpus-level sentence deduplication: split every
+    document into sentences, keep only each sentence's FIRST
+    occurrence corpus-wide (owner = lexicographically smallest
+    (doc_id, position)), and reassemble the surviving text per
+    document — the classic boilerplate-killer for web crawls (nav
+    bars, cookie banners, licence footers repeat verbatim across
+    pages and vanish here; contrast t22, which detects boilerplate
+    per-source by frequency without rewriting documents).
+
+    Scale shape: two shuffles, both on high-cardinality keys — the
+    ownership window partitions on the sentence itself (distinct-
+    sentence cardinality; at 100 TB key the window on
+    ``xxhash64(sentence)`` so the sort compares 8-byte keys, and
+    carry the text alongside), then reassembly groups by ``doc_id``
+    with a document-bounded ``collect_list``. No joins, no Python,
+    no driver materialization. Docs whose every sentence lost
+    ownership keep their counts and a NULL ``kept_text``."""
+    from pyspark.sql import Window
+
+    sent = (
+        spread(d)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\. ")).alias("i", "s"),
+        )
+        .withColumn("s", F.trim("s"))
+        .where(F.col("s") != "")
+    )
+    w = Window.partitionBy("s").orderBy("doc_id", "i")
+    ranked = sent.select(
+        "doc_id", "i", "s", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") == 1, F.struct("i", "s")))
+            ).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            "n_sent",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.array_join(
+                    F.transform("ks", lambda x: x["s"]), SENT_SEP
+                ),
+            ).alias("kept_text"),
+        )
+    )
+
+
+def t26_sentence_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return sentence_dedup(d).orderBy("doc_id", "n_sent", "n_kept", "kept_text")
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1439,8 +1504,30 @@ TEXT_QUERIES = {
     "t23_dsir_weights": t23_dsir_weights,
     "t24_ngram_novelty": t24_ngram_novelty,
     "t25_heavy_hitters": t25_heavy_hitters,
+    "t26_sentence_dedup": t26_sentence_dedup,
     "v05_gopher_rules": v05_gopher_rules,
 }
+
+# positions differ across engines (0- vs 1-based) but only ORDER
+# within a doc matters: ownership ties break on (doc_id, position)
+# and both indexings are monotone in the same split order
+TEXT_ORACLE_SQL["t26_sentence_dedup"] = """
+        WITH e0 AS (SELECT doc_id, string_split(text, '. ') ss
+                    FROM documents),
+        e AS (SELECT doc_id, i, trim(ss[i]) s
+              FROM e0, unnest(range(1, len(ss) + 1)) u(i)
+              WHERE trim(ss[i]) <> ''),
+        r AS (SELECT doc_id, i, s,
+                     row_number() OVER (PARTITION BY s
+                                        ORDER BY doc_id, i) rn
+              FROM e)
+        SELECT doc_id, COUNT(*) n_sent,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+               CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                    THEN string_agg(s, '. ' ORDER BY i) FILTER (rn = 1)
+                    ELSE NULL END kept_text
+        FROM r GROUP BY doc_id
+        ORDER BY doc_id, n_sent, n_kept, kept_text"""
 
 # the oracle groups by the gram STRING (DuckDB has no xxhash64); the
 # engine's 8-byte hash changes the shuffle payload, not the grouping

@@ -1128,6 +1128,105 @@ def v09_sketch_cardinality(spark, sf_dir):
     return per.unionByName(merged).orderBy("source", "est")
 
 
+# --------------------------------------------------- bounded EWMA
+# Exponential smoothing is inherently recursive (y_t depends on
+# y_{t-1}), which distributes badly: the textbook form forces a
+# sequential per-key scan. The declared operator is the BOUNDED-
+# HORIZON form: (1-a)^k < 4% of the newest weight beyond k=8 lags, so
+# the smoother truncates to 8 window lags and renormalizes over the
+# weights actually present — one window pass, no recursion, no UDF,
+# and each term is a fixed decimal literal so both engines parse the
+# identical double (libm pow() is NOT guaranteed identical cross-
+# engine; literal weights sidestep it).
+EWMA_WEIGHTS = (  # (1 - 0.3)^k, exact decimal literals, k = 0..7
+    "1.0", "0.7", "0.49", "0.343", "0.2401",
+    "0.16807", "0.117649", "0.0823543",
+)
+
+
+def ewma_smooth(events: DataFrame) -> DataFrame:
+    """Per-user bounded-horizon EWMA of ``value`` ordered by time.
+
+    Scale shape: ONE window partitioned by high-cardinality
+    ``user_id`` (the h08 lesson — never a low-cardinality funnel);
+    all 8 lags ride the same sort, so the physical plan is a single
+    per-partition sort + window, no joins, no Python. The numerator
+    and denominator are built in fixed left-to-right term order so
+    IEEE summation order matches the SQL oracle textually."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, wt in enumerate(EWMA_WEIGHTS):
+        x = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        term = F.when(x.isNotNull(), F.lit(float(wt)) * x).otherwise(F.lit(0.0))
+        ind = F.when(x.isNotNull(), F.lit(float(wt))).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = ind if den is None else den + ind
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.round(num / den, 9) + F.lit(1e-12), 4).alias("ewma"),
+    )
+
+
+def h10_ewma_smooth(spark, sf_dir):
+    """Bounded-horizon exponential smoothing — oracled by the
+    identical lag expansion in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return ewma_smooth(e).orderBy("event_id", "user_id", "value", "ewma")
+
+
+# ----------------------------------------------- shuffle-skew report
+# The pre-flight diagnosis every big join/agg needs at 100 TB: per
+# candidate shuffle key, how concentrated are the rows? max/avg count
+# (skew ratio) and the top key's share of all rows decide between a
+# plain shuffle, AQE skew-join, or explicit salting. Each report is
+# two aggregates — a map-side-combinable per-key count, then a
+# metadata-sized fold over the counts — so diagnosing a key costs one
+# scan of the fact table and nothing else.
+SKEW_CHECKS = (
+    ("lineitem:l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem:l_suppkey", "lineitem", "l_suppkey"),
+    ("orders:o_custkey", "orders", "o_custkey"),
+    ("events:user_id", "events", "user_id"),
+)
+
+
+def key_skew_report(df: DataFrame, label: str, key: str) -> DataFrame:
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    rep = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+        F.round(
+            F.round(F.expr("percentile(c, 0.99)"), 6) + F.lit(1e-9), 2
+        ).alias("p99_c"),
+        F.round(F.round(F.avg("c"), 6) + F.lit(1e-9), 2).alias("avg_c"),
+        F.round(
+            F.round(F.max("c") / F.avg("c"), 6) + F.lit(1e-9), 2
+        ).alias("skew_ratio"),
+        F.round(
+            F.round(F.max("c") / F.sum("c"), 9) + F.lit(1e-12), 4
+        ).alias("top_share"),
+    )
+    return rep.select(F.lit(label).alias("keyed"), "*")
+
+
+def v10_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis over the declared fact tables."""
+    out = None
+    for label, table, key in SKEW_CHECKS:
+        rep = key_skew_report(load_table(spark, sf_dir, table), label, key)
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy(
+        "keyed", "n_rows", "n_keys", "max_c", "p99_c", "avg_c",
+        "skew_ratio", "top_share",
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -1139,6 +1238,7 @@ EXTENDED_QUERIES = {
     "h07_m4_downsample": h07_m4_downsample,
     "h08_rolling_anomaly": h08_rolling_anomaly,
     "h09_lttb_downsample": h09_lttb_downsample,
+    "h10_ewma_smooth": h10_ewma_smooth,
     "r01_range_join": r01_range_join,
     "v01_constraint_report": v01_constraint_report,
     "v02_drift_report": v02_drift_report,
@@ -1148,7 +1248,46 @@ EXTENDED_QUERIES = {
     "v07_quantile_report": v07_quantile_report,
     "v08_referential_integrity": v08_referential_integrity,
     "v09_sketch_cardinality": v09_sketch_cardinality,
+    "v10_skew_report": v10_skew_report,
 }
+
+_EWMA_NUM_SQL = " + ".join(
+    f"CASE WHEN {c} IS NOT NULL THEN {w} * {c} ELSE 0.0 END"
+    for w, c in zip(EWMA_WEIGHTS, ["value"] + [f"l{k}" for k in range(1, 8)])
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN {c} IS NOT NULL THEN {w} ELSE 0.0 END"
+    for w, c in zip(EWMA_WEIGHTS, ["value"] + [f"l{k}" for k in range(1, 8)])
+)
+_EWMA_LAGS_SQL = ", ".join(
+    f"lag(value, {k}) OVER w l{k}" for k in range(1, 8)
+)
+
+EXTENDED_ORACLE_SQL["h10_ewma_smooth"] = f"""
+        WITH l AS (
+            SELECT event_id, user_id, value, {_EWMA_LAGS_SQL}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id, value,
+               ROUND(ROUND(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 9)
+                     + 1e-12, 4) ewma
+        FROM l ORDER BY event_id, user_id, value, ewma"""
+
+EXTENDED_ORACLE_SQL["v10_skew_report"] = "\nUNION ALL\n".join(
+    f"""
+        SELECT '{label}' keyed,
+               CAST(SUM(c) AS BIGINT) n_rows,
+               COUNT(*) n_keys,
+               MAX(c) max_c,
+               ROUND(ROUND(quantile_cont(c, 0.99), 6) + 1e-9, 2) p99_c,
+               ROUND(ROUND(AVG(c), 6) + 1e-9, 2) avg_c,
+               ROUND(ROUND(MAX(c) * 1.0 / AVG(c), 6) + 1e-9, 2) skew_ratio,
+               ROUND(ROUND(MAX(c) * 1.0 / SUM(c), 9) + 1e-12, 4) top_share
+        FROM (SELECT {key} k, COUNT(*) c FROM {table} GROUP BY {key})"""
+    for label, table, key in SKEW_CHECKS
+) + """
+        ORDER BY keyed, n_rows, n_keys, max_c, p99_c, avg_c,
+                 skew_ratio, top_share"""
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
         WITH scored AS (

@@ -587,3 +587,116 @@ def test_sketch_cardinality_accuracy_and_merge(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(fp))").alias("e")
     ).first()["e"]
     assert abs(got["__all__"] - direct) <= max(2, 0.01 * direct)
+
+
+def test_ewma_smooth_planted(spark):
+    """The bounded-horizon EWMA matches a direct Python recompute of
+    the truncated-and-renormalized weights, and early rows (fewer
+    lags than the horizon) renormalize over the lags present."""
+    import datetime
+
+    from crossfire_spark.operators.extended import EWMA_WEIGHTS, ewma_smooth
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 5.0, 40.0, 1.0, 8.0, 12.0, 30.0, 2.0, 50.0]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma_smooth(e).collect()}
+    ws = [float(w) for w in EWMA_WEIGHTS]
+    for t in range(len(vals)):
+        hist = [vals[t - k] for k in range(len(ws)) if t - k >= 0]
+        num = sum(w * x for w, x in zip(ws, hist))
+        den = sum(ws[: len(hist)])
+        assert abs(got[t] - num / den) < 1e-3, t
+
+
+def test_skew_report_planted(spark):
+    """A key holding 6 of 10 rows yields top_share 0.6 and
+    skew_ratio max/avg = 6/2 = 3 over 5 distinct keys."""
+    from crossfire_spark.operators.extended import key_skew_report
+
+    rows = [(1,)] * 6 + [(2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, "t:k", "k").collect()[0]
+    assert r["n_rows"] == 10 and r["n_keys"] == 5
+    assert r["max_c"] == 6
+    assert abs(r["top_share"] - 0.6) < 1e-9
+    assert abs(r["skew_ratio"] - 3.0) < 1e-9
+
+
+def test_sentence_dedup_planted(spark):
+    """A sentence shared by three docs survives only in the smallest
+    (doc_id, position) owner; within one doc a repeated sentence
+    keeps its first position; fully-duplicated docs keep their
+    counts with NULL text."""
+    from crossfire_spark.functions.text import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. shared sentence here. gamma delta"),
+            (2, "shared sentence here. own words two"),
+            (3, "shared sentence here"),
+            (4, "echo echo. echo echo. tail piece"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sentence_dedup(docs).collect()}
+    assert out[1]["kept_text"] == "alpha beta. shared sentence here. gamma delta"
+    assert out[1]["n_sent"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses the shared sentence to doc 1
+    assert out[2]["kept_text"] == "own words two"
+    assert out[2]["n_sent"] == 2 and out[2]["n_kept"] == 1
+    # doc 3 is fully deduplicated away: counts stay, text is NULL
+    assert out[3]["n_kept"] == 0 and out[3]["kept_text"] is None
+    # within-doc repeat: first occurrence owns, second drops
+    assert out[4]["kept_text"] == "echo echo. tail piece"
+    assert out[4]["n_sent"] == 3 and out[4]["n_kept"] == 2
+
+
+def test_rp_reduce_preserves_geometry(spark, sf_dir):
+    """JL property: projected dot products correlate strongly with
+    original dot products across sampled pairs, and the projection
+    matches a direct numpy recompute of the hash-derived signs."""
+    import numpy as np
+
+    from crossfire_spark.functions.similarity import (
+        RP_DIMS,
+        _rp_signs,
+        rp_reduce,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in em.collect()
+    }
+    proj_rows = rp_reduce(em).collect()
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], [0.0] * RP_DIMS)[r["dim"]] = r["proj"]
+    signs = _rp_signs(64, RP_DIMS)
+    ids = sorted(orig)
+    # parity with the numpy recompute (up to the declared 4-dp round)
+    for i in ids[:5]:
+        direct = orig[i] @ signs
+        assert np.allclose(proj[i], np.round(direct, 4), atol=2e-4)
+    # geometry: dot products before vs after (scaled by 1/RP_DIMS)
+    a = np.array([orig[i] @ orig[j] for i in ids[:20] for j in ids[20:40]])
+    b = np.array(
+        [
+            np.dot(proj[i], proj[j]) / RP_DIMS
+            for i in ids[:20]
+            for j in ids[20:40]
+        ]
+    )
+    corr = np.corrcoef(a, b)[0, 1]
+    # JL noise at 64->16 dims is eps ~ 1/sqrt(16): the deterministic
+    # hash matrix yields corr ~0.40 on this corpus slice; the pin
+    # guards the SIGN and strength of the geometric signal, not a
+    # precision 16 dims cannot deliver
+    assert corr > 0.3, corr

@@ -112,7 +112,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 186 and len(osql) == 173
+    assert len(qs) == 190 and len(osql) == 177
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
