@@ -590,6 +590,78 @@ def _reach_oracle() -> str:
         ORDER BY node, dist"""
 
 
+# ------------------------------------------- bipartite projection
+# user↔event_type co-engagement, projected onto the type side — the
+# "items bought together" primitive. The projected side is the LOW-
+# cardinality one, so pair fan-out per user is bounded by (#types
+# choose 2); projecting onto the *user* side of a bipartite graph is
+# the quadratic trap this operator deliberately avoids. Shape: one
+# distinct on (user, type), a self-join keyed on user (bounded
+# fan-out), one pair aggregate, two broadcast-sized type-count
+# lookups. At 100 TB the distinct and self-join shuffle on user_id —
+# high-cardinality, skew-diagnosable with v10.
+
+
+def bipartite_projection(events: DataFrame) -> DataFrame:
+    """(ta, tb, both_users, cosine_aff, jaccard_aff) over the
+    user↔event_type bipartite graph."""
+    ue = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()  # read three times: both join sides + counts
+    )
+    tc = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ue.select("user_id", F.col("event_type").alias("ta"))
+    b = ue.select("user_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    na = tc.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    nb = tc.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    cos = F.col("both_users") / F.sqrt(F.col("na") * F.col("nb"))
+    jac = F.col("both_users") / (F.col("na") + F.col("nb") - F.col("both_users"))
+    return (
+        pairs.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "both_users",
+            F.round(F.round(cos, 9) + F.lit(1e-12), 4).alias("cosine_aff"),
+            F.round(F.round(jac, 9) + F.lit(1e-12), 4).alias("jaccard_aff"),
+        )
+    )
+
+
+def g08_bipartite_projection(spark, sf_dir):
+    """Type-side projection of the user↔event_type bipartite graph —
+    oracled by the identical computation in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return bipartite_projection(e).orderBy(
+        "ta", "tb", "both_users", "cosine_aff", "jaccard_aff"
+    )
+
+
+def _bipartite_oracle() -> str:
+    return """
+        WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        tc AS (SELECT event_type, COUNT(*) n FROM ue GROUP BY 1),
+        pairs AS (SELECT a.event_type ta, b.event_type tb, COUNT(*) both_users
+                  FROM ue a JOIN ue b
+                    ON a.user_id = b.user_id AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+        SELECT ta, tb, both_users,
+               ROUND(ROUND(both_users / sqrt(na.n * nb.n), 9) + 1e-12, 4) cosine_aff,
+               ROUND(ROUND(both_users * 1.0 / (na.n + nb.n - both_users), 9)
+                     + 1e-12, 4) jaccard_aff
+        FROM pairs JOIN tc na ON ta = na.event_type
+                   JOIN tc nb ON tb = nb.event_type
+        ORDER BY ta, tb, both_users, cosine_aff, jaccard_aff"""
+
+
 GRAPH_QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_stats": g02_degree_stats,
@@ -598,6 +670,7 @@ GRAPH_QUERIES = {
     "g05_link_prediction": g05_link_prediction,
     "g06_labelprop_communities": g06_labelprop_communities,
     "g07_reachability": g07_reachability,
+    "g08_bipartite_projection": g08_bipartite_projection,
 }
 GRAPH_ORACLE_SQL = {
     "g01_pagerank": _pr_oracle(),
@@ -607,4 +680,5 @@ GRAPH_ORACLE_SQL = {
     "g05_link_prediction": _linkpred_oracle(),
     "g06_labelprop_communities": _lp_oracle(),
     "g07_reachability": _reach_oracle(),
+    "g08_bipartite_projection": _bipartite_oracle(),
 }

@@ -638,6 +638,90 @@ def d05_embed_neardup(spark, sf_dir):
     return embed_neardup_pairs(em).orderBy("va", "vb", "sim")
 
 
+KNN_K = 3
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    n_blocks: int = NEARDUP_BLOCKS,
+) -> DataFrame:
+    """Exact k-NN graph: every vector's top-``k`` cosine neighbors —
+    the substrate SemDeDup clustering, kNN-classifier labeling, and
+    graph-based curation all start from.
+
+    Distributed as block tiles (the d05 layout) with LOCAL TOP-K
+    REDUCTION: the corpus tiles into ``n_blocks`` row blocks, the
+    n_blocks² upper-triangle tile pairs each run one BLAS matmul and
+    emit only each row's k best within that tile pair, and a per-node
+    window merges the locals. Top-k-of-union-of-local-top-ks is exact
+    under the shared total order (sim desc, nbr asc), so the global
+    pair stream is O(N·k·n_blocks) rows — never the N² similarity
+    matrix (contrast d05, whose output is threshold-bounded instead).
+    At 100 TB the exact tier's N² *compute* is the cost ceiling; the
+    ANN graph (s02's LSH buckets feeding the same local-top-k merge)
+    is the approximate path, with this as its recall oracle."""
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        embeddings.select("vec_id", "embedding")
+        .groupBy((F.col("vec_id") % n_blocks).alias("bid"))
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("tile"))
+    )
+    a = packed.select(F.col("bid").alias("bid_a"), F.col("tile").alias("tile_a"))
+    b = packed.select(F.col("bid").alias("bid_b"), F.col("tile").alias("tile_b"))
+    block_pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def _unpack(tile):
+        ids = np.fromiter((t["vec_id"] for t in tile), dtype=np.int64, count=len(tile))
+        mat = np.stack([np.asarray(t["embedding"]) for t in tile]).astype(np.float64)
+        # same float-op order as d05's oracled kernel: dot / (na*nb)
+        return ids, mat, np.linalg.norm(mat, axis=1)
+
+    def _local_topk(ids_q, ids_c, sims):
+        # per query row: k best candidates under (sim desc, id asc)
+        out_q, out_c, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            order = np.lexsort((ids_c, -row))[: k]
+            keep = row[order] > -np.inf
+            out_q.extend([ids_q[r]] * int(keep.sum()))
+            out_c.extend(ids_c[order[keep]])
+            out_s.extend(row[order[keep]])
+        return pd.DataFrame(
+            {"vec_id": out_q, "nbr_id": out_c, "sim": out_s}
+        )
+
+    def locals_(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ia, A, na = _unpack(row["tile_a"])
+                ib, B, nb = _unpack(row["tile_b"])
+                sims = np.round((A @ B.T) / (na[:, None] * nb[None, :]), 4)
+                if row["bid_a"] == row["bid_b"]:
+                    np.fill_diagonal(sims, -np.inf)
+                    yield _local_topk(ia, ib, sims)
+                else:
+                    yield _local_topk(ia, ib, sims)
+                    yield _local_topk(ib, ia, sims.T)
+
+    cand = block_pairs.mapInPandas(
+        locals_, schema="vec_id long, nbr_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", "sim")
+    )
+
+
+def s15_knn_graph(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return knn_graph(em).orderBy("vec_id", "nbr_id", "sim")
+
+
 SQ8_SCALE = 127
 SQ8_CAND_MULT = 4  # over-fetch factor before the exact re-rank
 
@@ -1284,7 +1368,21 @@ SIMILARITY_QUERIES = {
     "s12_range_search": s12_range_search,
     "s13_mmr_rerank": s13_mmr_rerank,
     "s14_rp_reduce": s14_rp_reduce,
+    "s15_knn_graph": s15_knn_graph,
 }
+
+SIMILARITY_ORACLE_SQL["s15_knn_graph"] = f"""
+        WITH s AS (SELECT a.vec_id, b.vec_id nbr_id,
+                          ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]), 4) sim
+                   FROM embeddings a, embeddings b
+                   WHERE a.vec_id != b.vec_id),
+        r AS (SELECT vec_id, nbr_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nbr_id) rn
+              FROM s)
+        SELECT vec_id, nbr_id, sim FROM r WHERE rn <= {KNN_K}
+        ORDER BY vec_id, nbr_id, sim"""
 
 SIMILARITY_ORACLE_SQL["s14_rp_reduce"] = f"""
         WITH dims AS (SELECT unnest(range(0, 64)) d),

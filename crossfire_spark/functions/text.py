@@ -1479,6 +1479,50 @@ def t26_sentence_dedup(spark, sf_dir):
     return sentence_dedup(d).orderBy("doc_id", "n_sent", "n_kept", "kept_text")
 
 
+# ----------------------------------------------- Zipf law fit
+# Corpus-health statistic: the slope of ln(freq) vs ln(rank) over the
+# top terms. Natural text sits near -1; a slope far off flags
+# machine-generated or template-heavy corpora before they poison a
+# training mix. One token-count aggregate (vocab-bounded shuffle),
+# TakeOrdered cap, then a least-squares fold over <= ZIPF_CAP rows —
+# the only unpartitioned window in the plan ranks the capped table,
+# never the corpus.
+ZIPF_CAP = 1000
+
+
+def zipf_fit(d: DataFrame, cap: int = ZIPF_CAP) -> DataFrame:
+    """One row (n_terms, slope, intercept, r2): OLS fit of
+    ln(count) ~ ln(rank) over the top-``cap`` corpus terms."""
+    from pyspark.sql import Window
+
+    toks = spread(d).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(cap)
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")  # <= cap rows
+    ranked = counts.select(
+        F.log(F.col("c").cast("double")).alias("lc"),
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+    )
+    stab = lambda c: F.round(F.round(c, 6) + F.lit(1e-9), 4)  # noqa: E731
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        stab(F.regr_slope("lc", "lr")).alias("slope"),
+        stab(F.regr_intercept("lc", "lr")).alias("intercept"),
+        stab(F.regr_r2("lc", "lr")).alias("r2"),
+    )
+
+
+def t27_zipf_fit(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d).orderBy("n_terms", "slope", "intercept", "r2")
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1505,12 +1549,25 @@ TEXT_QUERIES = {
     "t24_ngram_novelty": t24_ngram_novelty,
     "t25_heavy_hitters": t25_heavy_hitters,
     "t26_sentence_dedup": t26_sentence_dedup,
+    "t27_zipf_fit": t27_zipf_fit,
     "v05_gopher_rules": v05_gopher_rules,
 }
 
 # positions differ across engines (0- vs 1-based) but only ORDER
 # within a doc matters: ownership ties break on (doc_id, position)
 # and both indexings are monotone in the same split order
+TEXT_ORACLE_SQL["t27_zipf_fit"] = f"""
+        WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) w FROM documents),
+        c AS (SELECT w, COUNT(*) c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT {ZIPF_CAP}),
+        r AS (SELECT ln(c * 1.0) lc,
+                     ln(ROW_NUMBER() OVER (ORDER BY c DESC, w) * 1.0) lr
+              FROM c)
+        SELECT COUNT(*) n_terms,
+               ROUND(ROUND(regr_slope(lc, lr), 6) + 1e-9, 4) slope,
+               ROUND(ROUND(regr_intercept(lc, lr), 6) + 1e-9, 4) intercept,
+               ROUND(ROUND(regr_r2(lc, lr), 6) + 1e-9, 4) r2
+        FROM r ORDER BY n_terms, slope, intercept, r2"""
+
 TEXT_ORACLE_SQL["t26_sentence_dedup"] = """
         WITH e0 AS (SELECT doc_id, string_split(text, '. ') ss
                     FROM documents),

@@ -1227,6 +1227,70 @@ def v10_skew_report(spark, sf_dir):
     )
 
 
+# ------------------------------------------- hour-of-day seasonality
+# The profile a stream pipeline consults before setting watermarks /
+# autoscaling: per (event_type, hour-of-day), volume, mean value, and
+# that hour's share of the type's traffic. One map-side-combinable
+# hash agg over the fact table; the share window runs on the
+# ALREADY-AGGREGATED table (n_types x 24 rows), so the only
+# unpartitioned work in the plan is metadata-sized.
+
+
+def h11_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile of the events stream."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    by = e.groupBy("event_type", F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.round(F.avg("value"), 6) + F.lit(1e-9), 2).alias("avg_v"),
+    )
+    w = Window.partitionBy("event_type")
+    return by.select(
+        "event_type",
+        "hod",
+        "c",
+        "avg_v",
+        F.round(
+            F.round(F.col("c") / F.sum("c").over(w), 9) + F.lit(1e-12), 4
+        ).alias("hr_share"),
+    ).orderBy("event_type", "hod", "c", "avg_v", "hr_share")
+
+
+# -------------------------------------------------- Benford audit
+# First-significant-digit distribution vs Benford's law — the classic
+# fabricated-data screen for financial columns. The digit comes from
+# the decimal STRING rendering (first [1-9] char), not
+# floor(x/10^floor(log10 x)): the float log path misclassifies exact
+# powers of ten when log10 lands an ulp above the integer. One hash
+# agg to 9 rows; expectation and deviation are per-row literals math.
+
+
+def v11_benford_report(spark, sf_dir):
+    """Benford first-digit audit of ``lineitem.l_extendedprice``."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.regexp_extract(
+        F.col("l_extendedprice").cast("string"), "[1-9]", 0
+    ).cast("int")
+    by = (
+        li.where(F.col("l_extendedprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy()
+    obs = F.col("c") / F.sum("c").over(w)
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return by.select(
+        "digit",
+        "c",
+        F.round(F.round(obs, 9) + F.lit(1e-12), 4).alias("obs_freq"),
+        F.round(F.round(exp, 9) + F.lit(1e-12), 4).alias("exp_freq"),
+        F.round(F.round(F.abs(obs - exp), 9) + F.lit(1e-12), 4).alias("dev"),
+    ).orderBy("digit", "c", "obs_freq", "exp_freq", "dev")
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -1249,6 +1313,8 @@ EXTENDED_QUERIES = {
     "v08_referential_integrity": v08_referential_integrity,
     "v09_sketch_cardinality": v09_sketch_cardinality,
     "v10_skew_report": v10_skew_report,
+    "h11_seasonality": h11_seasonality,
+    "v11_benford_report": v11_benford_report,
 }
 
 _EWMA_NUM_SQL = " + ".join(
@@ -1288,6 +1354,29 @@ EXTENDED_ORACLE_SQL["v10_skew_report"] = "\nUNION ALL\n".join(
 ) + """
         ORDER BY keyed, n_rows, n_keys, max_c, p99_c, avg_c,
                  skew_ratio, top_share"""
+
+EXTENDED_ORACLE_SQL["h11_seasonality"] = """
+        WITH b AS (
+            SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) hod,
+                   COUNT(*) c,
+                   ROUND(ROUND(AVG(value), 6) + 1e-9, 2) avg_v
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, hod, c, avg_v,
+               ROUND(ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY event_type), 9)
+                     + 1e-12, 4) hr_share
+        FROM b ORDER BY event_type, hod, c, avg_v, hr_share"""
+
+EXTENDED_ORACLE_SQL["v11_benford_report"] = """
+        WITH b AS (
+            SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS INT) digit,
+                   COUNT(*) c
+            FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1)
+        SELECT digit, c,
+               ROUND(ROUND(c * 1.0 / SUM(c) OVER (), 9) + 1e-12, 4) obs_freq,
+               ROUND(ROUND(log10(1.0 + 1.0 / digit), 9) + 1e-12, 4) exp_freq,
+               ROUND(ROUND(ABS(c * 1.0 / SUM(c) OVER () - log10(1.0 + 1.0 / digit)), 9)
+                     + 1e-12, 4) dev
+        FROM b ORDER BY digit, c, obs_freq, exp_freq, dev"""
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
         WITH scored AS (

