@@ -174,29 +174,20 @@ def d02_ngram_jaccard(spark, sf_dir):
 
 
 def _rotl64(col: F.Column, r: int) -> F.Column:
+    """JVM-expression rotl — the reference form the Arrow minhash
+    kernel is pinned bit-exact against (tests/test_dedup_scale.py)."""
     r = r % 64
     if r == 0:
         return col
     return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
 
 
-def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """One row per doc with k minhash columns ``m0..m{k-1}``.
-
-    k permutations derived from TWO base hashes per shingle
-    (Kirsch–Mitzenmacher-style): ``h_i = rotl(h1, 7i) ^ rotl(h2, i)
-    ^ C_i`` with per-i golden-ratio constants — so each shingle pays
-    2 ``xxhash64`` evaluations + k bitwise ops instead of k full
-    string hashes (bitwise-only derivation because ANSI mode makes
-    ``h1 + i*h2`` throw on the guaranteed long overflow). This also
-    shrinks the generated code ~10x: 128 inlined string-hash bodies
-    blew up janino compile time and the codegen class cache.
-
-    Flat columns instead of an exploded (doc, seed) table: each
-    derived hash is a codegen'd expression (not a lambda —
-    higher-order functions evaluate interpreted) and the k mins
-    aggregate map-side in one pass, so the shuffle carries docs x k
-    longs, never shingles x k rows."""
+def minhash_signatures_wide_jvm(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """All-JVM form of :func:`minhash_signatures_wide` (128 codegen'd
+    rotl/xor expressions + a k-column min aggregate). Kept as the
+    independent oracle the Arrow kernel is equality-pinned against —
+    and measured 4x slower at sf0.1, which is why it is no longer the
+    default."""
     sh = _shingles(docs)
     base = sh.select(
         "doc_id",
@@ -217,6 +208,73 @@ def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+
+
+def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """One row per doc with k minhash columns ``m0..m{k-1}``.
+
+    k permutations derived from TWO base hashes per shingle
+    (Kirsch–Mitzenmacher-style): ``h_i = rotl(h1, 7i) ^ rotl(h2, i)
+    ^ C_i`` with per-i golden-ratio constants — so each shingle pays
+    2 ``xxhash64`` evaluations + k bitwise ops instead of k full
+    string hashes. The base hashes stay JVM-side (codegen'd
+    ``xxhash64`` on the shingle scan); the k-way derivation + min
+    runs as ONE Arrow kernel over per-doc hash lists — a segment-min
+    (``np.minimum.reduceat``) per derived permutation, vectorized
+    across the whole batch. The earlier all-JVM form (128 rotl/xor
+    column expressions + a 128-column min aggregate) spent its time
+    in janino-compiled per-row evaluation and measured 4x slower at
+    sf0.1 (7.9 s → 2.0 s warm); the kernel is BIT-EXACT against it
+    (uint64 rotl/xor, min taken in the signed int64 domain — pinned
+    by test).
+
+    The groupBy ships shingles×2 longs; min is order-invariant, so
+    ``collect_list`` ordering cannot matter. Wide m0..m{k-1} columns
+    (not an array) keep the downstream band table and persisted-index
+    diffs in flat codegen'd longs."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sh = _shingles(docs)
+    base = sh.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("h2"),
+    )
+    per_doc = base.groupBy("doc_id").agg(
+        F.collect_list("h1").alias("h1s"), F.collect_list("h2").alias("h2s")
+    )
+    gold = 0x9E3779B97F4A7C15
+    consts = np.array(
+        [(i * gold) & 0xFFFFFFFFFFFFFFFF for i in range(k)], dtype=np.uint64
+    )
+
+    @pandas_udf("array<long>")
+    def _mins(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in h1s), dtype=np.int64, count=len(h1s))
+        A = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h1s]
+        ).view(np.uint64)
+        B = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h2s]
+        ).view(np.uint64)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        out = np.empty((len(lens), k), dtype=np.int64)
+        for i in range(k):
+            r1 = (7 * i) % 64
+            r2 = i % 64
+            # rotl(x, 0) must be identity: uint64 >> 64 is undefined
+            ha = A if r1 == 0 else (A << np.uint64(r1)) | (A >> np.uint64(64 - r1))
+            hb = B if r2 == 0 else (B << np.uint64(r2)) | (B >> np.uint64(64 - r2))
+            h = (ha ^ hb ^ consts[i]).view(np.int64)
+            out[:, i] = np.minimum.reduceat(h, offs)
+        return pd.Series(list(out))
+
+    sig = per_doc.select("doc_id", _mins("h1s", "h2s").alias("sig"))
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(k)]
     )
 
 

@@ -225,3 +225,22 @@ def test_winnowing_guarantee_detects_shared_passage(spark):
     f3 = {r["h"] for r in fp.where("doc_id = 3").collect()}
     assert f1 & f2, "shared 6-word passage produced no common fingerprint"
     assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_minhash_arrow_kernel_matches_jvm_expressions(spark, sf_dir):
+    """The Arrow segment-min signature kernel must be BIT-EXACT
+    against the independent all-JVM expression form (rotl/xor in
+    uint64, min in the signed int64 domain)."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.dedup import (
+        minhash_signatures_wide,
+        minhash_signatures_wide_jvm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in minhash_signatures_wide(docs).orderBy("doc_id").collect()]
+    ref = [
+        tuple(r)
+        for r in minhash_signatures_wide_jvm(docs).orderBy("doc_id").collect()
+    ]
+    assert got == ref
