@@ -722,6 +722,148 @@ def s15_knn_graph(spark, sf_dir):
     return knn_graph(em).orderBy("vec_id", "nbr_id", "sim")
 
 
+def knn_graph_ann(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    bucket_cap: int = LSH_TOPK_BUCKET_CAP,
+) -> DataFrame:
+    """Approximate k-NN graph — the 100 TB tier of :func:`knn_graph`:
+    candidate pairs come from shared LSH band buckets (one corpus
+    shuffle on (band, value) ints, hot buckets capped) instead of the
+    exact tier's all-tiles product; exact cosine then scores
+    candidates only, and the SAME per-node top-k merge finishes the
+    graph. Output schema matches the exact tier; recall against it is
+    pinned in tests. The band self-join with ``a.id != b.id`` yields
+    both directions of every bucket pair, so each node ranks every
+    co-bucketed neighbor."""
+    corpus = (
+        lsh_signature(embeddings, bits=bits)
+        .select("vec_id", "embedding", "lsh_sig")
+        .localCheckpoint()
+    )
+    from crossfire_spark.functions.dedup import _cap_buckets
+
+    bits_per_band = bits // bands
+    b_tab = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("lsh_sig", i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "bv.band", "bv.val")
+    b_tab = _cap_buckets(b_tab, ["band", "val"], bucket_cap)
+    a, b = b_tab.alias("a"), b_tab.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("ne")
+            ),
+            "nbr_id",
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                _cosine_batch_udf()(F.col("embedding"), F.col("ne")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nbr_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", "sim")
+    )
+
+
+def ann_recall_audit(
+    exact: DataFrame, approx: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """(qid, n_exact, n_hit, recall) + a trailing 'ALL' summary row —
+    the index-quality audit a production retrieval stack runs on a
+    query sample before trusting an ANN index (and re-runs after
+    every index rebuild; recall drift is how quantizer/bucket rot
+    shows up). Inputs are any two (qid, vec_id, ...) rankings; the
+    join is per-query and both sides are top-k-bounded, so the audit
+    costs O(|queries|·k) whatever the corpus size behind the index.
+    """
+    ex = exact.select("qid", "vec_id")
+    ap = approx.select("qid", "vec_id")
+    hit = ap.withColumnRenamed("vec_id", "v").join(
+        ex.select("qid", F.col("vec_id").alias("v")), ["qid", "v"], "left_semi"
+    )
+    per = (
+        ex.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hit.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")),
+            "qid",
+            "left",
+        )
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4),
+        )
+    )
+    total = per.agg(
+        F.lit(-1).cast("long").alias("qid"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.sum("n_hit") / F.sum("n_exact"), 4).alias("recall"),
+    )
+    return per.unionByName(total)
+
+
+def s17_knn_graph_ann(spark, sf_dir):
+    """LSH-bucketed approximate k-NN graph (the s01→s02 relationship,
+    applied to s15). Hash-dependent candidates → rows-only driver
+    check; recall vs the exact graph is pinned in tests."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return knn_graph_ann(em).orderBy("vec_id", "nbr_id", "sim")
+
+
+def s16_ann_recall_audit(spark, sf_dir):
+    """Recall@k of the seeded-LSH ANN (s02) against exact top-k (s01)
+    over the declared query set. Deterministic given the LSH seed but
+    not SQL-expressible (the oracle would have to restate the whole
+    LSH) → rows-only driver check; the mean-recall floor and the
+    audit's own arithmetic are pinned in tests."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    return ann_recall_audit(cosine_topk(em, q), lsh_topk(em, q)).orderBy(
+        "qid", "n_exact", "n_hit", "recall"
+    )
+
+
 SQ8_SCALE = 127
 SQ8_CAND_MULT = 4  # over-fetch factor before the exact re-rank
 
@@ -1369,6 +1511,8 @@ SIMILARITY_QUERIES = {
     "s13_mmr_rerank": s13_mmr_rerank,
     "s14_rp_reduce": s14_rp_reduce,
     "s15_knn_graph": s15_knn_graph,
+    "s16_ann_recall_audit": s16_ann_recall_audit,
+    "s17_knn_graph_ann": s17_knn_graph_ann,
 }
 
 SIMILARITY_ORACLE_SQL["s15_knn_graph"] = f"""

@@ -1523,6 +1523,54 @@ def t27_zipf_fit(spark, sf_dir):
     return zipf_fit(d).orderBy("n_terms", "slope", "intercept", "r2")
 
 
+# ----------------------------------------------- readability scoring
+# Flesch reading ease with the standard wordlist-free syllable proxy
+# (vowel groups): the third leg of the quality stack next to t02's
+# surface ratios and v05's Gopher rules — readability is the filter
+# that separates "clean but impenetrable" from "clean and learnable"
+# text. Pure per-row codegen'd regex counts: no shuffle, no UDF, and
+# the integer counts make the score oracle-exact across engines.
+
+
+def readability(d: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syll, flesch, band) — Flesch
+    reading ease; syllables ≈ vowel groups, sentences ≈ terminator
+    runs (floored at 1 so headline-like docs stay defined)."""
+    n_words = F.size(F.split("text", " "))
+    n_sents = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    flesch = F.round(
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words / n_sents
+            - F.lit(84.6) * n_syll / n_words,
+            6,
+        )
+        + F.lit(1e-9),
+        2,
+    )
+    return spread(d).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+        flesch.alias("flesch"),
+        F.when(flesch >= 60, F.lit("easy"))
+        .when(flesch >= 30, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )
+
+
+def t28_readability(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return readability(d).orderBy(
+        "doc_id", "n_words", "n_sents", "n_syll", "flesch", "band"
+    )
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1550,6 +1598,7 @@ TEXT_QUERIES = {
     "t25_heavy_hitters": t25_heavy_hitters,
     "t26_sentence_dedup": t26_sentence_dedup,
     "t27_zipf_fit": t27_zipf_fit,
+    "t28_readability": t28_readability,
     "v05_gopher_rules": v05_gopher_rules,
 }
 
@@ -1567,6 +1616,23 @@ TEXT_ORACLE_SQL["t27_zipf_fit"] = f"""
                ROUND(ROUND(regr_intercept(lc, lr), 6) + 1e-9, 4) intercept,
                ROUND(ROUND(regr_r2(lc, lr), 6) + 1e-9, 4) r2
         FROM r ORDER BY n_terms, slope, intercept, r2"""
+
+TEXT_ORACLE_SQL["t28_readability"] = """
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) n_words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) n_sents,
+                   GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) n_syll
+            FROM documents),
+        f AS (SELECT doc_id, n_words, n_sents, n_syll,
+                     ROUND(ROUND(206.835 - 1.015 * n_words / n_sents
+                                 - 84.6 * n_syll / n_words, 6) + 1e-9, 2) flesch
+              FROM m)
+        SELECT doc_id, n_words, n_sents, n_syll, flesch,
+               CASE WHEN flesch >= 60 THEN 'easy'
+                    WHEN flesch >= 30 THEN 'standard'
+                    ELSE 'difficult' END band
+        FROM f ORDER BY doc_id, n_words, n_sents, n_syll, flesch, band"""
 
 TEXT_ORACLE_SQL["t26_sentence_dedup"] = """
         WITH e0 AS (SELECT doc_id, string_split(text, '. ') ss

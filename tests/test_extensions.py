@@ -599,3 +599,39 @@ def test_t27_zipf_slope_is_negative(spark, sf_dir):
     assert row["n_terms"] > 1
     assert row["slope"] < 0
     assert 0 <= row["r2"] <= 1.0001
+
+
+def test_s16_recall_audit_arithmetic_and_floor(spark, sf_dir):
+    """The audit's summary row must equal the per-query sums, recall
+    must be n_hit/n_exact everywhere, and the declared LSH config must
+    keep mean recall >= 0.9 (the same floor test_lsh_topk_recall pins
+    on the raw rankings)."""
+    from crossfire_spark.functions.similarity import s16_ann_recall_audit
+
+    rows = s16_ann_recall_audit(spark, "/root/testdata/sf0.01").collect()
+    per = [r for r in rows if r["qid"] >= 0]
+    tot = [r for r in rows if r["qid"] == -1]
+    assert len(tot) == 1 and per
+    t = tot[0]
+    assert t["n_exact"] == sum(r["n_exact"] for r in per)
+    assert t["n_hit"] == sum(r["n_hit"] for r in per)
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_exact"], 4)) < 1e-9
+    assert t["recall"] >= 0.9
+
+
+def test_knn_graph_ann_recall(spark):
+    """The LSH-bucketed kNN graph must recover >= 0.9 of the exact
+    graph's edges at sf0.01 (measured 0.98), and every reported sim
+    must equal the exact tier's for the edges they share."""
+    from crossfire_spark.functions.similarity import knn_graph, knn_graph_ann
+    from crossfire_spark.catalog import spread
+
+    em = spread(load_table(spark, "/root/testdata/sf0.01", "embeddings"))
+    exact = {(r.vec_id, r.nbr_id): r.sim for r in knn_graph(em).collect()}
+    approx = {(r.vec_id, r.nbr_id): r.sim for r in knn_graph_ann(em).collect()}
+    shared = set(exact) & set(approx)
+    assert len(shared) / len(exact) >= 0.9
+    for e in shared:
+        assert abs(exact[e] - approx[e]) < 1e-9
