@@ -800,6 +800,88 @@ def knn_graph_ann(
     )
 
 
+DBSCAN_EPS_SIM = NEARDUP_THRESHOLD  # eps-neighborhood = cosine >= 0.4
+DBSCAN_MIN_NBRS = 2  # core point: >= 2 eps-neighbors (minPts=3 with self)
+
+
+def density_clusters(
+    embeddings: DataFrame,
+    eps_sim: float = DBSCAN_EPS_SIM,
+    min_nbrs: int = DBSCAN_MIN_NBRS,
+) -> DataFrame:
+    """DBSCAN-style density clustering over the embedding corpus →
+    (vec_id, cluster_id, kind) with kind ∈ {core, border}; noise
+    points (neither) are excluded — the standard curation move that
+    groups semantically-equivalent regions while refusing to force
+    every outlier into a cluster (contrast k-means, which must).
+
+    Determinized for oracle-checking: clusters are connected
+    components (min-label) of the CORE-CORE eps-graph; border points
+    attach to the SMALLEST cluster id among their core neighbors (the
+    classic DBSCAN order-dependence resolved by a total order).
+
+    Scale shape: the eps-graph comes from the d05 block-tile kernel
+    (threshold-bounded output, N² work inside BLAS tiles — swap in
+    the LSH candidate tier at 100 TB); degrees, core filter, border
+    attachment are one aggregate each on node-cardinality tables; CC
+    is O(diameter) label-propagation rounds."""
+    pairs = embed_neardup_pairs(embeddings, eps_sim).select("va", "vb")
+    sym = (
+        pairs.select(F.col("va").alias("n"), F.col("vb").alias("m"))
+        .unionByName(pairs.select(F.col("vb").alias("n"), F.col("va").alias("m")))
+        .localCheckpoint()  # read by degrees, core edges, and border join
+    )
+    core = (
+        sym.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= min_nbrs)
+        .select(F.col("n").alias("vec_id"))
+        .localCheckpoint()
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("vec_id").alias("va")), "va", "left_semi")
+        .join(core.select(F.col("vec_id").alias("vb")), "vb", "left_semi")
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    )
+    cc = connected_components_of(core_edges)
+    # isolated cores (no core neighbor) are their own singleton cluster
+    core_lbl = (
+        core.join(cc, core.vec_id == cc.doc_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
+        .localCheckpoint()  # read twice: output + border attachment
+    )
+    border = (
+        sym.join(
+            core_lbl.select(
+                F.col("vec_id").alias("m"), F.col("cluster_id").alias("c")
+            ),
+            "m",
+        )
+        .join(core_lbl.select(F.col("vec_id").alias("n")), "n", "left_anti")
+        .groupBy(F.col("n").alias("vec_id"))
+        .agg(F.min("c").alias("cluster_id"))
+    )
+    return core_lbl.select(
+        "vec_id", "cluster_id", F.lit("core").alias("kind")
+    ).unionByName(
+        border.select("vec_id", "cluster_id", F.lit("border").alias("kind"))
+    )
+
+
+def connected_components_of(edges: DataFrame) -> DataFrame:
+    from crossfire_spark.functions.dedup import connected_components
+
+    return connected_components(edges)
+
+
+def s18_density_clusters(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return density_clusters(em).orderBy("vec_id", "cluster_id", "kind")
+
+
 def ann_recall_audit(
     exact: DataFrame, approx: DataFrame, k: int = TOPK
 ) -> DataFrame:
@@ -1513,7 +1595,39 @@ SIMILARITY_QUERIES = {
     "s15_knn_graph": s15_knn_graph,
     "s16_ann_recall_audit": s16_ann_recall_audit,
     "s17_knn_graph_ann": s17_knn_graph_ann,
+    "s18_density_clusters": s18_density_clusters,
 }
+
+SIMILARITY_ORACLE_SQL["s18_density_clusters"] = f"""
+        WITH RECURSIVE p AS (
+            SELECT a.vec_id va, b.vec_id vb
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  >= {DBSCAN_EPS_SIM}),
+        sym AS (SELECT va n, vb m FROM p UNION ALL SELECT vb, va FROM p),
+        core AS (SELECT n vec_id FROM sym GROUP BY n
+                 HAVING COUNT(*) >= {DBSCAN_MIN_NBRS}),
+        ce AS (SELECT va, vb FROM p
+               WHERE va IN (SELECT vec_id FROM core)
+                 AND vb IN (SELECT vec_id FROM core)),
+        e AS (SELECT va a, vb b FROM ce UNION SELECT vb, va FROM ce),
+        reach(n, m) AS (SELECT a, a FROM e
+                        UNION
+                        SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+        cc AS (SELECT n vec_id, MIN(m) cluster_id FROM reach GROUP BY n),
+        core_lbl AS (SELECT c.vec_id,
+                            COALESCE(cc.cluster_id, c.vec_id) cluster_id
+                     FROM core c LEFT JOIN cc USING (vec_id)),
+        border AS (SELECT s.n vec_id, MIN(k.cluster_id) cluster_id
+                   FROM sym s JOIN core_lbl k ON s.m = k.vec_id
+                   WHERE s.n NOT IN (SELECT vec_id FROM core)
+                   GROUP BY s.n)
+        SELECT vec_id, cluster_id, 'core' kind FROM core_lbl
+        UNION ALL
+        SELECT vec_id, cluster_id, 'border' FROM border
+        ORDER BY vec_id, cluster_id, kind"""
 
 SIMILARITY_ORACLE_SQL["s15_knn_graph"] = f"""
         WITH s AS (SELECT a.vec_id, b.vec_id nbr_id,

@@ -1291,6 +1291,69 @@ def v11_benford_report(spark, sf_dir):
     ).orderBy("digit", "c", "obs_freq", "exp_freq", "dev")
 
 
+# --------------------------------------------------- funnel analysis
+# The product-analytics staple: how many users progress view → click
+# → purchase, each step strictly after the previous one (first
+# qualifying timestamp per step). Three user-keyed aggregates chained
+# by broadcast-sized semi-state — each stage is one filter + groupBy
+# over the events scan, the stage tables are user-cardinality, and
+# the final report is three 1-row aggregates cross-joined: nothing in
+# the plan grows faster than distinct users at 100 TB.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
+    """(step, n_users, conv_from_prev, conv_from_first) — strictly
+    ordered first-touch funnel over the step event types."""
+    stage = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = [stage]
+    for s in steps[1:]:
+        nxt = (
+            events.where(F.col("event_type") == s)
+            .join(stages[-1].select("user_id", F.col("t").alias("pt")), "user_id")
+            .where(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        stages.append(nxt)
+    counts = [
+        st.agg(F.count(F.lit(1)).alias(f"n{i}")) for i, st in enumerate(stages)
+    ]
+    allc = counts[0]
+    for c in counts[1:]:
+        allc = allc.crossJoin(c)  # 1-row x 1-row
+    rows = []
+    for i, s in enumerate(steps):
+        prev = F.col(f"n{i - 1}") if i else F.col("n0")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                F.round(
+                    F.round(F.col(f"n{i}") / prev, 9) + F.lit(1e-12), 4
+                ).alias("conv_from_prev"),
+                F.round(
+                    F.round(F.col(f"n{i}") / F.col("n0"), 9) + F.lit(1e-12), 4
+                ).alias("conv_from_first"),
+            )
+        )
+    return allc.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def h12_funnel(spark, sf_dir):
+    """Strict-order view→click→purchase funnel over events — oracled
+    by the identical chained-CTE computation in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e).orderBy(
+        "step_no", "step", "n_users", "conv_from_prev", "conv_from_first"
+    )
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -1315,6 +1378,7 @@ EXTENDED_QUERIES = {
     "v10_skew_report": v10_skew_report,
     "h11_seasonality": h11_seasonality,
     "v11_benford_report": v11_benford_report,
+    "h12_funnel": h12_funnel,
 }
 
 _EWMA_NUM_SQL = " + ".join(
@@ -1377,6 +1441,33 @@ EXTENDED_ORACLE_SQL["v11_benford_report"] = """
                ROUND(ROUND(ABS(c * 1.0 / SUM(c) OVER () - log10(1.0 + 1.0 / digit)), 9)
                      + 1e-12, 4) dev
         FROM b ORDER BY digit, c, obs_freq, exp_freq, dev"""
+
+EXTENDED_ORACLE_SQL["h12_funnel"] = """
+        WITH s1 AS (SELECT user_id, MIN(ts) t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        c AS (SELECT (SELECT COUNT(*) FROM s1) n0,
+                     (SELECT COUNT(*) FROM s2) n1,
+                     (SELECT COUNT(*) FROM s3) n2)
+        SELECT * FROM (
+            SELECT 1 step_no, 'view' step, n0 n_users,
+                   ROUND(ROUND(n0 * 1.0 / n0, 9) + 1e-12, 4) conv_from_prev,
+                   ROUND(ROUND(n0 * 1.0 / n0, 9) + 1e-12, 4) conv_from_first
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', n1,
+                   ROUND(ROUND(n1 * 1.0 / n0, 9) + 1e-12, 4),
+                   ROUND(ROUND(n1 * 1.0 / n0, 9) + 1e-12, 4) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n2,
+                   ROUND(ROUND(n2 * 1.0 / n1, 9) + 1e-12, 4),
+                   ROUND(ROUND(n2 * 1.0 / n0, 9) + 1e-12, 4) FROM c)
+        ORDER BY step_no, step, n_users, conv_from_prev, conv_from_first"""
 
 EXTENDED_ORACLE_SQL["h08_rolling_anomaly"] = f"""
         WITH scored AS (

@@ -635,3 +635,47 @@ def test_knn_graph_ann_recall(spark):
     assert len(shared) / len(exact) >= 0.9
     for e in shared:
         assert abs(exact[e] - approx[e]) < 1e-9
+
+
+def test_s18_density_cluster_semantics(spark, sf_dir):
+    """Core points have >= MIN_NBRS eps-neighbors, border points are
+    non-core with a core neighbor in their cluster, noise is absent,
+    and every cluster id is the min vec_id among its core members."""
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        DBSCAN_EPS_SIM,
+        DBSCAN_MIN_NBRS,
+        density_clusters,
+        embed_neardup_pairs,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    nbrs: dict = {}
+    for r in embed_neardup_pairs(em, DBSCAN_EPS_SIM).collect():
+        nbrs.setdefault(r.va, set()).add(r.vb)
+        nbrs.setdefault(r.vb, set()).add(r.va)
+    out = density_clusters(em).collect()
+    cores = {r.vec_id: r.cluster_id for r in out if r.kind == "core"}
+    borders = {r.vec_id: r.cluster_id for r in out if r.kind == "border"}
+    assert set(cores) == {
+        n for n, s in nbrs.items() if len(s) >= DBSCAN_MIN_NBRS
+    }
+    for b, c in borders.items():
+        assert b not in cores
+        assert any(cores.get(m) == c for m in nbrs[b])
+    by_cluster: dict = {}
+    for v, c in cores.items():
+        by_cluster.setdefault(c, []).append(v)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
+def test_h12_funnel_is_monotone(spark, sf_dir):
+    from crossfire_spark.operators.extended import h12_funnel
+
+    rows = sorted(h12_funnel(spark, sf_dir).collect(), key=lambda r: r.step_no)
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    for r in rows:
+        assert 0 <= r.conv_from_prev <= 1 and 0 <= r.conv_from_first <= 1
+    assert rows[0].conv_from_prev == 1.0
