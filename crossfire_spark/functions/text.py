@@ -1571,6 +1571,75 @@ def t28_readability(spark, sf_dir):
     )
 
 
+# ------------------------------------ source distribution divergence
+# Pairwise KL / Jensen-Shannon divergence between per-source unigram
+# distributions (add-one smoothing over the corpus vocabulary) — the
+# mixture-design diagnostic that says which sources are near-redundant
+# and which add genuinely new text (DSIR's t23 weights documents
+# against ONE target; this compares the sources themselves). Scale
+# shape: one (source, word) count aggregate, a vocab×sources dense
+# grid (V·S rows), and a word-keyed grid self-join bounded by S² per
+# word — S (number of sources) is small by construction; V rides the
+# same vocab-bounded shuffles t08/t14 already pay.
+
+
+def source_divergence(d: DataFrame) -> DataFrame:
+    """(src_a, src_b, kl_ab, kl_ba, jsd) for every unordered source
+    pair, from add-one-smoothed unigram distributions."""
+    toks = spread(d).select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("w").distinct()
+    v_size = vocab.count()  # scalar: smoothing denominator term
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce("c", F.lit(0)) + 1)
+                / (F.col("n") + F.lit(v_size)).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "w", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").where(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    stab = lambda c: F.round(F.round(c, 9) + F.lit(1e-12), 4)  # noqa: E731
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            stab(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb")))).alias(
+                "kl_ab"
+            ),
+            stab(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa")))).alias(
+                "kl_ba"
+            ),
+            stab(
+                F.sum(
+                    F.lit(0.5) * F.col("pa") * F.log(F.col("pa") / m)
+                    + F.lit(0.5) * F.col("pb") * F.log(F.col("pb") / m)
+                )
+            ).alias("jsd"),
+        )
+    )
+
+
+def t29_source_divergence(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return source_divergence(d).orderBy(
+        "src_a", "src_b", "kl_ab", "kl_ba", "jsd"
+    )
+
+
 TEXT_QUERIES = {
     "t01_langid": t01_langid,
     "t02_quality": t02_quality,
@@ -1599,6 +1668,7 @@ TEXT_QUERIES = {
     "t26_sentence_dedup": t26_sentence_dedup,
     "t27_zipf_fit": t27_zipf_fit,
     "t28_readability": t28_readability,
+    "t29_source_divergence": t29_source_divergence,
     "v05_gopher_rules": v05_gopher_rules,
 }
 
@@ -1633,6 +1703,27 @@ TEXT_ORACLE_SQL["t28_readability"] = """
                     WHEN flesch >= 30 THEN 'standard'
                     ELSE 'difficult' END band
         FROM f ORDER BY doc_id, n_words, n_sents, n_syll, flesch, band"""
+
+TEXT_ORACLE_SQL["t29_source_divergence"] = """
+        WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) w
+                      FROM documents),
+        counts AS (SELECT source, w, COUNT(*) c FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT w FROM counts),
+        vs AS (SELECT COUNT(*) v FROM vocab),
+        totals AS (SELECT source, SUM(c) n FROM counts GROUP BY 1),
+        grid AS (SELECT t.source, vo.w,
+                        (COALESCE(c.c, 0) + 1) * 1.0 / (t.n + vs.v) p
+                 FROM vocab vo CROSS JOIN totals t CROSS JOIN vs
+                 LEFT JOIN counts c ON c.source = t.source AND c.w = vo.w)
+        SELECT a.source src_a, b.source src_b,
+               ROUND(ROUND(SUM(a.p * ln(a.p / b.p)), 9) + 1e-12, 4) kl_ab,
+               ROUND(ROUND(SUM(b.p * ln(b.p / a.p)), 9) + 1e-12, 4) kl_ba,
+               ROUND(ROUND(SUM(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                               + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))), 9)
+                     + 1e-12, 4) jsd
+        FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY src_a, src_b, kl_ab, kl_ba, jsd"""
 
 TEXT_ORACLE_SQL["t26_sentence_dedup"] = """
         WITH e0 AS (SELECT doc_id, string_split(text, '. ') ss

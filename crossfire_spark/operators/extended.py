@@ -1354,6 +1354,103 @@ def h12_funnel(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- retention cohorts
+# The other product-analytics staple next to h12: users cohorted by
+# first-activity week, retention = share of the cohort active at each
+# later week offset. Shape: one user-keyed min (first week), one
+# (user, week) distinct, one join back on user, one (cohort, offset)
+# count — every table after the scan is user- or cohort-cardinality,
+# and the cohort-size join is against the offset-0 row of the same
+# aggregate (no second scan).
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_active, retention)."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    offs = (
+        active.join(first, "user_id")
+        .select(
+            "cw",
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("off"),
+        )
+        .groupBy("cw", "off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .localCheckpoint()  # read twice: rows + cohort-size lookup
+    )
+    size = offs.where(F.col("off") == 0).select(
+        "cw", F.col("n_active").alias("n0")
+    )
+    return offs.join(size, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        "n_active",
+        F.round(
+            F.round(F.col("n_active") / F.col("n0"), 9) + F.lit(1e-12), 4
+        ).alias("retention"),
+    )
+
+
+def h13_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over events — oracled by the identical
+    computation in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e).orderBy(
+        "cohort_week", "week_offset", "n_active", "retention"
+    )
+
+
+# ------------------------------------ functional-dependency audit
+# Schema-quality profiling: for each declared candidate FD det→dep,
+# how many determinant values map to more than one dependent value?
+# A held FD is a normalization/compression opportunity (and an
+# integrity invariant worth a constraint); a violated one quantifies
+# denormalization noise. One map-combinable (det → distinct-dep)
+# aggregate per FD, then a metadata-sized fold — each audit costs one
+# scan of its table.
+FD_CHECKS = (
+    ("orders:o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("nation:n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("customer:c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem:l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("part:p_type->p_brand", "part", "p_type", "p_brand"),
+)
+
+
+def fd_audit(df: DataFrame, label: str, det: str, dep: str) -> DataFrame:
+    per_key = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+    return per_key.agg(
+        F.lit(label).alias("fd"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_viol"),
+        F.round(
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                9,
+            )
+            + F.lit(1e-12),
+            4,
+        ).alias("viol_rate"),
+        F.max("nd").alias("max_deps"),
+    )
+
+
+def v12_fd_audit(spark, sf_dir):
+    """Functional-dependency violation report over declared candidate
+    FDs — oracled by the identical per-FD aggregation in DuckDB."""
+    out = None
+    for label, table, det, dep in FD_CHECKS:
+        rep = fd_audit(load_table(spark, sf_dir, table), label, det, dep)
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("fd", "n_keys", "n_viol", "viol_rate", "max_deps")
+
+
 EXTENDED_QUERIES = {
     "j01_json_extract": j01_json_extract,
     "h01_time_rollup": h01_time_rollup,
@@ -1379,6 +1476,8 @@ EXTENDED_QUERIES = {
     "h11_seasonality": h11_seasonality,
     "v11_benford_report": v11_benford_report,
     "h12_funnel": h12_funnel,
+    "v12_fd_audit": v12_fd_audit,
+    "h13_retention_cohorts": h13_retention_cohorts,
 }
 
 _EWMA_NUM_SQL = " + ".join(
@@ -1441,6 +1540,36 @@ EXTENDED_ORACLE_SQL["v11_benford_report"] = """
                ROUND(ROUND(ABS(c * 1.0 / SUM(c) OVER () - log10(1.0 + 1.0 / digit)), 9)
                      + 1e-12, 4) dev
         FROM b ORDER BY digit, c, obs_freq, exp_freq, dev"""
+
+EXTENDED_ORACLE_SQL["h13_retention_cohorts"] = """
+        WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) cw
+                    FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) w
+                FROM events),
+        offs AS (SELECT cw,
+                        CAST(date_diff('day', cw, w) / 7 AS INT) wk_off,
+                        COUNT(*) n_active
+                 FROM act JOIN fw USING (user_id)
+                 GROUP BY 1, 2),
+        s0 AS (SELECT cw, n_active n0 FROM offs WHERE wk_off = 0)
+        SELECT CAST(offs.cw AS TIMESTAMP) cohort_week, wk_off week_offset, n_active,
+               ROUND(ROUND(n_active * 1.0 / n0, 9) + 1e-12, 4) retention
+        FROM offs JOIN s0 ON offs.cw = s0.cw
+        ORDER BY cohort_week, week_offset, n_active, retention"""
+
+EXTENDED_ORACLE_SQL["v12_fd_audit"] = "\nUNION ALL\n".join(
+    f"""
+        SELECT '{label}' fd,
+               COUNT(*) n_keys,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) n_viol,
+               ROUND(ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+                           / COUNT(*), 9) + 1e-12, 4) viol_rate,
+               MAX(nd) max_deps
+        FROM (SELECT {det} k, COUNT(DISTINCT {dep}) nd FROM {table}
+              GROUP BY {det})"""
+    for label, table, det, dep in FD_CHECKS
+) + """
+        ORDER BY fd, n_keys, n_viol, viol_rate, max_deps"""
 
 EXTENDED_ORACLE_SQL["h12_funnel"] = """
         WITH s1 AS (SELECT user_id, MIN(ts) t FROM events

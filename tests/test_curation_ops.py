@@ -700,3 +700,58 @@ def test_rp_reduce_preserves_geometry(spark, sf_dir):
     # guards the SIGN and strength of the geometric signal, not a
     # precision 16 dims cannot deliver
     assert corr > 0.3, corr
+
+
+def test_t29_divergence_identities(spark, sf_dir):
+    """JSD is symmetric, bounded by ln 2, and zero iff the two
+    distributions coincide; KL is non-negative both ways."""
+    import math
+
+    from crossfire_spark.functions.text import source_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = source_divergence(d).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_ab"] >= 0 and r["kl_ba"] >= 0
+        assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-9
+    # self-divergence sanity: a source compared against itself is 0
+    d2 = d.withColumn("source", F.lit("same"))
+    two = d2.unionByName(
+        d2.withColumn("source", F.lit("same2")).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    z = source_divergence(two).collect()
+    assert len(z) == 1
+    assert z[0]["kl_ab"] == 0 and z[0]["kl_ba"] == 0 and z[0]["jsd"] == 0
+
+
+def test_v12_fd_audit_known_truths(spark, sf_dir):
+    """Primary-key FDs must report zero violations; the deliberately
+    denormalized checks must report max_deps >= 1 consistently."""
+    from crossfire_spark.operators.extended import v12_fd_audit
+
+    rows = {r["fd"]: r for r in v12_fd_audit(spark, sf_dir).collect()}
+    assert rows["orders:o_orderkey->o_custkey"]["n_viol"] == 0
+    assert rows["nation:n_nationkey->n_regionkey"]["n_viol"] == 0
+    for r in rows.values():
+        assert 0 <= r["viol_rate"] <= 1
+        assert (r["n_viol"] == 0) == (r["max_deps"] == 1)
+
+
+def test_h13_retention_shape(spark, sf_dir):
+    """Offset-0 retention is exactly 1, retention is in (0, 1], and
+    cohort sizes sum to the distinct-user count."""
+    from crossfire_spark.operators.extended import h13_retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    rows = h13_retention_cohorts(spark, sf_dir).collect()
+    base = [r for r in rows if r["week_offset"] == 0]
+    assert sum(r["n_active"] for r in base) == n_users
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["retention"] <= 1
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
