@@ -245,6 +245,121 @@ def st15_stream_anomaly(spark, sf_dir):
     return out.orderBy("event_id", "user_id", "value", "z")
 
 
+FUNNEL_STATE_SCHEMA = (
+    "us array<long>, t1s array<long>, t2s array<long>, t3s array<long>"
+)
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int"
+
+
+def stream_funnel(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Streaming strict-order funnel — the continuous form of batch
+    h12: state carries each user's first-qualifying step timestamps
+    (µs, -1 = not reached) across micro-batches; each batch advances
+    the stages by scanning the user's new events in event-time order.
+    Stages only ever advance, so over a bounded in-order replay the
+    final per-user stage equals the batch computation and h12's
+    DuckDB oracle checks the whole streaming loop (the st15 pattern).
+    Same monotone-ingest assumption as st15; production fronts this
+    with a watermark + in-batch sort exactly as the kernel sorts.
+
+    State is bucketed (pmod(user_id, n)) per the st04 lesson, three
+    parallel long arrays per bucket — 24 bytes per ever-seen user."""
+    from crossfire_spark.operators.extended import FUNNEL_STEPS
+
+    s_view, s_click, s_buy = FUNNEL_STEPS
+
+    def update(key, pdfs, state: GroupState):
+        acc: dict[int, list[int]] = {}
+        if state.exists:
+            us, t1s, t2s, t3s = state.get
+            for u, a, b, c in zip(us, t1s, t2s, t3s):
+                acc[u] = [a, b, c]
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        touched: list[int] = []
+        for u, g in batch.groupby("user_id", sort=False):
+            t = acc.get(u, [-1, -1, -1])
+            for ts, et in zip(
+                g["ts"].astype("int64"), g["event_type"]
+            ):
+                if et == s_view and t[0] < 0:
+                    t[0] = ts
+                elif et == s_click and t[0] >= 0 and t[1] < 0 and ts > t[0]:
+                    t[1] = ts
+                elif et == s_buy and t[1] >= 0 and t[2] < 0 and ts > t[1]:
+                    t[2] = ts
+            acc[u] = t
+            touched.append(u)
+        us = list(acc)
+        state.update(
+            (
+                us,
+                [acc[u][0] for u in us],
+                [acc[u][1] for u in us],
+                [acc[u][2] for u in us],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": touched,
+                "stage": [sum(1 for x in acc[u] if x >= 0) for u in touched],
+            }
+        )
+
+    bucketed = events.withColumn(
+        "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st17_stream_funnel(spark, sf_dir):
+    """Bounded replay of the streaming funnel; the assembled report
+    must equal batch h12 (same oracle)."""
+    from crossfire_spark.operators.extended import FUNNEL_STEPS
+    from crossfire_spark.streaming.jobs import events_stream, run_stream_to_memory
+
+    out = run_stream_to_memory(
+        stream_funnel(events_stream(spark, sf_dir)), mode="update"
+    )
+    final = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    counts = final.agg(
+        *[
+            F.sum(F.when(F.col("stage") >= i + 1, 1).otherwise(0)).alias(f"n{i}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    rows = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        prev = F.col(f"n{i - 1}") if i else F.col("n0")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                F.round(
+                    F.round(F.col(f"n{i}") / prev, 9) + F.lit(1e-12), 4
+                ).alias("conv_from_prev"),
+                F.round(
+                    F.round(F.col(f"n{i}") / F.col("n0"), 9) + F.lit(1e-12), 4
+                ).alias("conv_from_first"),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy(
+            "step_no", "step", "n_users", "conv_from_prev", "conv_from_first"
+        )
+    )
+
+
 STATEFUL_ORACLE_SQL = {
     "st04_stateful_totals": """
         SELECT user_id, COUNT(*) c, ROUND(SUM(value),2) s
@@ -259,6 +374,10 @@ def _register_st15() -> None:
     STATEFUL_QUERIES["st15_stream_anomaly"] = st15_stream_anomaly
     STATEFUL_ORACLE_SQL["st15_stream_anomaly"] = EXTENDED_ORACLE_SQL[
         "h08_rolling_anomaly"
+    ]
+    STATEFUL_QUERIES["st17_stream_funnel"] = st17_stream_funnel
+    STATEFUL_ORACLE_SQL["st17_stream_funnel"] = EXTENDED_ORACLE_SQL[
+        "h12_funnel"
     ]
 
 

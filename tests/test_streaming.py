@@ -355,3 +355,59 @@ def test_st15_state_carries_across_batches(spark, sf_dir, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_st17_funnel_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """The streaming funnel's final per-user stage must equal the
+    batch first-touch computation when the replay splits at the time
+    median into two in-order micro-batches — users whose click or
+    purchase lands in batch 2 depend on stage state carried from
+    batch 1."""
+    from crossfire_spark.operators.extended import FUNNEL_STEPS
+    from crossfire_spark.streaming.jobs import run_stream_to_memory
+    from crossfire_spark.streaming.stateful import stream_funnel
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first()["c"]
+    src = str(tmp_path / "src")
+    events.where(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(src + "/f0")
+    events.where(F.unix_micros("ts") > cut).coalesce(1).write.parquet(src + "/f1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = run_stream_to_memory(stream_funnel(stream), mode="update")
+    final = {
+        r["user_id"]: r["stage"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    }
+    # batch truth: chained first-touch stages
+    s1 = (
+        events.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = {r["user_id"]: 1 for r in s1.collect()}
+    prev = s1
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        prev = (
+            events.where(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .where(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        for r in prev.collect():
+            stages[r["user_id"]] = i
+    for u, st in final.items():
+        assert stages.get(u, 0) == st, (u, st, stages.get(u, 0))
+    assert set(stages) <= set(final)
