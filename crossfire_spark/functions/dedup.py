@@ -1186,7 +1186,11 @@ def d15_sparse_cosine(spark, sf_dir):
 # no candidate scheme can beat; production near-dup on such a corpus
 # raises the bar to "almost the same document".
 WEIGHTED_NEARDUP_THRESHOLD = 0.85
-SRP_LONGS = 64      # 64-bit blocks of projection bits (64 -> 4096)
+SRP_LONGS = 32      # 64-bit blocks of projection bits (32 -> 2048);
+# margins below scale with the estimator's σ, so halving the bits from
+# the original 4096 keeps recall (measured 60397 vs 60416 pairs at
+# sf0.1, -0.03%) while cutting the signature pass and every popcount
+# in half (12.7 -> 10.3 s end-to-end).
 SRP_BAND_BITS = 16  # bits per band at the declared threshold
 SRP_BANDS = 96      # bands (over the first 96·band_bits bits)
 SRP_TARGET_RECALL = 0.985
@@ -1210,17 +1214,26 @@ def _srp_pick_band_bits(
         if 1.0 - (1.0 - p**b) ** n_bands >= target_recall:
             return b
     return 1
-# Hamming-estimate prefilter slack below the verify threshold: ~3σ of
-# the SRP angle estimator at 4096 bits (σ_cos ≈ 0.010 near 0.85), so
-# the prefilter essentially never drops a true pair while removing
-# the mid-sim candidate mass band collisions cannot.
-SRP_PREFILTER_MARGIN = 0.03
-# Coarse stage of the progressive prefilter: 16 longs (1024 bits) at
-# ~3σ of that length's estimator (σ_cos ≈ 0.021 near 0.85). It runs
-# BEFORE the pair distinct, where rows are still ~1.7x duplicated —
-# cheap enough there that it shrinks the distinct itself.
+# Prefilter slack below the verify threshold: 3σ of the SRP angle
+# estimator at the stage's bit length, DERIVED rather than hardcoded.
+# hamming ~ Binomial(nbits, q) with q = arccos(t)/π; the delta method
+# on est = cos(π·h/nbits) gives σ_est = π·sqrt(q(1-q))·sin(πq)/√nbits
+# (0.010 at 4096 bits near t=0.85 — matches measurement). A margin
+# tied to σ means changing SRP_LONGS cannot silently change the
+# prefilter's miss rate.
+SRP_MARGIN_SIGMAS = 3.0
+# Coarse stage of the progressive prefilter: 16 longs (1024 bits),
+# same 3σ rule (≈0.06 at the declared threshold). It runs BEFORE the
+# pair distinct, where rows are still ~1.7x duplicated — cheap enough
+# there that it shrinks the distinct itself.
 SRP_COARSE_LONGS = 16
-SRP_COARSE_MARGIN = 0.06
+
+
+def _srp_margin(threshold: float, n_longs: int) -> float:
+    """3σ of the SRP cosine estimator at ``n_longs``·64 bits."""
+    q = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    sigma = math.pi * math.sqrt(q * (1 - q)) * math.sin(math.pi * q)
+    return SRP_MARGIN_SIGMAS * sigma / math.sqrt(64 * n_longs)
 
 
 def _per_doc_vectors(w: DataFrame) -> DataFrame:
@@ -1419,9 +1432,9 @@ def weighted_srp_pairs(
     n_bands: int = SRP_BANDS,
     band_bits: int | None = None,
     bucket_cap: int = LSH_BUCKET_CAP,
-    prefilter_margin: float = SRP_PREFILTER_MARGIN,
+    prefilter_margin: float | None = None,
     coarse_longs: int = SRP_COARSE_LONGS,
-    coarse_margin: float = SRP_COARSE_MARGIN,
+    coarse_margin: float | None = None,
 ) -> DataFrame:
     """TF-IDF-weighted near-dup pairs at scale — the banded tier d15
     is the oracle of (the d02→d03 relationship, closed for the
@@ -1448,7 +1461,7 @@ def weighted_srp_pairs(
     estimator) runs on the raw band-collision stream before the pair
     distinct, then the full 4096-bit estimate (one Arrow pass;
     banding reads only the 1536-bit prefix) re-screens survivors at
-    ``threshold - prefilter_margin`` (~3σ at 4096 bits). Each stage's
+    ``threshold - prefilter_margin`` (3σ at the full width). Each stage's
     own miss rate is ≲0.1% — but together they remove the
     mid-similarity candidate mass that band collisions cannot (on a
     corpus whose sim range is tight, bands of any width stay
@@ -1457,6 +1470,10 @@ def weighted_srp_pairs(
     collision-bounded)."""
     if band_bits is None:
         band_bits = _srp_pick_band_bits(threshold, n_bands)
+    if prefilter_margin is None:
+        prefilter_margin = _srp_margin(threshold, n_longs)
+    if coarse_margin is None:
+        coarse_margin = _srp_margin(threshold, coarse_longs)
     docs = docs.select("doc_id", "text")
     membership = _exact_dup_membership(docs)
     w_full = _tfidf_weights(docs)
