@@ -450,6 +450,8 @@ def build_pq_index(embeddings: DataFrame, path: str) -> None:
     from crossfire_spark.functions.similarity import pq_codebooks, pq_encode
 
     books = pq_codebooks(embeddings)
+    if books is None:  # empty corpus — nothing to commit
+        return None
     m, k, d = books.shape
     spark = embeddings.sparkSession
     rows = [
@@ -462,6 +464,7 @@ def build_pq_index(embeddings: DataFrame, path: str) -> None:
         os.path.join(path, "codebooks"),
     )
     snapshot_write(pq_encode(embeddings, books), os.path.join(path, "codes"))
+    return books
 
 
 def query_pq_index(
@@ -505,7 +508,10 @@ def s10_pq_index(spark, sf_dir):
 
     em = spread(load_table(spark, sf_dir, "embeddings"))
     path = os.path.join(_session_workdir("s10_"), "pq")
-    build_pq_index(em, path)
+    if build_pq_index(em, path) is None:  # empty corpus
+        from crossfire_spark.functions.similarity import _empty_topk
+
+        return _empty_topk(spark)
     return query_pq_index(spark, path, em, _query_set(em)).orderBy(
         "qid", "vec_id", "sim"
     )

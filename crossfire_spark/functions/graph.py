@@ -55,6 +55,8 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # scalar: drives the uniform terms
+    if n_nodes == 0:  # empty graph — empty ranks, not a ZeroDivision
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edge weight = 1/out_degree(src), constant across iterations
     w_edges = edges.join(out_deg, "src").select(

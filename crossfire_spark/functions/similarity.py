@@ -410,7 +410,7 @@ def kmeans_fit(
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     if not centroids:
-        raise ValueError("kmeans_fit: empty corpus")
+        return [], []  # empty corpus — callers emit an empty result
     # corpus smaller than k: limit(k) returned fewer rows, so clamp —
     # the i-th empty-cluster fallback below indexes centroids[i].
     # dim comes from the init rows — no separate first() probe job.
@@ -548,6 +548,13 @@ def s03_ivf_topk(spark, sf_dir):
     return ivf_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
 
 
+def _empty_topk(spark) -> DataFrame:
+    """Empty (qid, vec_id, sim) result — what every ANN entry returns
+    on an empty corpus (empty partitions and zero-row SF slices are
+    normal at scale; crashing on them is not)."""
+    return spark.createDataFrame([], "qid long, vec_id long, sim double")
+
+
 def s04_ivf_kmeans(spark, sf_dir):
     """IVF with trained (Lloyd's) centroids — the production index
     path. Iterative → no SQL oracle (rows-only driver check); the
@@ -555,6 +562,8 @@ def s04_ivf_kmeans(spark, sf_dir):
     pinned in tests/test_extensions.py."""
     em = spread(load_table(spark, sf_dir, "embeddings"))
     cents, _ = kmeans_fit(em, n_iter=3)
+    if not cents:  # empty corpus
+        return _empty_topk(spark)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
     )
@@ -1072,6 +1081,8 @@ def pq_codebooks(embeddings: DataFrame):
     rows = (
         embeddings.orderBy("vec_id").limit(PQ_K).select("embedding").collect()
     )
+    if not rows:
+        return None  # empty corpus — callers emit an empty result
     C = np.array([list(r[0]) for r in rows], dtype=np.float64)  # (K, D)
     if C.shape[1] % PQ_M:
         raise ValueError(f"dim {C.shape[1]} not divisible by M={PQ_M}")
@@ -1152,6 +1163,8 @@ def pq_topk(
 
     if books is None:
         books = pq_codebooks(embeddings)
+    if books is None:  # empty corpus
+        return _empty_topk(embeddings.sparkSession)
     B = np.asarray(books, dtype=np.float64)
     m, kk, _d = B.shape
     codes = (

@@ -1334,11 +1334,17 @@ def funnel(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
                 F.lit(i + 1).alias("step_no"),
                 F.lit(s).alias("step"),
                 F.col(f"n{i}").alias("n_users"),
+                # try_divide: NULL on an empty cohort (0/0) — matches
+                # DuckDB's division semantics instead of ANSI-throwing
                 F.round(
-                    F.round(F.col(f"n{i}") / prev, 9) + F.lit(1e-12), 4
+                    F.round(F.try_divide(F.col(f"n{i}"), prev), 9)
+                    + F.lit(1e-12),
+                    4,
                 ).alias("conv_from_prev"),
                 F.round(
-                    F.round(F.col(f"n{i}") / F.col("n0"), 9) + F.lit(1e-12), 4
+                    F.round(F.try_divide(F.col(f"n{i}"), F.col("n0")), 9)
+                    + F.lit(1e-12),
+                    4,
                 ).alias("conv_from_first"),
             )
         )

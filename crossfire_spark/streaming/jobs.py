@@ -221,6 +221,14 @@ def st07_stream_upsert(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    if not os.path.isdir(target):  # zero-batch replay (empty source)
+        return spark.createDataFrame([], stream.schema).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
     # lazy over the session-scoped state table (atexit cleanup) — the
     # result is user-cardinality, unbounded at scale, so it must not
     # round-trip through the driver just to free a temp dir
@@ -301,6 +309,16 @@ def st09_snapshot_merge_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    from crossfire_spark.sources.snapshot import snapshot_versions as _sv
+
+    if not _sv(target):  # zero-batch replay (empty source)
+        return spark.createDataFrame([], stream.schema).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
     # lazy over the session-scoped snapshot log (atexit cleanup) — see
     # st07: no driver round-trip for an unbounded result
     return (
@@ -576,7 +594,10 @@ def st14_index_maintenance(spark, sf_dir):
     new = em.where(F.col("vec_id") % 10 == 3)
     work = _session_workdir("st14_")
     path = os.path.join(work, "pq")
-    build_pq_index(base, path)
+    if build_pq_index(base, path) is None:  # empty corpus
+        from crossfire_spark.functions.similarity import _empty_topk
+
+        return _empty_topk(spark)
     cb = snapshot_read(spark, os.path.join(path, "codebooks")).collect()
     m = max(r["s"] for r in cb) + 1
     kk = max(r["j"] for r in cb) + 1

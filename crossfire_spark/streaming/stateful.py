@@ -344,10 +344,14 @@ def st17_stream_funnel(spark, sf_dir):
                 F.lit(s).alias("step"),
                 F.col(f"n{i}").alias("n_users"),
                 F.round(
-                    F.round(F.col(f"n{i}") / prev, 9) + F.lit(1e-12), 4
+                    F.round(F.try_divide(F.col(f"n{i}"), prev), 9)
+                    + F.lit(1e-12),
+                    4,
                 ).alias("conv_from_prev"),
                 F.round(
-                    F.round(F.col(f"n{i}") / F.col("n0"), 9) + F.lit(1e-12), 4
+                    F.round(F.try_divide(F.col(f"n{i}"), F.col("n0")), 9)
+                    + F.lit(1e-12),
+                    4,
                 ).alias("conv_from_first"),
             )
         )

@@ -118,3 +118,32 @@ def test_dup_span_fraction_matches_bruteforce(spark, corpus):
             if len(grams[g]) > 1:
                 covered.update(range(p, p + L))
         assert got[i] == (len(words), len(covered)), (i, corpus)
+
+
+def test_every_query_survives_empty_inputs(spark, tmp_path_factory):
+    """Empty partitions and zero-row SF slices are normal at 100 TB;
+    every declared query must return (an empty) result on a dataset of
+    ten empty tables — never raise. Catches driver-side .collect()[0],
+    ZeroDivision on scalar counts, np.stack([]) kernels, zero-batch
+    stream replays, and ANSI divide-by-zero in report assembly."""
+    import os
+
+    from crossfire_spark.registry import all_queries
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            fn(spark, d).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting the full list
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
