@@ -1507,8 +1507,16 @@ def mmr_rerank(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
                 red = pair[np.ix_(avail, picked)].max(axis=1)
             else:
                 red = np.zeros(len(avail))
+            # double-round + epsilon: the decimal products of 4-dp
+            # inputs land ON .00005 boundaries, where numpy rounds
+            # half-even and SQL half-away — the repo's standard
+            # stabilizer biases both off the boundary identically
             score = np.round(
-                MMR_LAMBDA * rel[avail] - (1 - MMR_LAMBDA) * red, 4
+                np.round(
+                    MMR_LAMBDA * rel[avail] - (1 - MMR_LAMBDA) * red, 9
+                )
+                + 1e-12,
+                4,
             )
             best = int(np.lexsort((ids[avail], -score))[0])
             i = avail[best]
@@ -1529,6 +1537,78 @@ def s13_mmr_rerank(spark, sf_dir):
     return mmr_rerank(em, _query_set(em)).orderBy(
         "qid", "rank", "vec_id", "mmr"
     )
+
+
+def _mmr_oracle() -> str:
+    """DuckDB restatement of the greedy MMR loop: MMR_K is a small
+    fixed constant, so the 'iterative argmax is not SQL-expressible'
+    objection dissolves by UNROLLING — step r is one CTE that joins
+    the candidates against the (r-1) already-picked ids, takes the
+    max pairwise sim as the redundancy term, and argmaxes with the
+    same rounding and min-id tiebreak as the Arrow kernel. Verified
+    cell-exact against the kernel at sf0.01 and sf0.1."""
+    lam, om = MMR_LAMBDA, 1 - MMR_LAMBDA
+    steps = []
+    for r in range(1, MMR_K + 1):
+        prev = r - 1
+        if prev == 0:
+            red, joins, where = "0.0", "", ""
+            inner_carry, outer_carry = "", ""
+            src = "cand c"
+        else:
+            lookups = [f"pr{j}.psim" for j in range(1, r)]
+            red = (
+                f"GREATEST({', '.join(lookups)})"
+                if len(lookups) > 1
+                else lookups[0]
+            )
+            joins = "".join(
+                f"\n               JOIN pair pr{j} ON pr{j}.qid = c.qid"
+                f" AND pr{j}.va = c.vec_id AND pr{j}.vb = s{prev}.p{j}"
+                for j in range(1, r)
+            )
+            where = "WHERE " + " AND ".join(
+                f"c.vec_id <> s{prev}.p{j}" for j in range(1, r)
+            )
+            inner_carry = ", ".join(
+                f"s{prev}.p{j} p{j}, s{prev}.m{j} m{j}" for j in range(1, r)
+            ) + ", "
+            outer_carry = ", ".join(
+                f"p{j}, m{j}" for j in range(1, r)
+            ) + ", "
+            src = f"cand c JOIN s{prev} USING (qid)"
+        steps.append(f"""
+        s{r} AS (SELECT qid, {outer_carry}vec_id p{r}, sc m{r} FROM (
+            SELECT c.qid, {inner_carry}c.vec_id,
+                   ROUND(ROUND({lam} * c.sim - {om} * {red}, 9) + 1e-12, 4) sc,
+                   ROW_NUMBER() OVER (PARTITION BY c.qid
+                       ORDER BY ROUND(ROUND({lam} * c.sim - {om} * {red}, 9)
+                                      + 1e-12, 4) DESC,
+                                c.vec_id) rn
+            FROM {src}{joins}
+            {where}) WHERE rn = 1)""")
+    finals = "\n        UNION ALL\n".join(
+        f"        SELECT qid, {r} rank, p{r} vec_id, m{r} mmr FROM s{MMR_K}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe
+                   FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (SELECT qid, vec_id, embedding,
+                          ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+                   FROM embeddings, q WHERE vec_id != qid),
+        cand AS (SELECT qid, vec_id, embedding, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, vec_id) rn FROM scored)
+            WHERE rn <= {MMR_CAND}),
+        pair AS (SELECT a.qid, a.vec_id va, b.vec_id vb,
+                        ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[]), 4) psim
+                 FROM cand a JOIN cand b USING (qid)),
+        {','.join(steps)}
+        SELECT * FROM (
+{finals})
+        ORDER BY qid, rank, vec_id, mmr"""
 
 
 # ------------------------------------- random-projection reduction
@@ -1610,6 +1690,8 @@ SIMILARITY_QUERIES = {
     "s17_knn_graph_ann": s17_knn_graph_ann,
     "s18_density_clusters": s18_density_clusters,
 }
+
+SIMILARITY_ORACLE_SQL["s13_mmr_rerank"] = _mmr_oracle()
 
 SIMILARITY_ORACLE_SQL["s18_density_clusters"] = f"""
         WITH RECURSIVE p AS (

@@ -389,9 +389,8 @@ def test_column_profile_matches_direct_aggregates(spark, sf_dir):
 
 
 def test_mmr_rerank_matches_python_recompute(spark, sf_dir):
-    """s13 is rows-only (iterative argmax is not SQL-expressible):
-    pin the PICK SEQUENCE exactly against an independent pure-Python
-    greedy recompute from the raw embeddings (the scores themselves
+    """Pin the PICK SEQUENCE exactly against an independent
+    pure-Python greedy recompute from the raw embeddings (the scores themselves
     are asserted to 2e-4 — numpy's BLAS dot products sum in a
     different order than a sequential Python loop, so a cosine
     sitting exactly on a 4-dp rounding boundary may render one ulp
@@ -442,7 +441,11 @@ def test_mmr_rerank_matches_python_recompute(spark, sf_dir):
                 red = max(
                     (round(cos(em[v], em[p]), 4) for p in picked), default=0.0
                 )
-                score = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 4)
+                score = round(
+                    round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * red, 9)
+                    + 1e-12,
+                    4,
+                )
                 key = (-score, v)
                 if best is None or key < best[0]:
                     best = (key, v, score)
