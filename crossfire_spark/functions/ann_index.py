@@ -500,8 +500,9 @@ def query_pq_index(
 def s10_pq_index(spark, sf_dir):
     """The persisted-index face of s09: build the PQ codebooks + code
     table into session-scoped snapshot tables once, answer the query
-    from them. Same codes and ranking as s09 (rows-only; equality to
-    the ad-hoc path is pinned in tests)."""
+    from them. Same codes and ranking as s09, so it shares s09's full
+    DuckDB oracle; equality to the ad-hoc path is additionally pinned
+    in tests."""
     from crossfire_spark.catalog import load_table, spread
     from crossfire_spark.functions.similarity import _query_set
     from crossfire_spark.streaming.jobs import _session_workdir
@@ -594,6 +595,10 @@ def _oracle() -> dict[str, str]:
         "s06_ivf_index": SIMILARITY_ORACLE_SQL["s03_ivf_topk"],
         # s08 must equal s07 exactly (same codes, same ranking).
         "s08_sq8_index": SIMILARITY_ORACLE_SQL["s07_sq8_topk"],
+        # s10 must equal s09 exactly (same codebooks, codes, ADC and
+        # ranking); only the execution path (persisted code table vs
+        # ad-hoc encode) differs.
+        "s10_pq_index": SIMILARITY_ORACLE_SQL["s09_pq_topk"],
         # t16 must equal t09 exactly (same scoring and rounding); only
         # the execution path (inverted index vs corpus scan) differs.
         "t16_bm25_index": TEXT_ORACLE_SQL["t09_bm25"],

@@ -1296,10 +1296,11 @@ def s12_range_search(spark, sf_dir):
 
 
 def s09_pq_topk(spark, sf_dir):
-    """PQ ANN over the embeddings table. Code assignment depends on
-    float argmin ties only through the 9-dp rounding (deterministic),
-    but the candidate set is still quantization-dependent → rows-only
-    driver check; recall vs exact s01 and determinism are pinned in
+    """PQ ANN over the embeddings table. The whole pipeline is a pure
+    function of the data (first-K codebooks, 9-dp-rounded argmin
+    encode, fixed-order ADC sums), so it carries a full DuckDB oracle
+    (``_pq_oracle``) that replays codebook build, encode, ADC scan and
+    exact re-rank bit-for-bit; recall vs exact s01 is pinned in
     tests."""
     em = spread(load_table(spark, sf_dir, "embeddings"))
     return pq_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
@@ -1690,6 +1691,60 @@ SIMILARITY_QUERIES = {
     "s17_knn_graph_ann": s17_knn_graph_ann,
     "s18_density_clusters": s18_density_clusters,
 }
+
+def _pq_oracle() -> str:
+    """DuckDB mirror of the full PQ pipeline (codebooks → encode → ADC
+    → candidate rank → exact re-rank), bit-identical to the Spark path:
+
+    - subspace distances are the same explicit 4-term left-to-right
+      ``(x-c)*(x-c)`` sums numpy evaluates sequentially for d<8;
+    - per-query ADC tables materialize as 1024-element lists ordered
+      (s, j) — exactly the flattened layout ``pq_adc_tables`` emits;
+    - the candidate distance is the same 16-term ``element_at`` chain
+      (``al[s*K + code + 1]``) summed left-to-right, rounded to 9 dp
+      before ranking, so even the float addition order matches.
+    """
+    d = EMBED_DIM // PQ_M
+
+    def d2(v: str) -> str:
+        return " + ".join(
+            f"({v}[s*{d}+{i}]-ce[s*{d}+{i}])*({v}[s*{d}+{i}]-ce[s*{d}+{i}])"
+            for i in range(1, d + 1)
+        )
+
+    lookup = " + ".join(
+        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    return f"""
+        WITH book AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] ce
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+        subs AS (SELECT UNNEST(range({PQ_M})) s),
+        vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        enc AS (SELECT vec_id, s, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                           ORDER BY ROUND({d2('e')}, 9), j) rn
+                FROM vx, book, subs),
+        codes AS (SELECT vec_id, list(j ORDER BY s) cl FROM enc WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        adc AS (SELECT qid, s, j, {d2('qe')} d2 FROM q, book, subs),
+        adct AS (SELECT qid, list(d2 ORDER BY s, j) al FROM adc GROUP BY qid),
+        dist AS (SELECT qid, vec_id, ROUND({lookup}, 9) adcd
+                 FROM codes, adct WHERE qid != vec_id),
+        cand AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcd, vec_id) rn
+            FROM dist) WHERE rn <= {PQ_CAND_MULT * TOPK}),
+        rer AS (SELECT c.qid, c.vec_id,
+                       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+                            JOIN embeddings b ON b.vec_id = c.qid),
+        fin AS (SELECT qid, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM rer)
+        SELECT qid, vec_id, sim FROM fin WHERE rn <= {TOPK}
+        ORDER BY qid, vec_id, sim"""
+
+
+SIMILARITY_ORACLE_SQL["s09_pq_topk"] = _pq_oracle()
 
 SIMILARITY_ORACLE_SQL["s13_mmr_rerank"] = _mmr_oracle()
 

@@ -106,14 +106,12 @@ def test_registry_contract_consistency():
         "p03_choose_targets",
         "s02_lsh_topk",
         "s04_ivf_kmeans",
-        "s09_pq_topk",
-        "s10_pq_index",
         "s16_ann_recall_audit",
         "s17_knn_graph_ann",
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 204 and len(osql) == 190
+    assert len(qs) == 204 and len(osql) == 192
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
