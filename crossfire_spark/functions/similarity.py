@@ -423,32 +423,35 @@ def kmeans_fit(
     # corpus x k crossJoin, no per-vector window, no shuffle at all
     # for the assignment step. Ties broken like the previous
     # all-Catalyst form: distance rounded to 6, lowest cid wins
-    # (np.argmin returns the first minimum). The UDF is defined ONCE:
-    # the closure holds fixed (k, dim) buffers updated in place each
-    # iteration — cloudpickle captures their current contents at each
-    # job submission, so every assignment pass sees the fresh
-    # centroids without re-registering a new UDF per iteration.
+    # (np.argmin returns the first minimum). The UDF must be REBUILT
+    # each iteration: PySpark caches the serialized closure on first
+    # use (UserDefinedFunction._judf), so an in-place buffer update
+    # never reaches the executors — a define-once UDF silently
+    # re-assigns against the initial centroids forever (the stalled
+    # loop showed up as a bit-constant objective history when the
+    # DuckDB-unrolled oracle disagreed with iteration 2).
     from pyspark.sql.functions import pandas_udf
 
-    C = np.zeros((k, dim), dtype=np.float64)
-    c_sq = np.zeros(k, dtype=np.float64)
+    def _make_assign(cent: list[list[float]]):
+        C = np.asarray(cent, dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
 
-    @pandas_udf("struct<cid: int, dist: double>")
-    def _assign(v: pd.Series) -> pd.DataFrame:
-        V = np.stack(v.values).astype(np.float64)
-        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-        cid = np.round(d, 6).argmin(axis=1)
-        return pd.DataFrame(
-            {
-                "cid": cid.astype(np.int32),
-                "dist": d[np.arange(len(cid)), cid],
-            }
-        )
+        @pandas_udf("struct<cid: int, dist: double>")
+        def _assign(v: pd.Series) -> pd.DataFrame:
+            V = np.stack(v.values).astype(np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            cid = np.round(d, 6).argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "cid": cid.astype(np.int32),
+                    "dist": d[np.arange(len(cid)), cid],
+                }
+            )
+
+        return _assign
 
     for _ in range(n_iter):
-        C[:] = np.asarray(centroids, dtype=np.float64)
-        c_sq[:] = (C * C).sum(axis=1)
-
+        _assign = _make_assign(centroids)
         assigned = embeddings.select(
             "vec_id", "embedding", _assign("embedding").alias("a")
         ).select("embedding", F.col("a.cid").alias("cid"), F.col("a.dist").alias("dist"))
@@ -557,9 +560,11 @@ def _empty_topk(spark) -> DataFrame:
 
 def s04_ivf_kmeans(spark, sf_dir):
     """IVF with trained (Lloyd's) centroids — the production index
-    path. Iterative → no SQL oracle (rows-only driver check); the
-    objective monotonicity and recall-vs-naive-centroids floor are
-    pinned in tests/test_extensions.py."""
+    path. The fixed 3-iteration training is deterministic end-to-end
+    (seeded-hash init, 6-dp-rounded argmin, mean update), so it is
+    fully oracled by ``_kmeans_oracle``'s unrolled CTE chain; the
+    objective decrease and recall-vs-naive-centroids floor are
+    additionally pinned in tests/test_extensions.py."""
     em = spread(load_table(spark, sf_dir, "embeddings"))
     cents, _ = kmeans_fit(em, n_iter=3)
     if not cents:  # empty corpus
@@ -1691,6 +1696,148 @@ SIMILARITY_QUERIES = {
     "s17_knn_graph_ann": s17_knn_graph_ann,
     "s18_density_clusters": s18_density_clusters,
 }
+
+_U64, _U32 = 1 << 64, 1 << 32
+_XXP = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    """``(a * b) mod 2^64`` in DuckDB HUGEINT without 128-bit overflow:
+    split the constant into 32-bit halves so every partial stays under
+    2^96."""
+    bl, bh = b % _U32, b // _U32
+    return (
+        f"((({a}) * {bl}::HUGEINT + ((({a}) * {bh}::HUGEINT) % {_U32})"
+        f" * {_U32}) % {_U64})"
+    )
+
+
+def _sql_rotl(x: str, n: int) -> str:
+    lo = 1 << (64 - n)
+    return f"((({x}) % {lo}) * {1 << n} + ({x}) // {lo})"
+
+
+def _sql_xor(a: str, b: str) -> str:
+    return f"(xor((({a})::UBIGINT), (({b})::UBIGINT))::HUGEINT)"
+
+
+def _sql_shr(x: str, n: int) -> str:
+    return f"(({x}) // {1 << n})"
+
+
+def _xxhash64_steps() -> list[tuple[str, str]]:
+    """CTE column chain computing Spark's ``xxhash64(vec_id, lit(42))``
+    — which is ``XXH64.hashInt(42, XXH64.hashLong(vec_id, seed=42))``
+    (the second argument is hashed as another column, an INT literal;
+    it is NOT the seed) — over a non-negative HUGEINT column ``v``.
+    Verified bit-equal to ``F.xxhash64`` for the vec_id domain."""
+    p1, p2, p3, p4, p5 = _XXP
+    s = [
+        ("k1", _sql_mul64("v", p2)),
+        ("k2", _sql_rotl("k1", 31)),
+        ("k3", _sql_mul64("k2", p1)),
+        ("h1", _sql_xor(f"{(42 + p5 + 8) % _U64}::HUGEINT", "k3")),
+        ("h2", f"({_sql_mul64(_sql_rotl('h1', 27), p1)} + {p4}) % {_U64}"),
+        ("f1", _sql_xor("h2", _sql_shr("h2", 33))),
+        ("f2", _sql_mul64("f1", p2)),
+        ("f3", _sql_xor("f2", _sql_shr("f2", 29))),
+        ("f4", _sql_mul64("f3", p3)),
+        ("hl", _sql_xor("f4", _sql_shr("f4", 32))),
+        ("g1", f"((hl + {(p5 + 4) % _U64}) % {_U64})"),
+        ("g2", _sql_xor("g1", f"{(42 * p1) % _U64}::HUGEINT")),
+        ("g3", f"({_sql_mul64(_sql_rotl('g2', 23), p2)} + {p3}) % {_U64}"),
+        ("m1", _sql_xor("g3", _sql_shr("g3", 33))),
+        ("m2", _sql_mul64("m1", p2)),
+        ("m3", _sql_xor("m2", _sql_shr("m2", 29))),
+        ("m4", _sql_mul64("m3", p3)),
+        ("hu", _sql_xor("m4", _sql_shr("m4", 32))),
+        (
+            "h",
+            f"(CASE WHEN hu >= {1 << 63} THEN hu - {_U64}::HUGEINT"
+            " ELSE hu END)::BIGINT",
+        ),
+    ]
+    return s
+
+
+def _kmeans_oracle(n_iter: int = 3) -> str:
+    """DuckDB mirror of s04: seeded-hash init + ``n_iter`` unrolled
+    Lloyd's iterations + the IVF probe/re-rank tail.
+
+    The init order replays Spark's ``xxhash64(vec_id, lit(42))`` with
+    exact 64-bit integer CTE arithmetic (``_xxhash64_steps``); each
+    iteration is one argmin assignment (squared distance rounded to
+    6 dp — wide enough to absorb BLAS-vs-SQL float noise) and one
+    per-(cid, position) mean with empty clusters keeping their
+    previous centroid, exactly the ``kmeans_fit`` update. The same
+    unroll discipline as s13's greedy-MMR oracle: a fixed, small
+    iteration count is just a deeper CTE chain."""
+    ctes = [
+        "vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)",
+        "x0 AS (SELECT vec_id, vec_id::HUGEINT v FROM vx)",
+    ]
+    prev = "x0"
+    for i, (name, expr) in enumerate(_xxhash64_steps(), 1):
+        ctes.append(f"x{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"x{i}"
+    ctes.append(
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY t.h, t.vec_id) - 1 AS cid,"
+        f" vx.e ce FROM {prev} t JOIN vx USING (vec_id)"
+        f" ORDER BY t.h, t.vec_id LIMIT {IVF_CENTROIDS})"
+    )
+    assign_tpl = (
+        "{out} AS (SELECT vec_id, e, cid FROM ("
+        "SELECT vx.vec_id, vx.e, c.cid,"
+        " ROW_NUMBER() OVER (PARTITION BY vx.vec_id"
+        " ORDER BY ROUND(list_distance(vx.e, c.ce) ^ 2, 6), c.cid) rn"
+        " FROM vx, {cent} c) WHERE rn = 1)"
+    )
+    for t in range(1, n_iter + 1):
+        ctes.append(assign_tpl.format(out=f"a{t}", cent=f"c{t-1}"))
+        ctes.append(
+            f"m{t} AS (SELECT cid, i, AVG(e[i]) m"
+            f" FROM a{t}, UNNEST(range(1, len(e) + 1)) t(i) GROUP BY cid, i)"
+        )
+        ctes.append(
+            f"n{t} AS (SELECT cid, list(m ORDER BY i) ce FROM m{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cid, COALESCE(n.ce, p.ce) ce"
+            f" FROM c{t-1} p LEFT JOIN n{t} n USING (cid))"
+        )
+    ctes.append(assign_tpl.format(out="assign", cent=f"c{n_iter}"))
+    ctes.append(
+        f"probes AS (SELECT qid, qe, cid FROM ("
+        f"SELECT q.vec_id qid, q.e qe, c.cid,"
+        f" ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        f" ORDER BY ROUND(list_distance(q.e, c.ce) ^ 2, 6), c.cid) rn"
+        f" FROM vx q, c{n_iter} c WHERE q.vec_id % {QUERY_STRIDE} = 0)"
+        f" WHERE rn <= {IVF_PROBES})"
+    )
+    ctes.append(
+        "scored AS (SELECT p.qid, a.vec_id,"
+        " ROUND(list_cosine_similarity(a.e, p.qe), 4) sim"
+        " FROM assign a JOIN probes p USING (cid) WHERE a.vec_id != p.qid)"
+    )
+    ctes.append(
+        "r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER"
+        " (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM scored)"
+    )
+    body = ",\n        ".join(ctes)
+    return (
+        f"WITH {body}\n        SELECT qid, vec_id, sim FROM r"
+        f" WHERE rn <= {TOPK} ORDER BY qid, vec_id, sim"
+    )
+
+
+SIMILARITY_ORACLE_SQL["s04_ivf_kmeans"] = _kmeans_oracle()
+
 
 def _pq_oracle() -> str:
     """DuckDB mirror of the full PQ pipeline (codebooks → encode → ADC

@@ -158,6 +158,11 @@ def test_kmeans_ivf(spark):
     em = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
     cents, hist = kmeans_fit(em, n_iter=3)
     assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    # the loop must actually move: a define-once pandas UDF whose
+    # closure buffers are mutated in place re-assigns against the
+    # INITIAL centroids forever (PySpark caches the serialized UDF at
+    # first use), which showed up as a bit-constant objective history.
+    assert hist[-1] < hist[0], hist
     q = em.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

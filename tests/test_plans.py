@@ -105,13 +105,12 @@ def test_registry_contract_consistency():
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
-        "s04_ivf_kmeans",
         "s16_ann_recall_audit",
         "s17_knn_graph_ann",
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 204 and len(osql) == 192
+    assert len(qs) == 204 and len(osql) == 193
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
