@@ -1876,3 +1876,110 @@ DEDUP_ORACLE_SQL["d12_fuzzy_match"] = """
                CAST(COUNT(*) FILTER (lev <= 2) AS BIGINT) n_near
         FROM p GROUP BY c_mktsegment
         ORDER BY c_mktsegment, n_pairs, n_matches, n_near"""
+
+
+def split_leakage(docs: DataFrame, embeddings: DataFrame, threshold=None) -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the check a
+    train/val/test assignment needs AFTER t15's exact-dup-safe
+    hashing: t15 closes the exact/bag-duplicate channel by hashing
+    the split coin from the bag-of-words fingerprint, but two
+    near-duplicates (paraphrases, templated variants) still land in
+    different splits and leak evaluation answers into training. For
+    every unordered split pair this reports how many near-dup pairs
+    (embedding cosine >= the d05 threshold) cross it, how many
+    distinct documents are involved, and the worst similarity.
+
+    Scale shape: the split labels are per-row projections off the
+    documents scan (no shuffle); the pair side is d05's tiled exact
+    kernel (or, at 100 TB, any banded tier — d16/SemDeDup — feeding
+    the identical join); the two label joins shuffle only the
+    near-dup PAIRS (bounded by duplicate density, not corpus size),
+    and the report is a 3x3-bounded aggregate."""
+    from crossfire_spark.functions.similarity import (
+        NEARDUP_THRESHOLD,
+        embed_neardup_pairs,
+    )
+    from crossfire_spark.functions.text import split_assign
+
+    thr = NEARDUP_THRESHOLD if threshold is None else threshold
+    splits = split_assign(docs).select("doc_id", "split")
+    pairs = embed_neardup_pairs(embeddings, thr)
+    sa = splits.select(F.col("doc_id").alias("va"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("vb"), F.col("split").alias("sb"))
+    crossed = (
+        pairs.join(sa, "va")
+        .join(sb, "vb")
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "va",
+            "vb",
+            "sim",
+        )
+    )
+    docs_side = crossed.select(
+        "split_a", "split_b", F.col("va").alias("d")
+    ).unionAll(crossed.select("split_a", "split_b", F.col("vb").alias("d")))
+    n_docs = docs_side.groupBy("split_a", "split_b").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    rep = crossed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.max("sim").alias("max_sim")
+    )
+    return rep.join(n_docs, ["split_a", "split_b"]).select(
+        "split_a", "split_b", "n_pairs", "n_docs", "max_sim"
+    )
+
+
+def d21_split_leakage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    return split_leakage(docs, em).orderBy(
+        "split_a", "split_b", "n_pairs", "n_docs", "max_sim"
+    )
+
+
+DEDUP_QUERIES["d21_split_leakage"] = d21_split_leakage
+
+
+def _split_leakage_oracle() -> str:
+    from crossfire_spark.functions.similarity import NEARDUP_THRESHOLD
+    from crossfire_spark.functions.text import (
+        SPLIT_TRAIN_LIM,
+        SPLIT_VAL_LIM,
+        _u16_sql,
+    )
+
+    return f"""
+        WITH fp AS (SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+            FROM documents),
+        f AS (SELECT doc_id,
+                     CASE WHEN {_u16_sql('fp')} < {SPLIT_TRAIN_LIM} THEN 'train'
+                          WHEN {_u16_sql('fp')} < {SPLIT_VAL_LIM} THEN 'val'
+                          ELSE 'test' END split
+              FROM fp),
+        p AS (SELECT a.vec_id va, b.vec_id vb,
+                     ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    >= {NEARDUP_THRESHOLD}),
+        j AS (SELECT LEAST(fa.split, fb.split) split_a,
+                     GREATEST(fa.split, fb.split) split_b, va, vb, sim
+              FROM p JOIN f fa ON fa.doc_id = p.va
+                     JOIN f fb ON fb.doc_id = p.vb
+              WHERE fa.split != fb.split),
+        nd AS (SELECT split_a, split_b, COUNT(DISTINCT d) n_docs FROM (
+                   SELECT split_a, split_b, va d FROM j
+                   UNION ALL SELECT split_a, split_b, vb FROM j)
+               GROUP BY split_a, split_b),
+        rep AS (SELECT split_a, split_b, COUNT(*) n_pairs, MAX(sim) max_sim
+                FROM j GROUP BY split_a, split_b)
+        SELECT r.split_a, r.split_b, r.n_pairs, n.n_docs, r.max_sim
+        FROM rep r JOIN nd n USING (split_a, split_b)
+        ORDER BY split_a, split_b, n_pairs, n_docs, max_sim"""
+
+
+DEDUP_ORACLE_SQL["d21_split_leakage"] = _split_leakage_oracle()

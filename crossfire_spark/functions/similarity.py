@@ -1677,6 +1677,55 @@ def s14_rp_reduce(spark, sf_dir):
     return rp_reduce(em).orderBy("vec_id", "dim", "proj")
 
 
+HARD_NEG_LO = TOPK  # ranks 1..TOPK are the positive band — excluded
+HARD_NEG_HI = TOPK * 3  # mine ranks (TOPK, 3*TOPK] as hard negatives
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    lo: int = HARD_NEG_LO,
+    hi: int = HARD_NEG_HI,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (query), the candidates ranked just BELOW the positive top-``lo``
+    band — close enough to be informative negatives, far enough down
+    the ranking to be (probabilistically) true negatives. Random
+    negatives are too easy and stall the contrastive loss; this
+    mined band is the standard dense-retrieval recipe.
+
+    Scale shape: identical to s01's exact scorer — anchors broadcast,
+    ONE corpus scan however big the corpus (BroadcastNestedLoopJoin),
+    per-anchor rank window on the anchor key. At 100 TB the exact
+    scorer swaps for an ANN tier (s02–s10) over-fetching ``hi``
+    candidates into the same band filter — downstream unchanged.
+    ``neg_rank`` is emitted so samplers can weight by depth."""
+    corpus = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    q = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    scored = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot("embedding", "qe") / (F.col("nrm") * F.col("qn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where((F.col("neg_rank") > lo) & (F.col("neg_rank") <= hi))
+        .select("qid", "vec_id", "sim", "neg_rank")
+    )
+
+
+def s19_hard_negatives(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return hard_negatives(em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim", "neg_rank"
+    )
+
+
 SIMILARITY_QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_topk": s02_lsh_topk,
@@ -1695,7 +1744,17 @@ SIMILARITY_QUERIES = {
     "s16_ann_recall_audit": s16_ann_recall_audit,
     "s17_knn_graph_ann": s17_knn_graph_ann,
     "s18_density_clusters": s18_density_clusters,
+    "s19_hard_negatives": s19_hard_negatives,
 }
+
+SIMILARITY_ORACLE_SQL["s19_hard_negatives"] = f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        s AS (SELECT qid, vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+              FROM embeddings, q WHERE vec_id != qid),
+        r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) neg_rank FROM s)
+        SELECT qid, vec_id, sim, neg_rank FROM r
+        WHERE neg_rank > {HARD_NEG_LO} AND neg_rank <= {HARD_NEG_HI}
+        ORDER BY qid, vec_id, sim, neg_rank"""
 
 _U64, _U32 = 1 << 64, 1 << 32
 _XXP = (

@@ -684,3 +684,56 @@ def test_h12_funnel_is_monotone(spark, sf_dir):
     for r in rows:
         assert 0 <= r.conv_from_prev <= 1 and 0 <= r.conv_from_first <= 1
     assert rows[0].conv_from_prev == 1.0
+
+
+def test_s19_band_disjoint_from_topk(spark, sf_dir):
+    """Hard negatives must sit strictly below the positive band: per
+    anchor, the mined set is disjoint from s01's top-k, has at most
+    HARD_NEG_HI - HARD_NEG_LO rows, and every mined sim is <= the
+    anchor's weakest positive."""
+    from crossfire_spark.functions.similarity import (
+        HARD_NEG_HI,
+        HARD_NEG_LO,
+        s01_cosine_topk,
+        s19_hard_negatives,
+    )
+
+    pos = {}
+    for r in s01_cosine_topk(spark, sf_dir).collect():
+        pos.setdefault(r.qid, set()).add(r.vec_id)
+    weakest = {}
+    for r in s01_cosine_topk(spark, sf_dir).collect():
+        weakest[r.qid] = min(weakest.get(r.qid, 1.0), r.sim)
+    mined = {}
+    for r in s19_hard_negatives(spark, sf_dir).collect():
+        mined.setdefault(r.qid, []).append(r)
+        assert r.vec_id not in pos[r.qid], (r.qid, r.vec_id)
+        assert r.sim <= weakest[r.qid] + 1e-9, (r.qid, r.sim, weakest[r.qid])
+    for qid, rows in mined.items():
+        assert len(rows) <= HARD_NEG_HI - HARD_NEG_LO
+
+
+def test_d21_leakage_is_cross_split_subset_of_d05(spark, sf_dir):
+    """Every leaked pair counted by d21 must be a d05 near-dup pair
+    whose endpoints t15 assigned to different splits — and the totals
+    must reconcile against that recomputation exactly."""
+    from crossfire_spark.functions.dedup import d21_split_leakage
+    from crossfire_spark.functions.similarity import d05_embed_neardup
+    from crossfire_spark.functions.text import t15_split_assign
+
+    split = {r.doc_id: r.split for r in t15_split_assign(spark, sf_dir).collect()}
+    expected = {}
+    for r in d05_embed_neardup(spark, sf_dir).collect():
+        sa, sb = split.get(r.va), split.get(r.vb)
+        if sa is None or sb is None or sa == sb:
+            continue
+        key = tuple(sorted((sa, sb)))
+        pairs, docs, mx = expected.get(key, (0, set(), 0.0))
+        expected[key] = (pairs + 1, docs | {r.va, r.vb}, max(mx, r.sim))
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_docs, r.max_sim)
+        for r in d21_split_leakage(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (pairs, docs, mx) in expected.items():
+        assert got[key] == (pairs, len(docs), mx), (key, got[key])
