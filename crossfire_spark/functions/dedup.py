@@ -1893,8 +1893,11 @@ def split_leakage(docs: DataFrame, embeddings: DataFrame, threshold=None) -> Dat
     documents scan (no shuffle); the pair side is d05's tiled exact
     kernel (or, at 100 TB, any banded tier — d16/SemDeDup — feeding
     the identical join); the two label joins shuffle only the
-    near-dup PAIRS (bounded by duplicate density, not corpus size),
-    and the report is a 3x3-bounded aggregate."""
+    near-dup PAIRS (bounded by duplicate density, not corpus size).
+    Each pair explodes into its two endpoints so pair count, distinct
+    docs and worst sim come from ONE aggregate over ONE execution of
+    the pair kernel — a two-consumer frame would re-derive the whole
+    kernel subtree per consumer."""
     from crossfire_spark.functions.similarity import (
         NEARDUP_THRESHOLD,
         embed_neardup_pairs,
@@ -1906,7 +1909,7 @@ def split_leakage(docs: DataFrame, embeddings: DataFrame, threshold=None) -> Dat
     pairs = embed_neardup_pairs(embeddings, thr)
     sa = splits.select(F.col("doc_id").alias("va"), F.col("split").alias("sa"))
     sb = splits.select(F.col("doc_id").alias("vb"), F.col("split").alias("sb"))
-    crossed = (
+    endpoints = (
         pairs.join(sa, "va")
         .join(sb, "vb")
         .where(F.col("sa") != F.col("sb"))
@@ -1916,20 +1919,14 @@ def split_leakage(docs: DataFrame, embeddings: DataFrame, threshold=None) -> Dat
             "va",
             "vb",
             "sim",
+            F.explode(F.array("va", "vb")).alias("d"),
         )
     )
-    docs_side = crossed.select(
-        "split_a", "split_b", F.col("va").alias("d")
-    ).unionAll(crossed.select("split_a", "split_b", F.col("vb").alias("d")))
-    n_docs = docs_side.groupBy("split_a", "split_b").agg(
-        F.countDistinct("d").alias("n_docs")
-    )
-    rep = crossed.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.max("sim").alias("max_sim")
-    )
-    return rep.join(n_docs, ["split_a", "split_b"]).select(
-        "split_a", "split_b", "n_pairs", "n_docs", "max_sim"
-    )
+    return endpoints.groupBy("split_a", "split_b").agg(
+        F.countDistinct(F.struct("va", "vb")).alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs"),
+        F.max("sim").alias("max_sim"),
+    ).select("split_a", "split_b", "n_pairs", "n_docs", "max_sim")
 
 
 def d21_split_leakage(spark, sf_dir):
