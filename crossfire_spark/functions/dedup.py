@@ -1980,3 +1980,43 @@ def _split_leakage_oracle() -> str:
 
 
 DEDUP_ORACLE_SQL["d21_split_leakage"] = _split_leakage_oracle()
+
+
+def anchor_positives(docs: DataFrame) -> DataFrame:
+    """Contrastive positive-pair generation — the complement of s19's
+    hard negatives: within each near-duplicate cluster (d06's
+    transitive closure of the exact-Jaccard pair set), every ordered
+    (anchor < positive) pair, labeled with the cluster id. Near-dup
+    mining is the standard source of positives for embedding-model
+    training when no supervised pairs exist (paraphrases and templated
+    variants of one underlying text).
+
+    Scale shape: one cluster-keyed co-partitioned self-join — the
+    quadratic term is bounded by the largest near-dup cluster (small
+    and shallow by construction), exactly the SemDeDup premise; the
+    cluster labels come from the checkpointed O(diameter) min-label
+    propagation, never a driver-side pass."""
+    cl = connected_components(exact_jaccard_pairs(docs))
+    a = cl.select("cluster_id", F.col("doc_id").alias("anchor"))
+    b = cl.select("cluster_id", F.col("doc_id").alias("positive"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("anchor") < F.col("positive"))
+        .select("cluster_id", "anchor", "positive")
+    )
+
+
+def d22_anchor_positives(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return anchor_positives(docs).orderBy("cluster_id", "anchor", "positive")
+
+
+DEDUP_QUERIES["d22_anchor_positives"] = d22_anchor_positives
+
+DEDUP_ORACLE_SQL["d22_anchor_positives"] = f"""
+        WITH cl AS (SELECT * FROM ({DEDUP_ORACLE_SQL["d06_dup_clusters"].replace("ORDER BY doc_id, cluster_id", "")})),
+        p AS (SELECT a.cluster_id, a.doc_id anchor, b.doc_id positive
+              FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id
+              WHERE a.doc_id < b.doc_id)
+        SELECT cluster_id, anchor, positive FROM p
+        ORDER BY cluster_id, anchor, positive"""

@@ -1722,3 +1722,116 @@ EXTENDED_ORACLE_SQL["h09_lttb_downsample"] = f"""
         WHERE rn = 1
         ORDER BY event_type, bucket, ts, "value"
 """
+
+
+# --------------------------------------------------- AMOC changepoint
+CP_MIN_N = 20  # users with shorter streams carry no detectable shift
+
+
+def changepoints(events: DataFrame) -> DataFrame:
+    """At-most-one-changepoint (AMOC) detection per user stream — the
+    binary-segmentation primitive (the first split of Scott-Knott /
+    PELT-style detectors): for every interior index t of the
+    ts-ordered value series, the CUSUM-type statistic
+    ``sqrt(t*(n-t)/n) * |mean(left) - mean(right)|``; the report is
+    each user's argmax split (its position, epoch second, mean shift
+    and statistic). The textbook recursive CUSUM
+    (``s_t = max(0, s_{t-1} + x_t - k)``) does NOT distribute — this
+    prefix-sum form is the standard scale-out rewrite: one ordered
+    window pass, no recursion, no UDF.
+
+    Scale shape: one window partitioned by ``user_id`` (millions of
+    short per-user streams — same key discipline as h08); prefix sums
+    accumulate in ts order, so left/right means derive from the SAME
+    sequential additions on any engine (the totals reuse the prefix
+    value at row n via ``last`` over the ordered frame rather than
+    re-summing in partition order, which is not order-deterministic).
+    The statistic is a pure function of those bit-identical prefixes;
+    ranking ties break on position."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    base = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        cum.alias("cum"),
+    ).withColumn(
+        "total",
+        F.last("cum").over(w.rowsBetween(0, Window.unboundedFollowing)),
+    ).withColumn(
+        "n", F.max("rn").over(Window.partitionBy("user_id"))
+    )
+    t = F.col("rn").cast("double")
+    n = F.col("n").cast("double")
+    shift = F.abs(F.col("cum") / t - (F.col("total") - F.col("cum")) / (n - t))
+    stat = F.sqrt(t * (n - t) / n) * shift
+    scored = base.where(
+        (F.col("n") >= CP_MIN_N) & (F.col("rn") < F.col("n"))
+    ).select(
+        "user_id",
+        "n",
+        "rn",
+        F.unix_timestamp("ts").alias("cp_epoch"),
+        stat.alias("stat_raw"),
+        shift.alias("shift_raw"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("stat_raw").desc(), F.col("rn")
+    )
+    return (
+        scored.withColumn("pr", F.row_number().over(pick))
+        .where(F.col("pr") == 1)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("rn").alias("cp_index"),
+            "cp_epoch",
+            F.round(F.round("shift_raw", 9) + F.lit(1e-12), 4).alias("mean_shift"),
+            F.round(F.round("stat_raw", 9) + F.lit(1e-12), 4).alias("cp_stat"),
+        )
+    )
+
+
+def h14_changepoint(spark, sf_dir):
+    """Per-user AMOC changepoint report over the events table —
+    oracled by the identical prefix-sum statistic in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    return changepoints(e).orderBy(
+        "user_id", "n_events", "cp_index", "cp_epoch", "mean_shift", "cp_stat"
+    )
+
+
+EXTENDED_QUERIES["h14_changepoint"] = h14_changepoint
+
+EXTENDED_ORACLE_SQL["h14_changepoint"] = f"""
+        WITH b1 AS (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER w rn,
+                   SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        base AS (
+            SELECT user_id, ts, rn, cum,
+                   LAST_VALUE(cum) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) total,
+                   MAX(rn) OVER (PARTITION BY user_id) n
+            FROM b1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        scored AS (
+            SELECT user_id, n, rn,
+                   CAST(floor(epoch(ts)) AS BIGINT) cp_epoch,
+                   ABS(cum / rn - (total - cum) / (n - rn)) shift_raw,
+                   SQRT(rn * (n - rn) * 1.0 / n)
+                       * ABS(cum / rn - (total - cum) / (n - rn)) stat_raw
+            FROM base WHERE n >= {CP_MIN_N} AND rn < n)
+        SELECT user_id, n n_events, rn cp_index, cp_epoch,
+               ROUND(ROUND(shift_raw, 9) + 1e-12, 4) mean_shift,
+               ROUND(ROUND(stat_raw, 9) + 1e-12, 4) cp_stat
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY stat_raw DESC, rn) pr
+              FROM scored)
+        WHERE pr = 1
+        ORDER BY user_id, n_events, cp_index, cp_epoch, mean_shift, cp_stat"""

@@ -737,3 +737,59 @@ def test_d21_leakage_is_cross_split_subset_of_d05(spark, sf_dir):
     assert set(got) == set(expected)
     for key, (pairs, docs, mx) in expected.items():
         assert got[key] == (pairs, len(docs), mx), (key, got[key])
+
+
+def test_h14_changepoint_matches_numpy_bruteforce(spark, sf_dir):
+    """For a handful of users, the argmax split of the AMOC statistic
+    recomputed brute-force in numpy must equal the report."""
+    from crossfire_spark.operators.extended import CP_MIN_N, h14_changepoint
+
+    rep = {r.user_id: r for r in h14_changepoint(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    pdf = e.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        x = g["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < CP_MIN_N:
+            assert uid not in rep
+            continue
+        cum = np.cumsum(x)
+        t = np.arange(1, n)
+        stat = np.sqrt(t * (n - t) / n) * np.abs(
+            cum[:-1] / t - (cum[-1] - cum[:-1]) / (n - t)
+        )
+        best = int(stat.argmax())
+        r = rep[uid]
+        assert r.cp_index == best + 1, (uid, r.cp_index, best + 1)
+        assert abs(r.cp_stat - round(stat[best], 4)) <= 1e-3
+        checked += 1
+        if checked >= 10:
+            break
+    assert checked > 0
+
+
+def test_d22_pairs_are_complete_within_clusters(spark, sf_dir):
+    """d22 must emit exactly C(size, 2) ordered pairs per d06 cluster
+    and nothing across clusters."""
+    from itertools import combinations
+
+    from crossfire_spark.functions.dedup import (
+        d06_dup_clusters,
+        d22_anchor_positives,
+    )
+
+    clusters = {}
+    for r in d06_dup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    expected = {
+        (cid, a, b)
+        for cid, ids in clusters.items()
+        for a, b in combinations(sorted(ids), 2)
+    }
+    got = {
+        (r.cluster_id, r.anchor, r.positive)
+        for r in d22_anchor_positives(spark, sf_dir).collect()
+    }
+    assert got == expected
