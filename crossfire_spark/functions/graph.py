@@ -684,3 +684,141 @@ GRAPH_ORACLE_SQL = {
     "g07_reachability": _reach_oracle(),
     "g08_bipartite_projection": _bipartite_oracle(),
 }
+
+
+PPR_SEED_MOD = 25  # deterministic seed set: doc_id % 25 == 0
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMP,
+) -> DataFrame:
+    """Personalized PageRank — relevance to a SEED SET instead of
+    global importance: the restart vector concentrates 1/|S| on each
+    seed (teleport always returns to the seeds, and dangling mass
+    redistributes to them, the standard PPR convention), so rank
+    measures proximity to the trusted set. The graph-based
+    data-selection primitive: seed with curated documents, keep the
+    corpus ranked by PPR mass (TrustRank-style curation).
+
+    Scale shape: identical per-iteration plan to :func:`pagerank`
+    (one edge-keyed join + one aggregate per round, dangling as a
+    1-row aggregate); the restart vector is a node-keyed column, not
+    a broadcast structure, so a million-seed set costs the same as
+    one seed."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_in = seeds.select(F.col("seed").alias("node")).distinct().join(
+        nodes, "node", "left_semi"
+    )
+    n_seeds = seed_in.count()
+    if n_seeds == 0:  # no seeds in graph — all-zero ranks, not a crash
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    restart = (
+        nodes.join(seed_in.withColumn("is_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("res"),
+        )
+        .localCheckpoint()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w_edges = edges.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    has_out = w_edges.select(F.col("src").alias("node")).distinct()
+    ranks = restart.select("node", F.col("res").alias("rank"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            w_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("recv"))
+        )
+        ranks = (
+            restart.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("res")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("recv", F.lit(0.0))
+                        + F.col("dm") * F.col("res")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def g09_personalized_pagerank(spark, sf_dir):
+    """PPR over the synthetic document link graph from the
+    deterministic seed set ``doc_id % 25 == 0`` — oracled by the
+    identical unrolled computation in DuckDB; ranks stabilized like
+    g01 (ROUND(·,9)+1e-12 → 6 dp)."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.where(F.col("doc_id") % PPR_SEED_MOD == 0).select(
+        F.col("doc_id").alias("seed")
+    )
+    ranks = personalized_pagerank(doc_link_graph(d), seeds)
+    return ranks.select(
+        "node",
+        F.round(F.round(F.col("rank"), 9) + F.lit(1e-12), 6).alias("rank"),
+    ).orderBy("node", "rank")
+
+
+def _ppr_oracle() -> str:
+    it = """
+        recv{i} AS (SELECT e.dst node, SUM(r.rank * e.w) recv
+                    FROM we e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+        dang{i} AS (SELECT COALESCE(SUM(rank), 0) dm FROM r{p}
+                    WHERE node NOT IN (SELECT src FROM we)),
+        r{i} AS (SELECT s.node,
+                        (1 - {d}) * s.res + {d} * (COALESCE(v.recv, 0) + g.dm * s.res) rank
+                 FROM res s CROSS JOIN dang{i} g
+                 LEFT JOIN recv{i} v ON s.node = v.node)"""
+    steps = ",".join(
+        it.format(i=i, p=i - 1, d=PR_DAMP) for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+        sd AS (SELECT DISTINCT doc_id node FROM documents
+               WHERE doc_id % {PPR_SEED_MOD} = 0
+                 AND doc_id IN (SELECT node FROM nodes)),
+        ns AS (SELECT COUNT(*) * 1.0 n FROM sd),
+        res AS (SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END res
+                FROM nodes n CROSS JOIN ns LEFT JOIN sd s ON n.node = s.node),
+        deg AS (SELECT src, COUNT(*) c FROM e GROUP BY src),
+        we AS (SELECT e.src, e.dst, 1.0 / d.c w FROM e JOIN deg d ON e.src = d.src),
+        r0 AS (SELECT node, res rank FROM res),
+        {steps}
+        SELECT node, ROUND(ROUND(rank, 9) + 1e-12, 6) rank
+        FROM r{PR_ITERS} ORDER BY node, rank"""
+
+
+GRAPH_QUERIES["g09_personalized_pagerank"] = g09_personalized_pagerank
+GRAPH_ORACLE_SQL["g09_personalized_pagerank"] = _ppr_oracle()

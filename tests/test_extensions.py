@@ -793,3 +793,19 @@ def test_d22_pairs_are_complete_within_clusters(spark, sf_dir):
         for r in d22_anchor_positives(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_g09_ppr_mass_conserves_and_concentrates_on_seeds(spark, sf_dir):
+    """PPR sanity: total rank mass ~1, and the seed set holds more
+    mass than a same-size uniform share (teleport bias)."""
+    from crossfire_spark.functions.graph import (
+        PPR_SEED_MOD,
+        g09_personalized_pagerank,
+    )
+
+    rows = g09_personalized_pagerank(spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    seed_mass = sum(r.rank for r in rows if r.node % PPR_SEED_MOD == 0)
+    n_seed = sum(1 for r in rows if r.node % PPR_SEED_MOD == 0)
+    assert seed_mass > n_seed / len(rows), (seed_mass, n_seed / len(rows))

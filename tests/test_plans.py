@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 208 and len(osql) == 197
+    assert len(qs) == 209 and len(osql) == 198
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
