@@ -1976,3 +1976,89 @@ TEXT_ORACLE_SQL["t25_heavy_hitters"] = f"""
             FROM (SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
             GROUP BY w ORDER BY c DESC, w LIMIT {HH_TOPK})
         ORDER BY w, c"""
+
+
+# ------------------------------------------------ epoch/upsampling schedule
+EPOCH_TIERS = ((0.75, 3), (0.60, 2), (0.45, 1))  # quality >= thr -> epochs
+
+
+def epoch_schedule(docs: "DataFrame") -> "DataFrame":
+    """Quality-bucketed repetition (epoch) schedule — the upsampling
+    plan quality-weighted training recipes apply before tokenization:
+    high-quality documents repeat for several epochs, mid-quality for
+    fewer, and the lowest tier is dropped. Fixed THRESHOLDS on t02's
+    composite quality (not quantiles): a quantile bucketing needs a
+    global sort/ntile window — a single-task funnel at corpus scale —
+    while thresholds are a per-row projection that parallelizes
+    embarrassingly and stays stable as the corpus grows (quantiles
+    silently reshuffle tier membership whenever the distribution
+    drifts). Output is one row per (doc, epoch), the expanded plan a
+    training-data writer materializes directly.
+
+    Scale shape: one scan, no joins, no windows; the explode fans out
+    at most 3x and only for the tiers that earn it."""
+    words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words)
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[.,!?;:]", "")
+    )
+    inlist = ",".join(f"'{m}'" for m in _EN_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(lower(text), ' '), w -> w IN ({inlist})))"
+    )
+    quality = F.round(
+        F.round(
+            F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+            + (1 - n_punct / F.length("text")) * 0.25
+            + F.least(n_stop / n_words * 5.0, F.lit(1.0)) * 0.25,
+            6,
+        )
+        + F.lit(1e-9),
+        2,
+    )
+    tiers = F.when(quality >= EPOCH_TIERS[0][0], F.lit(EPOCH_TIERS[0][1]))
+    for thr, n in EPOCH_TIERS[1:]:
+        tiers = tiers.when(quality >= thr, F.lit(n))
+    tiers = tiers.otherwise(F.lit(0))
+    base = docs.select(
+        "doc_id", quality.alias("quality"), tiers.alias("n_epochs")
+    ).where(F.col("n_epochs") >= 1)
+    return base.select(
+        "doc_id",
+        "quality",
+        "n_epochs",
+        F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+    )
+
+
+def t30_epoch_schedule(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_schedule(d).orderBy("doc_id", "quality", "n_epochs", "epoch")
+
+
+TEXT_QUERIES["t30_epoch_schedule"] = t30_epoch_schedule
+
+
+def _epoch_schedule_oracle() -> str:
+    inlist = ",".join(f"'{m}'" for m in _EN_STOPWORDS)
+    stop = (
+        f"len(list_filter(string_split(lower(text), ' '),"
+        f" w -> w IN ({inlist})))"
+    )
+    q = f"""ROUND(ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+          + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)) * 0.25
+          + LEAST({stop} * 1.0 / len(string_split(lower(text), ' ')) * 5.0, 1.0) * 0.25, 6) + 1e-9, 2)"""
+    tiers = " ".join(
+        f"WHEN q >= {thr} THEN {n}" for thr, n in EPOCH_TIERS
+    )
+    return f"""
+        WITH scored AS (SELECT doc_id, {q} q FROM documents),
+        tiered AS (SELECT doc_id, q quality, CASE {tiers} ELSE 0 END n_epochs
+                   FROM scored)
+        SELECT doc_id, quality, n_epochs, CAST(e.epoch AS INT) epoch
+        FROM tiered, UNNEST(range(1, n_epochs + 1)) e(epoch)
+        WHERE n_epochs >= 1
+        ORDER BY doc_id, quality, n_epochs, epoch"""
+
+
+TEXT_ORACLE_SQL["t30_epoch_schedule"] = _epoch_schedule_oracle()

@@ -809,3 +809,32 @@ def test_g09_ppr_mass_conserves_and_concentrates_on_seeds(spark, sf_dir):
     seed_mass = sum(r.rank for r in rows if r.node % PPR_SEED_MOD == 0)
     n_seed = sum(1 for r in rows if r.node % PPR_SEED_MOD == 0)
     assert seed_mass > n_seed / len(rows), (seed_mass, n_seed / len(rows))
+
+
+def test_t30_epoch_schedule_tiers_reconcile_with_t02(spark, sf_dir):
+    """Every scheduled doc's epoch count must match its t02 quality
+    tier, rows per doc must equal n_epochs, and sub-threshold docs
+    must be absent."""
+    from crossfire_spark.functions.text import (
+        EPOCH_TIERS,
+        t02_quality,
+        t30_epoch_schedule,
+    )
+
+    quality = {r.doc_id: r.quality for r in t02_quality(spark, sf_dir).collect()}
+
+    def tier(q):
+        for thr, n in EPOCH_TIERS:
+            if q >= thr:
+                return n
+        return 0
+
+    per_doc = {}
+    for r in t30_epoch_schedule(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+        assert r.n_epochs == tier(quality[r.doc_id]), (r.doc_id, r.quality)
+    for doc_id, rows in per_doc.items():
+        assert sorted(r.epoch for r in rows) == list(range(1, rows[0].n_epochs + 1))
+    dropped = {d for d, q in quality.items() if tier(q) == 0}
+    assert dropped.isdisjoint(per_doc)
+    assert len(per_doc) > 0 and len(dropped) > 0  # tiers non-trivial here

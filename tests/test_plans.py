@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 209 and len(osql) == 198
+    assert len(qs) == 210 and len(osql) == 199
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
