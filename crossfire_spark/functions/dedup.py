@@ -252,6 +252,8 @@ def minhash_signatures_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
     @pandas_udf("array<long>")
     def _mins(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        if len(h1s) == 0:  # Arrow may deliver a zero-row batch;
+            return pd.Series([], dtype=object)  # np.concatenate([]) raises
         lens = np.fromiter((len(x) for x in h1s), dtype=np.int64, count=len(h1s))
         A = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in h1s]
@@ -1272,7 +1274,7 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
     @pandas_udf("array<long>")
     def _sig(wv: pd.Series) -> pd.Series:
         # Per-Arrow-batch memo of word -> ±1 sign vector. Each entry
-        # is nbits doubles (~32 KiB at 4096 bits), so the memo is
+        # is nbits doubles (~16 KiB at the default 2048 bits), so the memo is
         # CAPPED: an open-vocabulary batch (100k+ distinct words)
         # must not accumulate gigabytes of sign vectors — past the
         # cap we recompute, trading CPU for bounded executor memory.
@@ -1303,8 +1305,8 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
         # compute EVERY signature in one BLAS matmul
         # (docs×vocab @ vocab×nbits) instead of ~40 per-doc numpy
         # axpy calls per document — measured 4x on the signature
-        # stage. The cap bounds the dense buffers (1024×4096 doubles
-        # = 32 MiB); an open-vocabulary batch falls back to the
+        # stage. The cap bounds the dense buffers (1024×nbits doubles
+        # = 16 MiB at 2048 bits); an open-vocabulary batch falls back to the
         # per-doc accumulation below, which never materializes a
         # vocab-wide matrix.
         vocab: dict = {}
@@ -1459,8 +1461,9 @@ def weighted_srp_pairs(
     Between banding and exact verify sits a PROGRESSIVE HAMMING
     PREFILTER: a coarse 1024-bit popcount (margin ~3σ of that
     estimator) runs on the raw band-collision stream before the pair
-    distinct, then the full 4096-bit estimate (one Arrow pass;
-    banding reads only the 1536-bit prefix) re-screens survivors at
+    distinct, then the full ``n_longs*64``-bit estimate (2048 bits at
+    the default SRP_LONGS=32; one Arrow pass — banding reads only the
+    1536-bit prefix) re-screens survivors at
     ``threshold - prefilter_margin`` (3σ at the full width). Each stage's
     own miss rate is ≲0.1% — but together they remove the
     mid-similarity candidate mass that band collisions cannot (on a
@@ -1502,7 +1505,8 @@ def weighted_srp_pairs(
     # collision multiplicity cheaper than a distinct over the full
     # candidate mass (measured 5.4 s -> 3.8 s for band+distinct and
     # 7.4 s -> 3.5 s for the prefilter overall at sf0.1). The full
-    # 4096-bit estimate then runs only on coarse survivors. The
+    # n_longs*64-bit (default 2048) estimate then runs only on coarse
+    # survivors. The
     # coarse margin is ~3σ of the 1024-bit estimator (σ_cos ≈ 0.021
     # near the declared threshold) so its own true-pair loss is ~0.1%
     # — inside the band-miss budget the operator already declares.

@@ -714,7 +714,11 @@ def knn_graph(
                 ib, B, nb = _unpack(row["tile_b"])
                 sims = np.round((A @ B.T) / (na[:, None] * nb[None, :]), 4)
                 if row["bid_a"] == row["bid_b"]:
-                    np.fill_diagonal(sims, -np.inf)
+                    # mask self-pairs by ID, not position: collect_list
+                    # order is non-deterministic and the two join sides
+                    # can be independently recomputed (stage retry /
+                    # speculation), so fill_diagonal could misalign
+                    sims[ia[:, None] == ib[None, :]] = -np.inf
                     yield _local_topk(ia, ib, sims)
                 else:
                     yield _local_topk(ia, ib, sims)
@@ -734,6 +738,54 @@ def knn_graph(
 def s15_knn_graph(spark, sf_dir):
     em = spread(load_table(spark, sf_dir, "embeddings"))
     return knn_graph(em).orderBy("vec_id", "nbr_id", "sim")
+
+
+def ann_graph_candidates(
+    signed: DataFrame,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    bucket_cap: int = LSH_TOPK_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate edge set of the ANN k-NN graph: both directions of
+    every (capped) shared-LSH-band pair → (vec_id, nbr_id), distinct.
+    Split out from :func:`knn_graph_ann` so the hash-dependent stage
+    can be EXPORTED and the downstream score+top-k stage verified
+    against a SQL oracle over the exported candidates (the d13
+    soundness pattern — the only non-SQL step is then the banding
+    itself). ``signed`` must carry (vec_id, lsh_sig)."""
+    from crossfire_spark.functions.dedup import _cap_buckets
+
+    bits_per_band = bits // bands
+    b_tab = signed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("lsh_sig", i * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "bv.band", "bv.val")
+    b_tab = _cap_buckets(b_tab, ["band", "val"], bucket_cap)
+    a, b = b_tab.alias("a"), b_tab.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id")
+        )
+        .distinct()
+    )
 
 
 def knn_graph_ann(
@@ -757,38 +809,8 @@ def knn_graph_ann(
         .select("vec_id", "embedding", "lsh_sig")
         .localCheckpoint()
     )
-    from crossfire_spark.functions.dedup import _cap_buckets
-
-    bits_per_band = bits // bands
-    b_tab = corpus.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("lsh_sig", i * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("vec_id", "bv.band", "bv.val")
-    b_tab = _cap_buckets(b_tab, ["band", "val"], bucket_cap)
-    a, b = b_tab.alias("a"), b_tab.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id")
-        )
-        .distinct()
+    cand = ann_graph_candidates(
+        corpus, bands=bands, bits=bits, bucket_cap=bucket_cap
     )
     scored = (
         cand.join(corpus.select("vec_id", "embedding"), "vec_id")
@@ -942,7 +964,11 @@ def ann_recall_audit(
 def s17_knn_graph_ann(spark, sf_dir):
     """LSH-bucketed approximate k-NN graph (the s01→s02 relationship,
     applied to s15). Hash-dependent candidates → rows-only driver
-    check; recall vs the exact graph is pinned in tests."""
+    check; recall vs the exact graph is pinned in tests, and the
+    whole post-banding stage (exact cosine scoring + per-node top-k)
+    is bit-exact vs a DuckDB oracle over the EXPORTED candidate set
+    (``test_knn_graph_ann_verify_stage_sql_oracle`` — the d13
+    soundness pattern, leaving only the seeded banding non-SQL)."""
     em = spread(load_table(spark, sf_dir, "embeddings"))
     return knn_graph_ann(em).orderBy("vec_id", "nbr_id", "sim")
 
@@ -1667,7 +1693,9 @@ def rp_reduce(em: DataFrame, d_out: int = RP_DIMS) -> DataFrame:
         .select(
             "vec_id",
             F.col("dim").cast("long").alias("dim"),
-            F.round(F.round("v", 9) + F.lit(1e-12), 4).alias("proj"),
+            # + 0.0 canonicalizes IEEE -0.0 (negative dot rounding to
+            # zero) to +0.0 — bit-exact vs the oracle
+            (F.round(F.round("v", 9) + F.lit(1e-12), 4) + F.lit(0.0)).alias("proj"),
         )
     )
 
@@ -2009,7 +2037,7 @@ SIMILARITY_ORACLE_SQL["s14_rp_reduce"] = f"""
               FROM embeddings,
                    unnest(range(1, len(embedding) + 1)) u(i))
         SELECT vec_id, r AS dim,
-               ROUND(ROUND(SUM(v * s), 9) + 1e-12, 4) proj
+               ROUND(ROUND(SUM(v * s), 9) + 1e-12, 4) + 0.0 proj
         FROM e JOIN signs USING (d)
         GROUP BY vec_id, r
         ORDER BY vec_id, dim, proj"""

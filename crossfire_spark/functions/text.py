@@ -1302,7 +1302,8 @@ def dsir_weights(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.round(F.avg("lw"), 6) + F.lit(1e-9), 3).alias("dsir"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (bit-exact vs oracle)
+            (F.round(F.round(F.avg("lw"), 6) + F.lit(1e-9), 3) + F.lit(0.0)).alias("dsir"),
         )
         .select(
             "doc_id", "n_tokens", "dsir", (F.col("dsir") > 0).alias("selected")
@@ -1773,7 +1774,7 @@ TEXT_ORACLE_SQL["t23_dsir_weights"] = f"""
                          - ln((raw.c_r + 1.0) / (tot.n_r + tot.v)) lw
                   FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tot)
         SELECT doc_id, COUNT(*) n_tokens,
-               ROUND(ROUND(AVG(lw), 6) + 1e-9, 3) dsir,
+               ROUND(ROUND(AVG(lw), 6) + 1e-9, 3) + 0.0 dsir,
                ROUND(ROUND(AVG(lw), 6) + 1e-9, 3) > 0 selected
         FROM toks JOIN model USING (w)
         GROUP BY doc_id

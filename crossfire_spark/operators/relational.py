@@ -1100,7 +1100,9 @@ def q63(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
 
     def stab(c: F.Column) -> F.Column:
-        return F.round(F.round(c, 6) + F.lit(1e-9), 4)
+        # trailing + 0.0 canonicalizes IEEE -0.0 (covar of tiny
+        # negative co-moment rounds to zero from below) to +0.0
+        return F.round(F.round(c, 6) + F.lit(1e-9), 4) + F.lit(0.0)
 
     return (
         li.groupBy("l_returnflag")
@@ -1434,10 +1436,10 @@ ORACLE_SQL: dict[str, str] = {
             CAST(greatest(len(a), len(b)) AS INT) n_zip
         FROM s ORDER BY doc_id, ab_i, n_union, n_except, n_zip""",
     "q63": """SELECT l_returnflag,
-        ROUND(ROUND(corr(l_quantity, l_extendedprice), 6) + 1e-9, 4) corr_qp,
-        ROUND(ROUND(covar_samp(l_discount, l_tax), 6) + 1e-9, 4) cov_dt,
-        ROUND(ROUND(stddev_samp(l_quantity), 6) + 1e-9, 4) sd_q,
-        ROUND(ROUND(var_samp(l_discount), 6) + 1e-9, 4) var_d,
+        ROUND(ROUND(corr(l_quantity, l_extendedprice), 6) + 1e-9, 4) + 0.0 corr_qp,
+        ROUND(ROUND(covar_samp(l_discount, l_tax), 6) + 1e-9, 4) + 0.0 cov_dt,
+        ROUND(ROUND(stddev_samp(l_quantity), 6) + 1e-9, 4) + 0.0 sd_q,
+        ROUND(ROUND(var_samp(l_discount), 6) + 1e-9, 4) + 0.0 var_d,
         COUNT(*) c
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag, corr_qp, cov_dt, sd_q, var_d, c""",

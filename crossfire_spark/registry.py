@@ -24,37 +24,40 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # driver's sample spans the whole engine; remaining keys follow in
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
-    # relational core (filters/joins/aggs/windows/sets)
-    "q01", "q02", "q03", "q04", "q05", "q06",
+    # relational core — r6 rotation: q02/q04/q06 (driver-green since
+    # r1) -> q07/q08/q09 (never driver-checked)
+    "q01", "q03", "q05", "q07", "q08", "q09",
     # round-5 session-4 additions (kNN graph, bipartite projection,
     # seasonality, Benford) — fresher driver signal than more q's
     "s15_knn_graph", "g08_bipartite_projection",
     "h11_seasonality", "v11_benford_report",
-    # dedup family (incl. the round-5 span-fraction signal)
-    "d01_dedup_bag", "d02_ngram_jaccard", "d05_embed_neardup",
+    # dedup family (r6: d05 -> d18 winnowing, never driver-checked)
+    "d01_dedup_bag", "d02_ngram_jaccard", "d18_winnow_overlap",
     "d06_dup_clusters", "d07_contamination", "d11_dedup_savings",
     "d20_dup_span_fraction",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
     "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",
-    # text pipeline
-    "t01_langid", "t02_quality", "t03_tokens", "t05_quality_filter",
+    # text pipeline (r6: t02/t05 -> t21 stratified sample + q50 sets)
+    "t01_langid", "t21_stratified_sample", "t03_tokens", "q50",
     "t09_bm25", "t13_mixture_sample",
-    # similarity / ANN
-    "s01_cosine_topk", "s03_ivf_topk", "s05_hybrid_rrf", "s07_sq8_topk",
+    # similarity / ANN (r6: s07 -> q60 extended-relational slot)
+    "s01_cosine_topk", "s03_ivf_topk", "s05_hybrid_rrf", "q60",
     "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
-    "h01_time_rollup", "h02_ohlc", "h04_gap_fill", "h05_sessionize",
-    "v01_constraint_report", "v03_table_diff",
+    # (r6: h02/h04 -> h07 M4 / h09 LTTB; v03 -> v08 ref-integrity)
+    "h01_time_rollup", "h07_m4_downsample", "h09_lttb_downsample",
+    "h05_sessionize",
+    "v01_constraint_report", "v08_referential_integrity",
     "j01_json_extract", "a01_asof_join", "r01_range_join",
-    # graph
-    "g01_pagerank", "g02_degree_stats",
+    # graph (r6: g02 -> g04 k-core)
+    "g01_pagerank", "g04_kcore",
     # multimodal
     "m04_image_decode", "m05_audio_decode",
     # placement domain
     "p01_verify_placement", "p04_verify_fast",
-    # streaming (batch-equivalent declared forms)
-    "st01_stream_tumbling", "st04_stateful_totals",
+    # streaming (r6: st01 -> st06 stream-stream join declared form)
+    "st06_stream_stream", "st04_stateful_totals",
 )
 
 

@@ -642,6 +642,61 @@ def test_knn_graph_ann_recall(spark):
         assert abs(exact[e] - approx[e]) < 1e-9
 
 
+def test_knn_graph_ann_verify_stage_sql_oracle(spark, duck, sf_dir):
+    """Candidate-set oracle for s17 (the d13 soundness pattern): the
+    only non-SQL stage is the seeded-LSH banding, so EXPORT its
+    candidate edge set and restate the entire downstream stage —
+    exact cosine scoring + per-node top-k — as DuckDB SQL over the
+    exported candidates. Sims are compared at the BIT level
+    (``view(int64)``), same as the driver's value hash."""
+    import numpy as np
+
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        KNN_K,
+        ann_graph_candidates,
+        knn_graph_ann,
+        lsh_signature,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    cand_pdf = (
+        ann_graph_candidates(lsh_signature(em).select("vec_id", "lsh_sig"))
+        .toPandas()
+    )
+    got = (
+        knn_graph_ann(em)
+        .orderBy("vec_id", "nbr_id", "sim")
+        .toPandas()
+    )
+    duck.register("s17_cand", cand_pdf)
+    try:
+        want = duck.execute(
+            f"""
+            WITH s AS (
+                SELECT c.vec_id, c.nbr_id,
+                       ROUND(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM s17_cand c
+                JOIN embeddings a ON a.vec_id = c.vec_id
+                JOIN embeddings b ON b.vec_id = c.nbr_id),
+            r AS (SELECT vec_id, nbr_id, sim,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, nbr_id) rn
+                  FROM s)
+            SELECT vec_id, nbr_id, sim FROM r WHERE rn <= {KNN_K}
+            ORDER BY vec_id, nbr_id, sim"""
+        ).df()
+    finally:
+        duck.unregister("s17_cand")
+    assert len(got) == len(want) and len(got) > 0
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["nbr_id"].tolist() == want["nbr_id"].tolist()
+    a = np.ascontiguousarray(got["sim"].values, dtype=np.float64)
+    b = np.ascontiguousarray(want["sim"].values, dtype=np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
 def test_s18_density_cluster_semantics(spark, sf_dir):
     """Core points have >= MIN_NBRS eps-neighbors, border points are
     non-core with a core neighbor in their cluster, noise is absent,

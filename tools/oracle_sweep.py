@@ -7,7 +7,10 @@ driver would after converting both to pandas:
 - row count
 - per-column dtype (sorted by column name) — catches DuckDB HUGEINT
   (-> float64) vs Spark bigint (-> int64), DECIMAL vs double, etc.
-- exact cell values (NaN == NaN)
+- exact cell values (NaN == NaN); float columns are compared at the
+  BIT level (``view(int64)``) so -0.0 vs +0.0 fails here exactly as
+  it fails the driver's byte-level value hash (the t23 lesson —
+  ``np.array_equal`` treats -0.0 == 0.0 and hid a driver hash fail)
 
 Usage: python tools/oracle_sweep.py [sf_dir] [query ...]
 """
@@ -85,7 +88,18 @@ def cmp_frames(s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
         a, b = s[c].values, o[c].values
         try:
             if s[c].dtype.kind == "f" and o[c].dtype.kind == "f":
-                eq = np.array_equal(a, b, equal_nan=True)
+                # bit-exact: same width, same bytes — except NaN,
+                # where any-NaN == any-NaN (pattern-agnostic)
+                aa = np.ascontiguousarray(a)
+                bb = np.ascontiguousarray(b)
+                if aa.dtype != bb.dtype:
+                    eq = False
+                else:
+                    ikind = {4: np.int32, 8: np.int64}[aa.dtype.itemsize]
+                    nan_ok = np.isnan(aa) & np.isnan(bb)
+                    eq = bool(
+                        (nan_ok | (aa.view(ikind) == bb.view(ikind))).all()
+                    )
             else:
                 eq = (pd.isna(a) == pd.isna(b)).all() and (
                     pd.Series(a).fillna(0) == pd.Series(b).fillna(0)
@@ -94,14 +108,30 @@ def cmp_frames(s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
             probs.append(f"value[{c}] compare error: {exc}")
             continue
         if not eq:
-            neq = [
-                (i, a[i], b[i])
-                for i in range(len(a))
-                if not (
-                    (pd.isna(a[i]) and pd.isna(b[i]))
-                    or (not pd.isna(a[i]) and not pd.isna(b[i]) and a[i] == b[i])
-                )
-            ][:3]
+            if s[c].dtype.kind == "f" and o[c].dtype.kind == "f":
+                aa = np.ascontiguousarray(a)
+                bb = np.ascontiguousarray(b)
+                ikind = {4: np.int32, 8: np.int64}[aa.dtype.itemsize]
+                diff = np.nonzero(
+                    ~(
+                        (np.isnan(aa) & np.isnan(bb))
+                        | (aa.view(ikind) == bb.view(ikind))
+                    )
+                )[0][:3]
+                neq = [(int(i), repr(a[i]), repr(b[i])) for i in diff]
+            else:
+                neq = [
+                    (i, a[i], b[i])
+                    for i in range(len(a))
+                    if not (
+                        (pd.isna(a[i]) and pd.isna(b[i]))
+                        or (
+                            not pd.isna(a[i])
+                            and not pd.isna(b[i])
+                            and a[i] == b[i]
+                        )
+                    )
+                ][:3]
             probs.append(f"value[{c}] first-diffs={neq}")
     return probs
 
