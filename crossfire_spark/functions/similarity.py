@@ -1163,6 +1163,25 @@ def pq_adc_tables(queries: DataFrame, books) -> DataFrame:
     return queries.select("qid", _tab("qe").alias("adc"))
 
 
+def _adc_dist_col(m: int, kk: int) -> F.Column:
+    """The ADC candidate distance as a codegen'd expression: M
+    ``element_at`` lookups into the flattened per-query table
+    (``adc[s*K + code + 1]``), summed LEFT-TO-RIGHT in fixed subspace
+    order — the same sequence a numpy accumulation would perform, so
+    the float result is reduction-order-stable on any engine. Shared
+    by the full-corpus PQ scan (:func:`pq_topk`) and the IVF-routed
+    one (:func:`ivf_pq_topk`); expects ``codes`` and ``adc`` columns
+    in scope."""
+    dist = F.element_at(
+        "adc", (F.lit(0) * kk + F.element_at("codes", 1) + 1).cast("int")
+    )
+    for s in range(1, m):
+        dist = dist + F.element_at(
+            "adc", (F.lit(s) * kk + F.element_at("codes", s + 1) + 1).cast("int")
+        )
+    return dist
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1204,13 +1223,7 @@ def pq_topk(
         else pq_encode(embeddings, books)
     )
     adc_q = pq_adc_tables(queries, books)
-    dist = F.element_at(
-        "adc", (F.lit(0) * kk + F.element_at("codes", 1) + 1).cast("int")
-    )
-    for s in range(1, m):
-        dist = dist + F.element_at(
-            "adc", (F.lit(s) * kk + F.element_at("codes", s + 1) + 1).cast("int")
-        )
+    dist = _adc_dist_col(m, kk)
     scored = (
         codes.join(F.broadcast(adc_q))
         .where(F.col("qid") != F.col("vec_id"))
@@ -2059,3 +2072,150 @@ SIMILARITY_ORACLE_SQL["s05_hybrid_rrf"] = f"""
                      + COALESCE(1.0 / ({RRF_K} + r_dense), 0), 6) rrf
         FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
         ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}"""
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS ``IndexIVFPQ`` production
+    shape (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search" §V): coarse IVF routing restricts the scan to the
+    query's ``n_probes`` centroid buckets, PQ ADC lookups score ONLY
+    the vectors in those buckets, and the exact cosine re-rank touches
+    only the ``PQ_CAND_MULT * k`` ADC survivors. Composes s03's
+    routing with s09's compressed scan: at 100 TB the ADC pass reads
+    ``n_probes/n_centroids`` of a code table that is already 32x
+    smaller than the vectors — the two reductions multiply, which is
+    why this is the billion-scale default in every production ANN
+    system.
+
+    Plan shape: centroids broadcast to both the corpus-assignment and
+    query-probe scans; the bucket restriction is an equi-join on
+    ``cid``; ADC tables ride a broadcast keyed by ``qid`` (never a
+    driver tensor); the M lookups are one codegen'd ``element_at``
+    chain (:func:`_adc_dist_col`). Deterministic end-to-end (rounded
+    assignment/encode distances, id tiebreaks), so the whole composite
+    is DuckDB-oracle-exact — see ``_ivf_pq_oracle``."""
+    from pyspark.sql import Window
+
+    books = pq_codebooks(embeddings)
+    if books is None:  # empty corpus
+        return _empty_topk(queries.sparkSession)
+    B = np.asarray(books, dtype=np.float64)
+    m, kk = B.shape[0], B.shape[1]
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+    )
+    assign = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qw = Window.partitionBy("qid").orderBy(
+        F.round(_sqdist("qe", "ce"), 6), F.col("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= n_probes)
+        .select("qid", "cid")
+    )
+    codes = pq_encode(embeddings, books)
+    adc_q = pq_adc_tables(queries, books)
+    cand0 = (
+        assign.join(probes, "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand0.join(codes, "vec_id")
+        .join(F.broadcast(adc_q), "qid")
+        .select(
+            "qid", "vec_id", F.round(_adc_dist_col(m, kk), 9).alias("adcd")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adcd").asc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(embeddings, queries, cand, k)
+
+
+def s20_ivf_pq_topk(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk(em, _query_set(em)).orderBy("qid", "vec_id", "sim")
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB mirror of the IVF-PQ composite: s03's cent/assign/probes
+    CTEs restrict ``_pq_oracle``'s ADC scan to probed buckets; every
+    numeric step (assignment round-6, encode round-9, the left-to-right
+    M-term lookup sum, round-9 candidate rank, round-4 rerank) matches
+    the Spark path bit-for-bit."""
+    d = EMBED_DIM // PQ_M
+
+    def d2(v: str) -> str:
+        return " + ".join(
+            f"({v}[s*{d}+{i}]-ce[s*{d}+{i}])*({v}[s*{d}+{i}]-ce[s*{d}+{i}])"
+            for i in range(1, d + 1)
+        )
+
+    lookup = " + ".join(
+        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    return f"""
+        WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings
+                      WHERE vec_id < {IVF_CENTROIDS}),
+        assign AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.ce) ^ 2, 6), c.cid) rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        probes AS (SELECT qid, cid FROM (
+            SELECT q.vec_id qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_distance(q.embedding::DOUBLE[], c.ce) ^ 2, 6), c.cid) rn
+            FROM embeddings q, cent c WHERE q.vec_id % {QUERY_STRIDE} = 0) WHERE rn <= {IVF_PROBES}),
+        book AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] ce
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+        subs AS (SELECT UNNEST(range({PQ_M})) s),
+        vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        enc AS (SELECT vec_id, s, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                           ORDER BY ROUND({d2('e')}, 9), j) rn
+                FROM vx, book, subs),
+        codes AS (SELECT vec_id, list(j ORDER BY s) cl FROM enc WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        adc AS (SELECT qid, s, j, {d2('qe')} d2 FROM q, book, subs),
+        adct AS (SELECT qid, list(d2 ORDER BY s, j) al FROM adc GROUP BY qid),
+        dist AS (SELECT p.qid, a.vec_id, ROUND({lookup}, 9) adcd
+                 FROM assign a JOIN probes p ON a.cid = p.cid
+                 JOIN codes co ON co.vec_id = a.vec_id
+                 JOIN adct t ON t.qid = p.qid
+                 WHERE a.vec_id != p.qid),
+        cand AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcd, vec_id) rn
+            FROM dist) WHERE rn <= {PQ_CAND_MULT * TOPK}),
+        rer AS (SELECT c.qid, c.vec_id,
+                       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+                            JOIN embeddings b ON b.vec_id = c.qid),
+        fin AS (SELECT qid, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM rer)
+        SELECT qid, vec_id, sim FROM fin WHERE rn <= {TOPK}
+        ORDER BY qid, vec_id, sim"""
+
+
+SIMILARITY_QUERIES["s20_ivf_pq_topk"] = s20_ivf_pq_topk
+SIMILARITY_ORACLE_SQL["s20_ivf_pq_topk"] = _ivf_pq_oracle()

@@ -2063,3 +2063,75 @@ def _epoch_schedule_oracle() -> str:
 
 
 TEXT_ORACLE_SQL["t30_epoch_schedule"] = _epoch_schedule_oracle()
+
+
+def t31_ccnet_bucket(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets"): score
+    each document by its corpus-likelihood (t08's average unigram
+    log-probability — the cheap perplexity proxy), then split each
+    LANGUAGE into equal head/middle/tail terciles by score. CCNet
+    keeps "head" (most fluent), samples "middle", drops "tail" — the
+    standard pre-filter before model-based quality scoring.
+
+    Scale shape: the model build and per-doc scoring are t08's two
+    shuffles (vocab agg + per-doc avg, model joined back broadcast);
+    the tercile split is ONE window partitioned by ``lang`` — at 100 TB
+    the per-language NTILE would swap to the
+    ``approx_percentile``-boundary join (v07's pattern) so no single
+    language's documents serialize through one window partition; at
+    declared scale the exact NTILE is the oracle-exact tier.
+    Determinism: scores round 6→2 dp before ranking; NTILE orders by
+    (lp DESC, doc_id) — both engines fill the first ``n mod 3`` groups
+    with the extra row, so tercile borders are identical."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    model = vocab.join(F.broadcast(total)).select(
+        "word", (F.log(F.col("c") * 1.0 / F.col("n"))).alias("lp_w")
+    )
+    lp = (
+        words.join(F.broadcast(model), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.round(F.avg("lp_w"), 6) + F.lit(1e-9), 2).alias("lp"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lp").desc(), F.col("doc_id"))
+    return (
+        lp.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket").cast("int"),
+            ),
+        )
+        .select("doc_id", "lang", "lp", "bucket", "tier")
+        .orderBy("doc_id", "lang", "lp", "bucket", "tier")
+    )
+
+
+TEXT_QUERIES["t31_ccnet_bucket"] = t31_ccnet_bucket
+
+TEXT_ORACLE_SQL["t31_ccnet_bucket"] = """
+        WITH w AS (SELECT doc_id, lang,
+                          unnest(string_split(lower(text), ' ')) word
+                   FROM documents),
+        v AS (SELECT word, COUNT(*) c FROM w GROUP BY word),
+        t AS (SELECT SUM(c) n FROM v),
+        s AS (SELECT w.doc_id, w.lang, ln(v.c * 1.0 / t.n) lp_w
+              FROM w JOIN v USING (word) CROSS JOIN t),
+        lp AS (SELECT doc_id, lang,
+                      ROUND(ROUND(AVG(lp_w), 6) + 1e-9, 2) lp
+               FROM s GROUP BY doc_id, lang),
+        b AS (SELECT doc_id, lang, lp,
+                     NTILE(3) OVER (PARTITION BY lang
+                                    ORDER BY lp DESC, doc_id) bucket
+              FROM lp)
+        SELECT doc_id, lang, lp, bucket,
+               (['head', 'middle', 'tail'])[bucket] tier
+        FROM b ORDER BY doc_id, lang, lp, bucket, tier"""

@@ -207,6 +207,64 @@ def a03_asof_nearest(spark, sf_dir):
     ).orderBy("event_id", "user_id", "near_ts", "near_value")
 
 
+def a04_asof_interpolate(spark, sf_dir):
+    """Interpolating as-of join — each event gets the user's click
+    value LINEARLY INTERPOLATED at the event's timestamp between the
+    bracketing clicks (strictly-earlier prev, strictly-later next):
+    ``prev + (next - prev) * (t - t0)/(t1 - t0)``. One-sided rows fall
+    back to the single bracketing value (the hold-last/hold-next
+    convention); unbracketed rows are NULL. This is the time-series
+    resampling primitive kdb's ``aj``-plus-interp and pandas'
+    ``interpolate(method='time')`` provide and Spark lacks.
+
+    Spark-first shape: TWO merge-style window passes over the same
+    keyed union (the a03 composition — no range join, no row-pairing
+    explosion), then a pure per-row projection. Shuffles on user_id
+    only; at 100 TB the cost is two sorts of the keyed union, same as
+    any as-of. Float discipline: micros deltas are exact in a double
+    (|epoch µs| < 2^53), the interpolation expression is written in
+    the identical operation order on both engines, and the result is
+    rounded 6→2 dp with the 1e-9 boundary guard; events.value ≥ 0 so
+    no -0.0 hazard."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    left = e.select("event_id", "user_id", "ts")
+    b = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    f = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], prefix="next_", direction="forward",
+    )
+    j = b.join(f.select("event_id", "next_ts", "next_value"), "event_id")
+    dt = (F.unix_micros("ts") - F.unix_micros("prev_ts")).cast("double")
+    span = (F.unix_micros("next_ts") - F.unix_micros("prev_ts")).cast(
+        "double"
+    )
+    interp = F.col("prev_value") + (
+        F.col("next_value") - F.col("prev_value")
+    ) * (dt / span)
+    v = (
+        F.when(
+            F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .when(F.col("prev_ts").isNull(), F.col("next_value"))
+        .when(F.col("next_ts").isNull(), F.col("prev_value"))
+        .otherwise(interp)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round(F.round(v, 6) + F.lit(1e-9), 2).alias("interp_value"),
+    ).orderBy("event_id", "user_id", "interp_value")
+
+
 ASOF_ORACLE_SQL = {
     "a03_asof_nearest": """
         WITH c AS (SELECT user_id, ts, MAX(value) AS "value" FROM events
@@ -242,9 +300,30 @@ ASOF_ORACLE_SQL = {
               WHERE event_type = 'click' GROUP BY user_id, ts) b
           ON e.user_id = b.user_id AND e.ts < b.ts
         ORDER BY event_id, e.user_id, next_ts, next_value""",
+    "a04_asof_interpolate": """
+        WITH c AS (SELECT user_id, ts, MAX(value) AS "value" FROM events
+                   WHERE event_type = 'click' GROUP BY user_id, ts),
+        b AS (SELECT e.event_id, e.user_id, e.ts, p.ts prev_ts, p.value prev_value
+              FROM events e ASOF LEFT JOIN c p
+                ON e.user_id = p.user_id AND e.ts > p.ts),
+        f AS (SELECT e.event_id, n.ts next_ts, n.value next_value
+              FROM events e ASOF LEFT JOIN c n
+                ON e.user_id = n.user_id AND e.ts < n.ts)
+        SELECT b.event_id, b.user_id,
+               ROUND(ROUND(CASE
+                   WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+                   WHEN prev_ts IS NULL THEN next_value
+                   WHEN next_ts IS NULL THEN prev_value
+                   ELSE prev_value + (next_value - prev_value) *
+                        ((epoch_us(b.ts) - epoch_us(prev_ts))::DOUBLE /
+                         (epoch_us(next_ts) - epoch_us(prev_ts))::DOUBLE)
+               END, 6) + 1e-9, 2) interp_value
+        FROM b JOIN f USING (event_id)
+        ORDER BY event_id, user_id, interp_value""",
 }
 ASOF_QUERIES = {
     "a01_asof_join": a01_asof_join,
     "a02_asof_forward": a02_asof_forward,
     "a03_asof_nearest": a03_asof_nearest,
+    "a04_asof_interpolate": a04_asof_interpolate,
 }

@@ -1835,3 +1835,82 @@ EXTENDED_ORACLE_SQL["h14_changepoint"] = f"""
               FROM scored)
         WHERE pr = 1
         ORDER BY user_id, n_events, cp_index, cp_epoch, mean_shift, cp_stat"""
+
+
+def h15_interval_merge(spark, sf_dir):
+    """Interval union (merge-overlapping-intervals / gaps-and-islands
+    with a running max): each event is an interval
+    ``[ts, ts + value seconds)`` and overlapping intervals per user
+    merge into maximal islands — the downtime-window / coverage-union
+    primitive. Distinct from h05's sessionize: intervals have
+    VARIABLE lengths, so an early long interval can span several later
+    short ones — island detection needs the cumulative MAX of interval
+    ends over all preceding rows, not the previous row's gap.
+
+    Scale shape: ONE shuffle of events on ``user_id``; the two window
+    passes (cummax-of-end, cumsum-of-boundary-flags) and the island
+    aggregate all reuse that partitioning. Determinism: boundaries
+    compare exact integer microseconds — the duration is
+    ``FLOOR(value * 1e6)`` µs (explicit FLOOR: Spark's double→long
+    CAST truncates where DuckDB's rounds), so every engine draws
+    identical island borders; no float reaches a predicate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    end_us = F.unix_micros("ts") + F.floor(F.col("value") * 1_000_000).cast(
+        "long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = (
+        e.select("user_id", "ts", "event_id", end_us.alias("end_us"))
+        .withColumn("prev_max_end", F.max("end_us").over(prev))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.unix_micros("ts") > F.col("prev_max_end")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn("island", F.sum("ni").over(run))
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.timestamp_micros(F.max("end_us")).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island", "start_ts", "end_ts", "n_events")
+    )
+
+
+EXTENDED_QUERIES["h15_interval_merge"] = h15_interval_merge
+
+EXTENDED_ORACLE_SQL["h15_interval_merge"] = """
+        WITH b AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) end_us
+            FROM events),
+        p AS (
+            SELECT user_id, ts, event_id, end_us,
+                   MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max_end
+            FROM b),
+        f AS (
+            SELECT *, CASE WHEN prev_max_end IS NULL
+                             OR epoch_us(ts) > prev_max_end
+                           THEN 1 ELSE 0 END ni
+            FROM p),
+        i AS (
+            SELECT *, CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) island
+            FROM f)
+        SELECT user_id, island, MIN(ts) start_ts,
+               make_timestamp(MAX(end_us)) end_ts, COUNT(*) n_events
+        FROM i GROUP BY user_id, island
+        ORDER BY user_id, island, start_ts, end_ts, n_events"""

@@ -55,3 +55,31 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey")).first()[0]
     approx = approx_distinct(o, "o_custkey").first()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_h15_islands_partition_and_are_maximal(spark, sf_dir):
+    """Islands partition the user's events (counts sum to the user's
+    total) and are MAXIMAL: consecutive islands are separated by a
+    strict gap (next start > this end), and every island's span covers
+    at least its own first interval."""
+    from crossfire_spark.operators.extended import h15_interval_merge
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = {
+        r.user_id: r.c
+        for r in e.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    rows = h15_interval_merge(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user)
+    for uid, islands in by_user.items():
+        islands.sort(key=lambda r: r.island)
+        assert sum(r.n_events for r in islands) == per_user[uid]
+        for r in islands:
+            assert r.end_ts > r.start_ts
+        for a, b in zip(islands, islands[1:]):
+            assert b.start_ts > a.end_ts, (
+                f"user {uid}: islands {a.island}/{b.island} not maximal"
+            )

@@ -893,3 +893,57 @@ def test_t30_epoch_schedule_tiers_reconcile_with_t02(spark, sf_dir):
     dropped = {d for d, q in quality.items() if tier(q) == 0}
     assert dropped.isdisjoint(per_doc)
     assert len(per_doc) > 0 and len(dropped) > 0  # tiers non-trivial here
+
+
+def test_t31_terciles_balanced_and_ordered(spark, sf_dir):
+    """Per-language CCNet buckets are balanced (sizes differ by <= 1)
+    and ordered: every head doc scores >= every tail doc of the same
+    language; tier strings map 1/2/3 -> head/middle/tail."""
+    from crossfire_spark.functions.text import t31_ccnet_bucket
+
+    rows = t31_ccnet_bucket(spark, sf_dir).collect()
+    assert rows
+    tiers = {1: "head", 2: "middle", 3: "tail"}
+    by_lang: dict = {}
+    for r in rows:
+        assert tiers[r.bucket] == r.tier
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        head_min = min((r.lp for r in rs if r.bucket == 1), default=None)
+        tail_max = max((r.lp for r in rs if r.bucket == 3), default=None)
+        if head_min is not None and tail_max is not None:
+            assert head_min >= tail_max
+
+
+def test_s20_ivf_pq_subset_and_exact_sims(spark, sf_dir):
+    """IVF-PQ results (a) only pair a query with corpus vectors from
+    its probed buckets, (b) report the EXACT (round-4) cosine for every
+    returned pair, and (c) return at most TOPK per query."""
+    import numpy as np
+
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        TOPK,
+        _query_set,
+        ivf_pq_topk,
+        s20_ivf_pq_topk,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in em.collect()
+    }
+    rows = s20_ivf_pq_topk(spark, sf_dir).collect()
+    assert rows
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+        a, b = vecs[r.qid], vecs[r.vec_id]
+        exact = round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4
+        )
+        assert abs(r.sim - exact) < 1e-9, (r.qid, r.vec_id, r.sim, exact)
+    assert all(len(v) <= TOPK for v in per_q.values())

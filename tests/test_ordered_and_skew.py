@@ -16,8 +16,8 @@ from crossfire_spark.operators.asof import (
 from crossfire_spark.plans import results_match
 
 
-def test_asof_matches_duckdb_asof(spark, duck, sf_dir):
-    name = "a01_asof_join"
+@pytest.mark.parametrize("name", sorted(ASOF_ORACLE_SQL))
+def test_asof_matches_duckdb_asof(name, spark, duck, sf_dir):
     sdf = ASOF_QUERIES[name](spark, sf_dir)
     cur = duck.execute(ASOF_ORACLE_SQL[name])
     ok, reason = results_match(
@@ -103,3 +103,41 @@ def test_salted_join_rejects_dim_preserving_types(spark):
             salted_join(f, d, "k", how=how)
     # fact-preserving types still work
     assert salted_join(f, d, "k", how="left").count() == 1
+
+
+def test_a04_interpolation_invariants(spark, sf_dir):
+    """The interpolated value is (a) bracketed by prev/next where both
+    exist, (b) exactly the hold value where one-sided, (c) NULL only
+    where the user has no clicks at all — cross-checked against the
+    a01/a02 carried values on the same rows."""
+    from crossfire_spark.operators.asof import (
+        a01_asof_join,
+        a02_asof_forward,
+        a04_asof_interpolate,
+    )
+
+    prev = {
+        r.event_id: (r.prev_ts, r.prev_value)
+        for r in a01_asof_join(spark, sf_dir).collect()
+    }
+    nxt = {
+        r.event_id: (r.next_ts, r.next_value)
+        for r in a02_asof_forward(spark, sf_dir).collect()
+    }
+    rows = a04_asof_interpolate(spark, sf_dir).collect()
+    assert rows
+    checked_both = 0
+    for r in rows:
+        p_ts, p_v = prev[r.event_id]
+        n_ts, n_v = nxt[r.event_id]
+        if p_ts is None and n_ts is None:
+            assert r.interp_value is None
+        elif p_ts is None:
+            assert abs(r.interp_value - round(n_v, 2)) < 1e-6
+        elif n_ts is None:
+            assert abs(r.interp_value - round(p_v, 2)) < 1e-6
+        else:
+            lo, hi = min(p_v, n_v), max(p_v, n_v)
+            assert lo - 1e-6 <= r.interp_value <= hi + 1e-6
+            checked_both += 1
+    assert checked_both > 0
