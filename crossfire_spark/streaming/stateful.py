@@ -386,3 +386,152 @@ def _register_st15() -> None:
 
 
 _register_st15()
+
+
+# streaming interval union (st18): one island row per state entry
+IMERGE_STATE_SCHEMA = (
+    "users array<long>, starts array<long>, ends array<long>,"
+    " ns array<long>, vusers array<long>, vers array<long>"
+)
+IMERGE_OUTPUT_SCHEMA = (
+    "user_id long, ver long, island long, start_us long, end_us long,"
+    " n_events long"
+)
+
+
+def stream_interval_merge(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Streaming interval union — the continuous twin of batch h15:
+    state carries each user's MERGED islands (start, end, n_events)
+    across micro-batches; each batch inserts the new intervals
+    ``[ts, ts + value seconds)`` and re-merges. Interval union is
+    COMMUTATIVE — the merged island set is independent of arrival
+    order — so unlike st15/st17 this needs **no** monotone-ingest
+    assumption: any replay order converges to the batch h15 result,
+    and h15's DuckDB oracle checks the whole streaming loop.
+
+    State is bucketed (pmod(user_id, n)) per the st04 lesson; each
+    bucket holds one row per island as parallel long arrays, plus a
+    per-user version counter so the sink can keep only each user's
+    latest island list (earlier emissions go stale when a later batch
+    merges their islands). Boundaries are exact integer microseconds
+    with an explicit floor — identical to the batch operator."""
+    import numpy as np
+
+    def update(key, pdfs, state: GroupState):
+        acc: dict[int, list[list[int]]] = {}
+        ver: dict[int, int] = {}
+        if state.exists:
+            us, ss, es, nn, vu, vv = state.get
+            for u, s, e, n in zip(us, ss, es, nn):
+                acc.setdefault(u, []).append([s, e, n])
+            ver = dict(zip(vu, vv))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        start_us = batch["ts"].astype("int64") // 1000
+        end_us = start_us + np.floor(
+            batch["value"].to_numpy() * 1_000_000
+        ).astype("int64")
+        batch = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "s": start_us,
+                "e": end_us,
+            }
+        )
+        touched: list[int] = []
+        for u, g in batch.groupby("user_id", sort=False):
+            items = acc.get(u, []) + [
+                [int(s), int(e), 1] for s, e in zip(g["s"], g["e"])
+            ]
+            items.sort(key=lambda x: (x[0], x[1]))
+            merged: list[list[int]] = []
+            for s, e, n in items:
+                # same boundary rule as batch h15: a new island starts
+                # only when start > running max end (strict gap)
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, e, n])
+            acc[u] = merged
+            ver[u] = ver.get(u, 0) + 1
+            touched.append(int(u))
+        flat = [(u, s, e, n) for u, isl in acc.items() for s, e, n in isl]
+        state.update(
+            (
+                [f[0] for f in flat],
+                [f[1] for f in flat],
+                [f[2] for f in flat],
+                [f[3] for f in flat],
+                list(ver),
+                [ver[u] for u in ver],
+            )
+        )
+        out: dict[str, list] = {
+            "user_id": [], "ver": [], "island": [],
+            "start_us": [], "end_us": [], "n_events": [],
+        }
+        for u in touched:
+            for i, (s, e, n) in enumerate(acc[u]):
+                out["user_id"].append(u)
+                out["ver"].append(ver[u])
+                out["island"].append(i + 1)
+                out["start_us"].append(s)
+                out["end_us"].append(e)
+                out["n_events"].append(n)
+        yield pd.DataFrame(out)
+
+    bucketed = events.withColumn(
+        "_bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=IMERGE_OUTPUT_SCHEMA,
+        stateStructType=IMERGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st18_stream_interval_merge(spark, sf_dir):
+    """Bounded replay of the streaming interval union; the assembled
+    final state (each user's max-version island list) must equal batch
+    h15 exactly — columns, numbering, and timestamps — so h15's DuckDB
+    oracle checks the streaming loop end-to-end."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.streaming.jobs import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    out = run_stream_to_memory(
+        stream_interval_merge(events_stream(spark, sf_dir)), mode="update"
+    )
+    w = Window.partitionBy("user_id")
+    final = out.withColumn("mv", F.max("ver").over(w)).where(
+        F.col("ver") == F.col("mv")
+    )
+    return (
+        final.select(
+            "user_id",
+            "island",
+            F.timestamp_micros("start_us").alias("start_ts"),
+            F.timestamp_micros("end_us").alias("end_ts"),
+            "n_events",
+        )
+        .orderBy("user_id", "island", "start_ts", "end_ts", "n_events")
+    )
+
+
+def _register_st18() -> None:
+    from crossfire_spark.operators.extended import EXTENDED_ORACLE_SQL
+
+    STATEFUL_QUERIES["st18_stream_interval_merge"] = (
+        st18_stream_interval_merge
+    )
+    STATEFUL_ORACLE_SQL["st18_stream_interval_merge"] = EXTENDED_ORACLE_SQL[
+        "h15_interval_merge"
+    ]
+
+
+_register_st18()

@@ -411,3 +411,57 @@ def test_st17_funnel_state_carries_across_batches(spark, sf_dir, tmp_path):
     for u, st in final.items():
         assert stages.get(u, 0) == st, (u, st, stages.get(u, 0))
     assert set(stages) <= set(final)
+
+
+def test_st18_interval_merge_order_independent_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """The streaming interval union's assembled final state must equal
+    batch h15 even when the replay is split at the time median and fed
+    LATE HALF FIRST — interval union is commutative, so unlike
+    st15/st17 the operator must converge from out-of-order ingestion
+    (islands formed from late intervals later merge with early ones)."""
+    from crossfire_spark.operators.extended import h15_interval_merge
+    from crossfire_spark.streaming.jobs import run_stream_to_memory
+    from crossfire_spark.streaming.stateful import stream_interval_merge
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first()["c"]
+    src = str(tmp_path / "src")
+    # f0 sorts before f1 in the file source: LATE half replays first
+    events.where(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    events.where(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = run_stream_to_memory(stream_interval_merge(stream), mode="update")
+    n_batches = {r["ver"] for r in out.select("ver").distinct().collect()}
+    assert len(n_batches) >= 2, "replay did not split into micro-batches"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    final = (
+        out.withColumn("mv", F.max("ver").over(w))
+        .where(F.col("ver") == F.col("mv"))
+        .select(
+            "user_id",
+            "island",
+            F.timestamp_micros("start_us").alias("start_ts"),
+            F.timestamp_micros("end_us").alias("end_ts"),
+            "n_events",
+        )
+    )
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, h15_interval_merge(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
