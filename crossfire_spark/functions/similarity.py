@@ -273,10 +273,6 @@ def lsh_topk(
     shuffles once on (band, value) and queries stay broadcast; corpus
     rows in buckets over ``bucket_cap`` are excluded from candidate
     generation (see ``LSH_TOPK_BUCKET_CAP``)."""
-    from crossfire_spark.functions.dedup import _cap_buckets
-
-    bits_per_band = bits // bands
-
     # materialized once: both the band explode and the post-dedup
     # re-rank read it, and the 64-hyperplane projection is the
     # expensive part of the corpus pass
@@ -291,12 +287,55 @@ def lsh_topk(
         F.col("qid"), F.col("embedding").alias("qe"), F.col("lsh_sig").alias("qsig")
     )
 
-    # The band join and the candidate dedup carry only (id, band, val)
-    # ints — never the 128-float vectors. Deduping rows that drag the
-    # embedding arrays through the exchange roughly 10x-es the shuffle
-    # bytes for zero information; vectors are joined back on the id
-    # *after* the distinct (corpus side one hash join, query side a
-    # broadcast).
+    candidates = lsh_topk_candidates(
+        corpus, qsig, bands=bands, bits=bits, bucket_cap=bucket_cap
+    )
+    scored = (
+        candidates.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(qsig.select("qid", "qe")),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cosine_batch_udf()(F.col("embedding"), F.col("qe")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "sim")
+    )
+
+
+def lsh_topk_candidates(
+    corpus: DataFrame,
+    qsig: DataFrame,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    bucket_cap: int = LSH_TOPK_BUCKET_CAP,
+) -> DataFrame:
+    """The hash-dependent candidate stage of :func:`lsh_topk`,
+    factored out (the s17/d13 soundness pattern) so a test can EXPORT
+    the candidate set and verify the entire downstream stage — exact
+    cosine scoring + per-query top-k — bit-exact against a DuckDB
+    oracle over the exported candidates; the only non-SQL step left is
+    the seeded banding itself. ``corpus`` must carry
+    (vec_id, lsh_sig); ``qsig`` (qid, qsig).
+
+    The band join and the candidate dedup carry only (id, band, val)
+    ints — never the 128-float vectors. Deduping rows that drag the
+    embedding arrays through the exchange roughly 10x-es the shuffle
+    bytes for zero information; vectors are joined back on the id
+    *after* the distinct (corpus side one hash join, query side a
+    broadcast)."""
+    from crossfire_spark.functions.dedup import _cap_buckets
+
+    bits_per_band = bits // bands
     c_b = corpus.select(
         "vec_id",
         F.explode(
@@ -331,31 +370,11 @@ def lsh_topk(
         ).alias("bv"),
     ).select("qid", "bv.band", "bv.val")
 
-    candidates = (
+    return (
         c_b.join(F.broadcast(q_b), ["band", "val"])
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
-    )
-    scored = (
-        candidates.join(corpus.select("vec_id", "embedding"), "vec_id")
-        .join(
-            F.broadcast(qsig.select("qid", "qe")),
-            "qid",
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(_cosine_batch_udf()(F.col("embedding"), F.col("qe")), 4).alias(
-                "sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", "vec_id", "sim")
     )
 
 

@@ -947,3 +947,55 @@ def test_s20_ivf_pq_subset_and_exact_sims(spark, sf_dir):
         )
         assert abs(r.sim - exact) < 1e-9, (r.qid, r.vec_id, r.sim, exact)
     assert all(len(v) <= TOPK for v in per_q.values())
+
+
+def test_lsh_topk_verify_stage_sql_oracle(spark, duck, sf_dir):
+    """Candidate-set oracle for s02 (the s17/d13 soundness pattern):
+    export the seeded-LSH band candidates, then verify the whole
+    downstream stage — exact cosine scoring + per-query top-k — as
+    DuckDB SQL over the export, sims compared at the BIT level."""
+    import numpy as np
+
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        TOPK,
+        _query_set,
+        lsh_signature,
+        lsh_topk,
+        lsh_topk_candidates,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    corpus = lsh_signature(em).select("vec_id", "lsh_sig")
+    qsig = lsh_signature(
+        q.withColumnRenamed("qe", "embedding"), "embedding"
+    ).select(F.col("qid"), F.col("lsh_sig").alias("qsig"))
+    cand_pdf = lsh_topk_candidates(corpus, qsig).toPandas()
+    got = lsh_topk(em, q).orderBy("qid", "vec_id", "sim").toPandas()
+    duck.register("s02_cand", cand_pdf)
+    try:
+        want = duck.execute(
+            f"""
+            WITH s AS (
+                SELECT c.qid, c.vec_id,
+                       ROUND(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM s02_cand c
+                JOIN embeddings a ON a.vec_id = c.vec_id
+                JOIN embeddings b ON b.vec_id = c.qid),
+            r AS (SELECT qid, vec_id, sim,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, vec_id) rn
+                  FROM s)
+            SELECT qid, vec_id, sim FROM r WHERE rn <= {TOPK}
+            ORDER BY qid, vec_id, sim"""
+        ).df()
+    finally:
+        duck.unregister("s02_cand")
+    assert len(got) == len(want) and len(got) > 0
+    assert got["qid"].tolist() == want["qid"].tolist()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    a = np.ascontiguousarray(got["sim"].values, dtype=np.float64)
+    b = np.ascontiguousarray(want["sim"].values, dtype=np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
