@@ -892,3 +892,113 @@ MULTIMODAL_ORACLE_SQL["m08_audio_neardup"] = f"""
         FROM documents
         GROUP BY doc_id % {AFP_PATTERNS}
         ORDER BY cluster_rep, n_members"""
+
+
+VAD_WINDOW = 50     # samples per energy window
+VAD_TAU = 5250      # mean-square energy threshold (integer compare)
+
+
+def audio_vad_trim(media: DataFrame) -> DataFrame:
+    """REAL decode → voice-activity trim over a binary audio column:
+    stdlib WAV decode, then fixed windows of ``VAD_WINDOW`` samples
+    score by integer energy (sum of squared centered samples); a
+    window is voiced iff ``sum_sq >= VAD_TAU * window_len`` — an
+    ALL-INTEGER predicate, so silence borders are engine-exact with
+    no float discipline needed. Per clip: window counts, the trimmed
+    sample bounds (first/last voiced window), and the longest voiced
+    run — the speech-segmentation step an audio-training pipeline
+    runs before transcription/feature extraction.
+
+    Scale shape: embarrassingly parallel mapInPandas (state = one
+    clip); no shuffle before the deterministic ORDER BY. Clips with
+    no voiced window report zero bounds (-1) rather than dropping."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                c = samples.astype(np.int64) - 128
+                n = len(c)
+                n_win = (n + VAD_WINDOW - 1) // VAD_WINDOW
+                voiced = []
+                for w in range(n_win):
+                    seg = c[w * VAD_WINDOW : (w + 1) * VAD_WINDOW]
+                    voiced.append(
+                        int((seg * seg).sum()) >= VAD_TAU * len(seg)
+                    )
+                idx = [w for w, v in enumerate(voiced) if v]
+                run = best = 0
+                for v in voiced:
+                    run = run + 1 if v else 0
+                    best = max(best, run)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        n_win,
+                        len(idx),
+                        idx[0] * VAD_WINDOW if idx else -1,
+                        min((idx[-1] + 1) * VAD_WINDOW, n) if idx else -1,
+                        best,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_windows", "n_voiced",
+                    "trim_start", "trim_end", "longest_run",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, n_samples long, n_windows long,"
+        " n_voiced long, trim_start long, trim_end long, longest_run long",
+    )
+
+
+def m09_audio_vad_trim(spark, sf_dir):
+    """Real-codec VAD trim: synthesize RIFF/WAV bytes per 'audio'
+    document, decode, window, and report silence-trimmed bounds.
+    Closed-form PCM + all-integer energy predicate → full DuckDB
+    oracle over the genuine encode→decode round trip."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_vad_trim(synthesize_wav_audio(docs)).orderBy(
+        "media_id", "n_samples", "n_windows", "n_voiced",
+        "trim_start", "trim_end", "longest_run",
+    )
+
+
+MULTIMODAL_QUERIES["m09_audio_vad_trim"] = m09_audio_vad_trim
+
+MULTIMODAL_ORACLE_SQL["m09_audio_vad_trim"] = f"""
+        WITH d AS (SELECT doc_id, LEAST(n_chars, {AUDIO_MAX_SAMPLES}) n
+                   FROM documents WHERE doc_id % 3 = 1),
+        s AS (SELECT d.doc_id, d.n, t.i, t.i // {VAD_WINDOW} w,
+                     (d.doc_id * (t.i + 1)) % 251 - 128 c
+              FROM d, unnest(range(0, d.n)) t(i)),
+        wins AS (SELECT doc_id, n, w, SUM(c * c) ss, COUNT(*) wn
+                 FROM s GROUP BY doc_id, n, w),
+        v AS (SELECT doc_id, n, w,
+                     (ss >= {VAD_TAU} * wn) voiced,
+                     w - CAST(SUM(CASE WHEN ss >= {VAD_TAU} * wn THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY w) AS BIGINT) grp
+              FROM wins),
+        runs AS (SELECT doc_id, COUNT(*) run_len
+                 FROM v WHERE voiced GROUP BY doc_id, grp)
+        SELECT v.doc_id media_id,
+               MAX(v.n) n_samples,
+               COUNT(*) n_windows,
+               CAST(COUNT(*) FILTER (voiced) AS BIGINT) n_voiced,
+               COALESCE(MIN(CASE WHEN voiced THEN w END) * {VAD_WINDOW}, -1) trim_start,
+               CASE WHEN MAX(CASE WHEN voiced THEN w END) IS NULL THEN -1
+                    ELSE LEAST((MAX(CASE WHEN voiced THEN w END) + 1) * {VAD_WINDOW},
+                               MAX(v.n)) END trim_end,
+               COALESCE((SELECT MAX(run_len) FROM runs r
+                         WHERE r.doc_id = v.doc_id), 0) longest_run
+        FROM v GROUP BY v.doc_id
+        ORDER BY media_id, n_samples, n_windows, n_voiced,
+                 trim_start, trim_end, longest_run"""

@@ -20,6 +20,8 @@ from crossfire_spark.functions.dedup import (
 )
 from crossfire_spark.functions.multimodal import (
     FEATURE_DIM,
+    MULTIMODAL_ORACLE_SQL,
+    MULTIMODAL_QUERIES,
     extract_features,
     m01_media_features,
     synthesize_media,
@@ -44,6 +46,10 @@ ORACLED = {
         for n in SIMILARITY_ORACLE_SQL
     },
     **{n: (GRAPH_QUERIES[n], GRAPH_ORACLE_SQL[n]) for n in GRAPH_ORACLE_SQL},
+    **{
+        n: (MULTIMODAL_QUERIES[n], MULTIMODAL_ORACLE_SQL[n])
+        for n in MULTIMODAL_ORACLE_SQL
+    },
 }
 
 
