@@ -822,3 +822,72 @@ def _ppr_oracle() -> str:
 
 GRAPH_QUERIES["g09_personalized_pagerank"] = g09_personalized_pagerank
 GRAPH_ORACLE_SQL["g09_personalized_pagerank"] = _ppr_oracle()
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of the degrees at
+    the two ends of every edge, over the UNDIRECTED closure with each
+    edge counted in both directions (the standard symmetric
+    convention). r > 0 — hubs link to hubs; r < 0 — hubs link to
+    leaves. One number per graph, reported with node/edge counts —
+    the graph-quality metric next to g02's degree stats.
+
+    Scale shape: dedup to undirected edges, mirror to both
+    directions, one degree aggregate, two broadcast-able joins of the
+    degree table back to the edge list, one corr() aggregate — no
+    windows, no iteration. Float discipline: corr is sign-indefinite,
+    so the q63 treatment applies — ROUND 6→4 dp with the 1e-9 guard
+    AND a trailing + 0.0 to canonicalize IEEE -0.0."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bi = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    paired = bi.join(du, "u").join(dv, "v")
+    return paired.agg(
+        F.countDistinct("u").alias("n_nodes"),
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_edges"),
+        (
+            F.round(F.round(F.corr("du", "dv"), 6) + F.lit(1e-9), 4)
+            + F.lit(0.0)
+        ).alias("assortativity"),
+    )
+
+
+def g10_assortativity(spark, sf_dir):
+    """Degree assortativity of the synthetic document link graph —
+    closed-form edges, so the oracle reconstructs the identical graph
+    and the coefficient is engine-exact at 4 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    return degree_assortativity(doc_link_graph(d)).orderBy(
+        "n_nodes", "n_edges", "assortativity"
+    )
+
+
+GRAPH_QUERIES["g10_assortativity"] = g10_assortativity
+
+GRAPH_ORACLE_SQL["g10_assortativity"] = """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        e0 AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT LEAST(src, dst) a, GREATEST(src, dst) b
+                FROM e0 WHERE src <> dst),
+        bi AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u, COUNT(*) d FROM bi GROUP BY u)
+        SELECT COUNT(DISTINCT bi.u) n_nodes,
+               CAST(COUNT(*) / 2 AS BIGINT) n_edges,
+               ROUND(ROUND(corr(du.d, dv.d), 6) + 1e-9, 4) + 0.0 assortativity
+        FROM bi JOIN deg du ON bi.u = du.u JOIN deg dv ON bi.v = dv.u
+        ORDER BY n_nodes, n_edges, assortativity"""

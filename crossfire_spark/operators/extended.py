@@ -1914,3 +1914,94 @@ EXTENDED_ORACLE_SQL["h15_interval_merge"] = """
                make_timestamp(MAX(end_us)) end_ts, COUNT(*) n_events
         FROM i GROUP BY user_id, island
         ORDER BY user_id, island, start_ts, end_ts, n_events"""
+
+
+def v13_split_drift(spark, sf_dir):
+    """Split-composition drift report — the validation twin of t15's
+    leakage-safe split assignment: per language, the share of each
+    split's documents that language occupies, and the max pairwise
+    share drift across train/val/test. A biased split (one language
+    over-represented in val) is the classic silent eval-skew bug in
+    LLM data pipelines; this is the report that catches it before
+    training. Missing (split, language) cells read as 0 share.
+
+    Scale shape: the split coin is a pure per-row projection (t15);
+    one shuffle to (split, lang) counts, a 3-row broadcast of split
+    totals, and a language-keyed pivot via conditional aggregation —
+    no windows, no corpus-wide sort. Shares are non-negative and
+    rounded 9→6 dp; drift subtracts already-rounded shares, so both
+    engines compute identical bits."""
+    from crossfire_spark.functions.text import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    sp = split_assign(d).select("doc_id", "split")
+    j = d.select("doc_id", "lang").join(sp, "doc_id")
+    cnt = j.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("split").agg(F.sum("c").alias("t"))
+    sh = cnt.join(F.broadcast(tot), "split").select(
+        "split",
+        "lang",
+        F.round(
+            F.round(F.col("c") * 1.0 / F.col("t"), 9) + F.lit(1e-12), 6
+        ).alias("share"),
+    )
+
+    def share_of(split: str) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("split") == split, F.col("share"))),
+            F.lit(0.0),
+        )
+
+    piv = sh.groupBy("lang").agg(
+        share_of("train").alias("train_share"),
+        share_of("val").alias("val_share"),
+        share_of("test").alias("test_share"),
+    )
+    drift = F.round(
+        F.greatest("train_share", "val_share", "test_share")
+        - F.least("train_share", "val_share", "test_share"),
+        6,
+    )
+    return piv.select(
+        "lang", "train_share", "val_share", "test_share",
+        drift.alias("drift"),
+    ).orderBy("lang", "train_share", "val_share", "test_share", "drift")
+
+
+EXTENDED_QUERIES["v13_split_drift"] = v13_split_drift
+
+
+def _v13_oracle() -> str:
+    from crossfire_spark.functions.text import (
+        SPLIT_TRAIN_LIM,
+        SPLIT_VAL_LIM,
+        _u16_sql,
+    )
+
+    return f"""
+        WITH f AS (SELECT doc_id, lang,
+                md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+            FROM documents),
+        g AS (SELECT doc_id, lang,
+                     CASE WHEN {_u16_sql('fp')} < {SPLIT_TRAIN_LIM} THEN 'train'
+                          WHEN {_u16_sql('fp')} < {SPLIT_VAL_LIM} THEN 'val'
+                          ELSE 'test' END split
+              FROM f),
+        cnt AS (SELECT split, lang, COUNT(*) c FROM g GROUP BY split, lang),
+        tot AS (SELECT split, SUM(c) t FROM cnt GROUP BY split),
+        sh AS (SELECT cnt.split, lang,
+                      ROUND(ROUND(c * 1.0 / t, 9) + 1e-12, 6) shr
+               FROM cnt JOIN tot ON cnt.split = tot.split),
+        piv AS (SELECT lang,
+                       COALESCE(MAX(CASE WHEN split = 'train' THEN shr END), 0.0) train_share,
+                       COALESCE(MAX(CASE WHEN split = 'val' THEN shr END), 0.0) val_share,
+                       COALESCE(MAX(CASE WHEN split = 'test' THEN shr END), 0.0) test_share
+                FROM sh GROUP BY lang)
+        SELECT lang, train_share, val_share, test_share,
+               ROUND(GREATEST(train_share, val_share, test_share)
+                     - LEAST(train_share, val_share, test_share), 6) drift
+        FROM piv
+        ORDER BY lang, train_share, val_share, test_share, drift"""
+
+
+EXTENDED_ORACLE_SQL["v13_split_drift"] = _v13_oracle()

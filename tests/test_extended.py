@@ -83,3 +83,20 @@ def test_h15_islands_partition_and_are_maximal(spark, sf_dir):
             assert b.start_ts > a.end_ts, (
                 f"user {uid}: islands {a.island}/{b.island} not maximal"
             )
+
+
+def test_v13_shares_partition_each_split(spark, sf_dir):
+    """Per split, the language shares sum to ~1 (rounding tolerance),
+    every share is in [0, 1], and drift equals max-min of the three
+    shares."""
+    from crossfire_spark.operators.extended import v13_split_drift
+
+    rows = v13_split_drift(spark, sf_dir).collect()
+    assert rows
+    for col in ("train_share", "val_share", "test_share"):
+        tot = sum(r[col] for r in rows)
+        assert abs(tot - 1.0) < 1e-4 * max(len(rows), 1), (col, tot)
+    for r in rows:
+        shares = [r.train_share, r.val_share, r.test_share]
+        assert all(0.0 <= s <= 1.0 for s in shares)
+        assert abs(r.drift - (max(shares) - min(shares))) < 1e-9

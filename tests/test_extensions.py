@@ -1005,3 +1005,33 @@ def test_lsh_topk_verify_stage_sql_oracle(spark, duck, sf_dir):
     a = np.ascontiguousarray(got["sim"].values, dtype=np.float64)
     b = np.ascontiguousarray(want["sim"].values, dtype=np.float64)
     assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_g10_assortativity_matches_numpy_pearson(spark, sf_dir):
+    """The reported coefficient equals a NumPy Pearson correlation
+    over the collected bidirectional edge-degree pairs, and r is in
+    [-1, 1]."""
+    import numpy as np
+
+    from crossfire_spark.functions.graph import (
+        doc_link_graph,
+        g10_assortativity,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in doc_link_graph(d).collect()
+        if r.src != r.dst
+    }
+    bi = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    deg: dict = {}
+    for u, _ in bi:
+        deg[u] = deg.get(u, 0) + 1
+    x = np.array([deg[u] for u, _ in bi], dtype=np.float64)
+    y = np.array([deg[v] for _, v in bi], dtype=np.float64)
+    want = round(round(float(np.corrcoef(x, y)[0, 1]), 6) + 1e-9, 4) + 0.0
+    row = g10_assortativity(spark, sf_dir).first()
+    assert -1.0 <= row.assortativity <= 1.0
+    assert abs(row.assortativity - want) < 1e-9
+    assert row.n_edges == len(edges)
