@@ -2024,3 +2024,129 @@ DEDUP_ORACLE_SQL["d22_anchor_positives"] = f"""
               WHERE a.doc_id < b.doc_id)
         SELECT cluster_id, anchor, positive FROM p
         ORDER BY cluster_id, anchor, positive"""
+
+
+SPAN_GRAM = 8          # seed k-gram length (tokens)
+SPAN_GRAM_CAP = 200    # hot-phrase bucket ceiling (whole bucket drops)
+SPAN_MIN_RUN = 3       # min consecutive matching k-grams to report
+                       # (min span = SPAN_MIN_RUN + SPAN_GRAM - 1 tokens)
+
+
+def _span_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): md5 of each 8-token gram at token position
+    ``pos`` (1-based). Built-ins only; docs shorter than the gram
+    yield no rows (the CASE guard — Spark's ``sequence(1, 0)`` is
+    DESCENDING, not empty)."""
+    return (
+        spread(docs).select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {SPAN_GRAM} THEN"
+                    f" transform(sequence(1, size(w) - {SPAN_GRAM - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(array_join(slice(w, i, {SPAN_GRAM}), ' ')) AS g))"
+                    " ELSE array() END"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "pg.pos", "pg.g")
+    )
+
+
+def longest_shared_spans(
+    docs: DataFrame,
+    cap: int = SPAN_GRAM_CAP,
+    min_run: int = SPAN_MIN_RUN,
+) -> DataFrame:
+    """Exact longest shared token span per document pair — the
+    measurement tier of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    suffix-array substring dedup; here the k-gram seed + diagonal-run
+    equivalent, exact for spans ≥ ``SPAN_GRAM`` tokens): two documents
+    share a t-token substring iff they share t-7 consecutive 8-gram
+    seeds on one alignment diagonal (pos_a - pos_b constant), so the
+    longest shared span = longest same-diagonal run + 7.
+
+    Unlike the winnowed estimate (d18) or the span-coverage fraction
+    (d20), the output is EXACT and integer-only (md5 seeds, position
+    arithmetic, run islands) — no seeded hashing, no floats — so the
+    whole operator has a full DuckDB oracle including the
+    deterministic hot-bucket drop.
+
+    Scale shape: one tokenize pass; the only corpus shuffle keys on
+    the 8-gram hash; hot-phrase buckets over ``cap`` drop WHOLE (the
+    deterministic `_cap_buckets` rule — boilerplate phrases carry no
+    span information worth cap² join fan-out); the diagonal-run
+    windows partition on (pair, diag) — high-cardinality keys. At
+    100 TB the md5 string would shrink to its 8-byte prefix for the
+    shuffle; the string form is kept here for engine-exact parity."""
+    g = _cap_buckets(_span_grams(docs), ["g"], cap)
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    hits = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        hits.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + F.lit(SPAN_GRAM - 1)).alias("longest_span"),
+            F.sum("run_len").alias("n_shared_grams"),
+        )
+        .where(F.col("longest_span") >= min_run + SPAN_GRAM - 1)
+    )
+
+
+def d23_longest_shared_span(spark, sf_dir):
+    """Exact longest shared token span over the documents corpus
+    (capped gram buckets; spans below the report floor dropped)."""
+    d = load_table(spark, sf_dir, "documents")
+    return longest_shared_spans(d.select("doc_id", "text")).orderBy(
+        "doc_a", "doc_b", "longest_span", "n_shared_grams"
+    )
+
+
+DEDUP_QUERIES["d23_longest_shared_span"] = d23_longest_shared_span
+
+DEDUP_ORACLE_SQL["d23_longest_shared_span"] = f"""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w
+                   FROM documents),
+        g0 AS (SELECT doc_id, i pos,
+                      md5(array_to_string(w[i:i+{SPAN_GRAM - 1}], ' ')) g
+               FROM t, unnest(range(1, len(w) - {SPAN_GRAM - 2})) u(i)
+               WHERE len(w) >= {SPAN_GRAM}),
+        keep AS (SELECT g FROM g0 GROUP BY g
+                 HAVING COUNT(*) <= {SPAN_GRAM_CAP}),
+        gg AS (SELECT g0.* FROM g0 JOIN keep USING (g)),
+        hits AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa,
+                        a.pos - b.pos diag
+                 FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, diag,
+                        pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                                ORDER BY pa) grp
+                 FROM hits),
+        rl AS (SELECT doc_a, doc_b, COUNT(*) run_len
+               FROM runs GROUP BY doc_a, doc_b, diag, grp)
+        SELECT doc_a, doc_b,
+               CAST(MAX(run_len) + {SPAN_GRAM - 1} AS BIGINT) longest_span,
+               CAST(SUM(run_len) AS BIGINT) n_shared_grams
+        FROM rl GROUP BY doc_a, doc_b
+        HAVING MAX(run_len) + {SPAN_GRAM - 1} >= {SPAN_MIN_RUN + SPAN_GRAM - 1}
+        ORDER BY doc_a, doc_b, longest_span, n_shared_grams"""

@@ -1035,3 +1035,40 @@ def test_g10_assortativity_matches_numpy_pearson(spark, sf_dir):
     assert -1.0 <= row.assortativity <= 1.0
     assert abs(row.assortativity - want) < 1e-9
     assert row.n_edges == len(edges)
+
+
+def test_d23_spans_exact_vs_python(spark, sf_dir):
+    """Every reported longest span equals a pure-Python recompute of
+    the longest common CONSECUTIVE token run (>= the gram length)
+    between the two documents' token lists, provided no gram bucket
+    was capped (cap only drops whole hot buckets)."""
+    from crossfire_spark.functions.dedup import (
+        SPAN_GRAM,
+        d23_longest_shared_span,
+    )
+
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = d23_longest_shared_span(spark, sf_dir).collect()
+    assert rows
+
+    def longest_common_run(a: list, b: list) -> int:
+        grams_b: dict = {}
+        for j in range(len(b) - SPAN_GRAM + 1):
+            grams_b.setdefault(tuple(b[j : j + SPAN_GRAM]), []).append(j)
+        best = 0
+        # longest run of consecutive matching grams per diagonal
+        runs: dict = {}
+        for i in range(len(a) - SPAN_GRAM + 1):
+            key = tuple(a[i : i + SPAN_GRAM])
+            for j in grams_b.get(key, []):
+                d = i - j
+                runs[(d, i)] = runs.get((d, i - 1), 0) + 1
+                best = max(best, runs[(d, i)])
+        return best + SPAN_GRAM - 1 if best else 0
+
+    for r in rows[:20]:
+        want = longest_common_run(docs[r.doc_a], docs[r.doc_b])
+        assert r.longest_span == want, (r.doc_a, r.doc_b, r.longest_span, want)
