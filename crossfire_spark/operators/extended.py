@@ -2005,3 +2005,83 @@ def _v13_oracle() -> str:
 
 
 EXTENDED_ORACLE_SQL["v13_split_drift"] = _v13_oracle()
+
+
+
+
+def v14_dup_label_consistency(spark, sf_dir):
+    """Label-consistency-through-duplicates report: near-dup clusters
+    (the d06 transitive closure over exact-Jaccard pairs) whose
+    members disagree on ``source`` or ``lang``. Cross-SOURCE clusters
+    are the provenance/licensing ambiguity a curation pipeline must
+    resolve before attribution (the same text shipped under two
+    origins); cross-LANG clusters are langid errors surfaced by
+    near-identical text carrying different language labels — both are
+    real bugs that plain per-table validation cannot see because each
+    row is individually fine. One row per inconsistent multi-doc
+    cluster with member/source/lang counts.
+
+    Scale shape: the cluster map is d06's node-cardinality min-label
+    propagation; the report is one aggregate on the cluster key with
+    two COUNT(DISTINCT) measures. Integer-only output."""
+    from crossfire_spark.functions.dedup import (
+        connected_components,
+        exact_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cc = connected_components(exact_jaccard_pairs(d))
+    full = (
+        d.select("doc_id", "source", "lang")
+        .join(cc, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    agg = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return agg.where(
+        (F.col("n_sources") > 1) | (F.col("n_langs") > 1)
+    ).orderBy("cluster_id", "n_docs", "n_sources", "n_langs")
+
+
+EXTENDED_QUERIES["v14_dup_label_consistency"] = v14_dup_label_consistency
+
+
+def _v14_oracle() -> str:
+    from crossfire_spark.functions.dedup import JACCARD_THRESHOLD
+
+    return f"""
+        WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter JOIN ns x ON doc_a = x.doc_id JOIN ns y ON doc_b = y.doc_id
+                  WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        reach(n, m) AS (SELECT a, a FROM edges
+                        UNION
+                        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        cc AS (SELECT n doc_id, MIN(m) cluster_id FROM reach GROUP BY n),
+        f AS (SELECT d.source, d.lang,
+                     COALESCE(cc.cluster_id, d.doc_id) cluster_id
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        agg AS (SELECT cluster_id, COUNT(*) n_docs,
+                       COUNT(DISTINCT source) n_sources,
+                       COUNT(DISTINCT lang) n_langs
+                FROM f GROUP BY cluster_id)
+        SELECT cluster_id, n_docs, n_sources, n_langs
+        FROM agg WHERE n_sources > 1 OR n_langs > 1
+        ORDER BY cluster_id, n_docs, n_sources, n_langs"""
+
+
+EXTENDED_ORACLE_SQL["v14_dup_label_consistency"] = _v14_oracle()

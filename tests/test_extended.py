@@ -100,3 +100,37 @@ def test_v13_shares_partition_each_split(spark, sf_dir):
         shares = [r.train_share, r.val_share, r.test_share]
         assert all(0.0 <= s <= 1.0 for s in shares)
         assert abs(r.drift - (max(shares) - min(shares))) < 1e-9
+
+
+def test_v14_flags_only_genuinely_mixed_clusters(spark, sf_dir):
+    """Every flagged cluster really has >1 distinct source or lang
+    among its members (recomputed from the cluster map), and every
+    mixed multi-doc cluster is flagged — no false positives or
+    misses."""
+    from crossfire_spark.functions.dedup import (
+        connected_components,
+        exact_jaccard_pairs,
+    )
+    from crossfire_spark.operators.extended import v14_dup_label_consistency
+
+    d = load_table(spark, sf_dir, "documents")
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(exact_jaccard_pairs(d)).collect()
+    }
+    members: dict = {}
+    for r in d.select("doc_id", "source", "lang").collect():
+        cid = cc.get(r.doc_id, r.doc_id)
+        members.setdefault(cid, []).append((r.source, r.lang))
+    want = {
+        cid
+        for cid, ms in members.items()
+        if len({s for s, _ in ms}) > 1 or len({l for _, l in ms}) > 1
+    }
+    got_rows = v14_dup_label_consistency(spark, sf_dir).collect()
+    got = {r.cluster_id for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        srcs = {s for s, _ in members[r.cluster_id]}
+        langs = {l for _, l in members[r.cluster_id]}
+        assert (r.n_sources, r.n_langs) == (len(srcs), len(langs))
