@@ -327,3 +327,63 @@ ASOF_QUERIES = {
     "a03_asof_nearest": a03_asof_nearest,
     "a04_asof_interpolate": a04_asof_interpolate,
 }
+
+
+ASOF_TOLERANCE_S = 3600  # match window (seconds)
+
+
+def a05_asof_tolerance(spark, sf_dir):
+    """Toleranced as-of join — pandas ``merge_asof(...,
+    tolerance=...)`` semantics, completing the family's API parity
+    (a01 backward / a02 forward / a03 nearest / a04 interpolate):
+    the backward match only holds if the matched click is within
+    ``ASOF_TOLERANCE_S`` of the event; staler matches null out (a
+    stale quote/sensor reading must not attach to a trade an hour
+    later). Same merge-style single window pass as a01 — the
+    tolerance is a pure per-row predicate AFTER the carry, so the
+    scale shape is unchanged (one shuffle on user_id).
+
+    Exact integer-microsecond comparison — no float in the
+    predicate."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    in_tol = (
+        F.unix_micros("ts") - F.unix_micros("prev_ts")
+    ) <= ASOF_TOLERANCE_S * 1_000_000
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("prev_ts")).alias("prev_ts"),
+        F.round(F.when(in_tol, F.col("prev_value")), 2).alias("prev_value"),
+    ).orderBy("event_id", "user_id", "prev_ts", "prev_value")
+
+
+ASOF_ORACLE_SQL["a05_asof_tolerance"] = f"""
+        WITH c AS (SELECT user_id, ts, MAX(value) AS "value" FROM events
+                   WHERE event_type = 'click' GROUP BY user_id, ts),
+        b AS (SELECT e.event_id, e.user_id, e.ts, p.ts prev_ts, p.value prev_value
+              FROM events e ASOF LEFT JOIN c p
+                ON e.user_id = p.user_id AND e.ts > p.ts)
+        SELECT event_id, user_id,
+               CASE WHEN epoch_us(ts) - epoch_us(prev_ts)
+                         <= {ASOF_TOLERANCE_S * 1_000_000}
+                    THEN prev_ts END prev_ts,
+               ROUND(CASE WHEN epoch_us(ts) - epoch_us(prev_ts)
+                               <= {ASOF_TOLERANCE_S * 1_000_000}
+                          THEN prev_value END, 2) prev_value
+        FROM b
+        ORDER BY event_id, user_id, prev_ts, prev_value"""
+
+ASOF_QUERIES["a05_asof_tolerance"] = a05_asof_tolerance
