@@ -891,3 +891,90 @@ GRAPH_ORACLE_SQL["g10_assortativity"] = """
                ROUND(ROUND(corr(du.d, dv.d), 6) + 1e-9, 4) + 0.0 assortativity
         FROM bi JOIN deg du ON bi.u = du.u JOIN deg dv ON bi.v = dv.u
         ORDER BY n_nodes, n_edges, assortativity"""
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz 1998):
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) over the undirected
+    closure — how close each node's neighborhood is to a clique, the
+    standard local-density metric next to g03's raw triangle counts
+    and g10's global assortativity. Nodes with deg < 2 are excluded
+    (coefficient undefined); triangle-free nodes report 0.
+
+    Scale shape: reuses the degree-oriented wedge join of
+    :func:`triangle_counts` (fan-out Σ min-degree², the O(m^1.5)
+    discipline) plus one degree aggregate and a left join — nothing
+    new shuffles more than edge cardinality. cc is non-negative, so
+    the 9→6 dp rounding needs no -0.0 guard."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    9,
+                )
+                + F.lit(1e-12),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+def g11_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficients of the synthetic document link
+    graph — closed-form edges, engine-exact at 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    return clustering_coefficient(doc_link_graph(d)).orderBy(
+        "node", "deg", "n_triangles", "cc"
+    )
+
+
+GRAPH_QUERIES["g11_clustering_coefficient"] = g11_clustering_coefficient
+
+GRAPH_ORACLE_SQL["g11_clustering_coefficient"] = """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        deg AS (SELECT node, COUNT(*) deg FROM (
+                    SELECT a node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        tri AS (SELECT e1.a x, e1.b y, e2.b z
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tcount AS (SELECT node, COUNT(*) n_triangles FROM (
+                       SELECT unnest([x, y, z]) node FROM tri)
+                   GROUP BY node)
+        SELECT d.node, d.deg,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) n_triangles,
+               ROUND(ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.deg * (d.deg - 1)), 9) + 1e-12, 6) cc
+        FROM deg d LEFT JOIN tcount t ON d.node = t.node
+        WHERE d.deg >= 2
+        ORDER BY d.node, d.deg, n_triangles, cc"""

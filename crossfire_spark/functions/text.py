@@ -2135,3 +2135,98 @@ TEXT_ORACLE_SQL["t31_ccnet_bucket"] = """
         SELECT doc_id, lang, lp, bucket,
                (['head', 'middle', 'tail'])[bucket] tier
         FROM b ORDER BY doc_id, lang, lp, bucket, tier"""
+
+
+def t32_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report over t06's concatenate-and-cut
+    sequence packing — the training-prep QA metric: per source shard,
+    how many SEQ_LEN sequences the shard fills, the tail waste
+    (capacity − tokens, all of it in the shard's last sequence under
+    concat-and-cut), the fill fraction, and the number of FRAGMENTED
+    documents (docs spanning a sequence boundary — the rows whose
+    attention masks and loss boundaries training must special-case).
+
+    Scale shape: identical to t06 — one per-shard running-sum window
+    (no global sort), then a per-shard aggregate; everything is
+    integer until the final fill fraction (non-negative, 9→6 dp)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn(
+        "frag",
+        (
+            (F.col("cum_before") / F.lit(SEQ_LEN)).cast("long")
+            != (
+                (F.col("cum_before") + F.col("n_tok") - 1) / F.lit(SEQ_LEN)
+            ).cast("long")
+        ).cast("long"),
+    )
+    agg = packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (
+            (F.max(F.col("cum_before") + F.col("n_tok")) - 1)
+            / F.lit(SEQ_LEN)
+        )
+        .cast("long")
+        .alias("last_seq"),
+        F.sum("frag").alias("n_fragmented_docs"),
+    )
+    n_seqs = F.col("last_seq") + 1
+    capacity = n_seqs * SEQ_LEN
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        (capacity - F.col("total_tokens")).alias("waste_tokens"),
+        F.round(
+            F.round(F.col("total_tokens") * 1.0 / capacity, 9) + F.lit(1e-12),
+            6,
+        ).alias("fill_frac"),
+        "n_fragmented_docs",
+    ).orderBy(
+        "source", "n_docs", "total_tokens", "n_seqs", "waste_tokens",
+        "fill_frac", "n_fragmented_docs",
+    )
+
+
+TEXT_QUERIES["t32_packing_efficiency"] = t32_packing_efficiency
+
+TEXT_ORACLE_SQL["t32_packing_efficiency"] = f"""
+        WITH toks AS (SELECT source, doc_id,
+                len(string_split(text, ' ')) n_tok FROM documents),
+        packed AS (SELECT source, n_tok,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+            FROM toks),
+        f AS (SELECT source, n_tok, cum_before,
+                     CASE WHEN cum_before // {SEQ_LEN}
+                          != (cum_before + n_tok - 1) // {SEQ_LEN}
+                          THEN 1 ELSE 0 END frag
+              FROM packed),
+        agg AS (SELECT source, COUNT(*) n_docs,
+                       SUM(n_tok) total_tokens,
+                       (MAX(cum_before + n_tok) - 1) // {SEQ_LEN} last_seq,
+                       SUM(frag) n_frag
+                FROM f GROUP BY source)
+        SELECT source, n_docs,
+               CAST(total_tokens AS BIGINT) total_tokens,
+               CAST(last_seq + 1 AS BIGINT) n_seqs,
+               CAST((last_seq + 1) * {SEQ_LEN} - total_tokens AS BIGINT) waste_tokens,
+               ROUND(ROUND(total_tokens * 1.0 / ((last_seq + 1) * {SEQ_LEN}), 9)
+                     + 1e-12, 6) fill_frac,
+               CAST(n_frag AS BIGINT) n_fragmented_docs
+        FROM agg
+        ORDER BY source, n_docs, total_tokens, n_seqs, waste_tokens,
+                 fill_frac, n_fragmented_docs"""

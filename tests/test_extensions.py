@@ -1072,3 +1072,57 @@ def test_d23_spans_exact_vs_python(spark, sf_dir):
     for r in rows[:20]:
         want = longest_common_run(docs[r.doc_a], docs[r.doc_b])
         assert r.longest_span == want, (r.doc_a, r.doc_b, r.longest_span, want)
+
+
+def test_g11_cc_bounds_and_triangle_consistency(spark, sf_dir):
+    """Every coefficient is in [0, 1]; deg-2 nodes with a triangle
+    score exactly 1; triangle counts agree with g03's."""
+    from crossfire_spark.functions.graph import (
+        doc_link_graph,
+        g11_clustering_coefficient,
+        triangle_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tri = {
+        r.node: r.n_triangles
+        for r in triangle_counts(doc_link_graph(d)).collect()
+    }
+    rows = g11_clustering_coefficient(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.cc <= 1.0
+        assert r.n_triangles == tri.get(r.node, 0)
+        if r.deg == 2 and r.n_triangles == 1:
+            assert abs(r.cc - 1.0) < 1e-9
+
+
+def test_t32_consistent_with_t06(spark, sf_dir):
+    """Per shard: waste < SEQ_LEN (concat-and-cut only wastes in the
+    tail), n_seqs and token totals agree with t06's packed output,
+    and fill_frac = tokens / (n_seqs * SEQ_LEN)."""
+    from crossfire_spark.functions.text import (
+        SEQ_LEN,
+        t06_pack_sequences,
+        t32_packing_efficiency,
+    )
+
+    packed: dict = {}
+    for r in t06_pack_sequences(spark, sf_dir).collect():
+        agg = packed.setdefault(r.source, {"seqs": set(), "toks": 0})
+        agg["seqs"].add(r.seq_id)
+        agg["toks"] += r.seq_tokens
+    rows = t32_packing_efficiency(spark, sf_dir).collect()
+    assert rows and set(packed) == {r.source for r in rows}
+    for r in rows:
+        assert 0 <= r.waste_tokens < SEQ_LEN
+        # cut count: every SEQ_LEN tokens starts a sequence; t06's
+        # distinct seq_ids can be fewer (a sequence fully inside one
+        # long document contains no doc START)
+        assert r.n_seqs == (r.total_tokens - 1) // SEQ_LEN + 1
+        assert r.n_seqs >= len(packed[r.source]["seqs"])
+        assert r.total_tokens == packed[r.source]["toks"]
+        want = round(
+            round(r.total_tokens * 1.0 / (r.n_seqs * SEQ_LEN), 9) + 1e-12, 6
+        )
+        assert abs(r.fill_frac - want) < 1e-12

@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 221 and len(osql) == 210
+    assert len(qs) == 223 and len(osql) == 212
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
