@@ -1126,3 +1126,130 @@ def test_t32_consistent_with_t06(spark, sf_dir):
             round(r.total_tokens * 1.0 / (r.n_seqs * SEQ_LEN), 9) + 1e-12, 6
         )
         assert abs(r.fill_frac - want) < 1e-12
+
+
+def test_minhash_lsh_verify_stage_sql_oracle(spark, duck, sf_dir):
+    """Candidate-set oracle for d03 (the s02/s17/d13 soundness
+    pattern): export the seeded-minhash band candidates (rep-level
+    pairs), then restate EVERYTHING downstream — exact-Jaccard
+    verify, threshold, and the exact-dup member re-expansion — as
+    DuckDB SQL over the export. The only non-SQL stage left in d03
+    is the seeded banding itself. j compared at the bit level."""
+    import numpy as np
+
+    from crossfire_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        _exact_dup_membership,
+        minhash_lsh_candidates,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    cand_pdf = minhash_lsh_candidates(rep_docs).select(
+        "doc_a", "doc_b"
+    ).toPandas()
+    got = minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b", "j").toPandas()
+    duck.register("d03_cand", cand_pdf)
+    try:
+        want = duck.execute(
+            f"""
+            WITH mem AS (SELECT doc_id, md5(text) fp,
+                                MIN(doc_id) OVER (PARTITION BY md5(text)) rep
+                         FROM documents),
+            w AS (SELECT doc_id, string_split(lower(text), ' ') words
+                  FROM documents),
+            shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                    FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+            ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+            inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) i
+                      FROM d03_cand c
+                      JOIN shd a ON a.doc_id = c.doc_a
+                      JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
+                      GROUP BY 1, 2),
+            rp AS (SELECT doc_a, doc_b, ROUND(i * 1.0 / (x.n + y.n - i), 2) j
+                   FROM inter JOIN ns x ON doc_a = x.doc_id
+                              JOIN ns y ON doc_b = y.doc_id
+                   WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}),
+            intra AS (SELECT m1.doc_id doc_a, m2.doc_id doc_b, 1.0 j
+                      FROM mem m1 JOIN mem m2
+                        ON m1.fp = m2.fp AND m1.doc_id < m2.doc_id),
+            crossx AS (SELECT LEAST(ma.doc_id, mb.doc_id) doc_a,
+                              GREATEST(ma.doc_id, mb.doc_id) doc_b, p.j
+                       FROM rp p JOIN mem ma ON ma.rep = p.doc_a
+                                 JOIN mem mb ON mb.rep = p.doc_b)
+            SELECT doc_a, doc_b, j FROM (
+                SELECT * FROM intra UNION ALL SELECT * FROM crossx)
+            ORDER BY doc_a, doc_b, j"""
+        ).df()
+    finally:
+        duck.unregister("d03_cand")
+    assert len(got) == len(want) and len(got) > 0
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    a = np.ascontiguousarray(got["j"].values, dtype=np.float64)
+    b = np.ascontiguousarray(want["j"].values, dtype=np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_ann_recall_audit_sql_oracle_over_exports(spark, duck, sf_dir):
+    """s16's audit arithmetic restated as SQL over its two EXPORTED
+    inputs (the exact and approximate rankings): per-query n_exact /
+    n_hit / recall plus the ALL row, bit-compared. The only non-SQL
+    stage left in s16 is s02's seeded banding (covered by its own
+    candidate-set oracle)."""
+    import numpy as np
+
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        _query_set,
+        ann_recall_audit,
+        cosine_topk,
+        lsh_topk,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    exact = cosine_topk(em, q)
+    approx = lsh_topk(em, q)
+    got = (
+        ann_recall_audit(exact, approx)
+        .orderBy("qid", "n_exact", "n_hit", "recall")
+        .toPandas()
+    )
+    duck.register("s16_exact", exact.toPandas())
+    duck.register("s16_approx", approx.toPandas())
+    try:
+        want = duck.execute(
+            """
+            WITH hit AS (SELECT a.qid, a.vec_id FROM s16_approx a
+                         WHERE EXISTS (SELECT 1 FROM s16_exact e
+                                       WHERE e.qid = a.qid
+                                         AND e.vec_id = a.vec_id)),
+            per AS (SELECT e.qid, COUNT(*) n_exact FROM s16_exact e GROUP BY e.qid),
+            ph AS (SELECT qid, COUNT(*) n_hit FROM hit GROUP BY qid),
+            rows_ AS (SELECT per.qid,
+                             CAST(per.n_exact AS BIGINT) n_exact,
+                             CAST(COALESCE(ph.n_hit, 0) AS BIGINT) n_hit
+                      FROM per LEFT JOIN ph ON per.qid = ph.qid)
+            SELECT qid, n_exact, n_hit,
+                   ROUND(n_hit * 1.0 / n_exact, 4) recall FROM rows_
+            UNION ALL
+            SELECT -1, SUM(n_exact), SUM(n_hit),
+                   ROUND(SUM(n_hit) * 1.0 / SUM(n_exact), 4) FROM rows_
+            ORDER BY qid, n_exact, n_hit, recall"""
+        ).df()
+    finally:
+        duck.unregister("s16_exact")
+        duck.unregister("s16_approx")
+    assert len(got) == len(want) and len(got) > 1
+    for c in ("qid", "n_exact", "n_hit"):
+        assert got[c].tolist() == want[c].tolist(), c
+    a = np.ascontiguousarray(got["recall"].values, dtype=np.float64)
+    b = np.ascontiguousarray(want["recall"].values, dtype=np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
