@@ -1253,3 +1253,66 @@ def test_ann_recall_audit_sql_oracle_over_exports(spark, duck, sf_dir):
     a = np.ascontiguousarray(got["recall"].values, dtype=np.float64)
     b = np.ascontiguousarray(want["recall"].values, dtype=np.float64)
     assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_simhash_verify_stage_sql_oracle(spark, duck, sf_dir):
+    """Signature-export oracle for d04: the ONLY non-SQL stage is the
+    word-vote signature build, so export (rep doc_id, simhash) and
+    restate everything downstream in DuckDB — 16-bit chunk banding,
+    the deterministic hot-bucket drop, XOR/popcount Hamming verify,
+    and the exact-dup member re-expansion — then compare the full
+    pair set exactly."""
+    from crossfire_spark.functions.dedup import (
+        LSH_BUCKET_CAP,
+        SIMHASH_MAX_HAMMING,
+        _exact_dup_membership,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    membership = _exact_dup_membership(docs)
+    rep_docs = docs.join(
+        membership.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sig_pdf = simhash_signatures(rep_docs).toPandas()
+    got = simhash_pairs(docs).orderBy("doc_a", "doc_b", "hamming").toPandas()
+    duck.register("d04_sig", sig_pdf)
+    try:
+        want = duck.execute(
+            f"""
+            WITH mem AS (SELECT doc_id, md5(text) fp,
+                                MIN(doc_id) OVER (PARTITION BY md5(text)) rep
+                         FROM documents),
+            chunks AS (SELECT doc_id, simhash, u.i chunk,
+                              (simhash >> (u.i * 16)) & 65535 val
+                       FROM d04_sig, unnest([0, 1, 2, 3]) u(i)),
+            keep AS (SELECT chunk, val FROM chunks GROUP BY chunk, val
+                     HAVING COUNT(*) <= {LSH_BUCKET_CAP}),
+            ch AS (SELECT c.* FROM chunks c JOIN keep USING (chunk, val)),
+            rp AS (SELECT doc_a, doc_b, hamming FROM (
+                       SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+                              bit_count(xor(a.simhash, b.simhash)) hamming
+                       FROM ch a JOIN ch b
+                         ON a.chunk = b.chunk AND a.val = b.val
+                        AND a.doc_id < b.doc_id)
+                   WHERE hamming <= {SIMHASH_MAX_HAMMING}),
+            intra AS (SELECT m1.doc_id doc_a, m2.doc_id doc_b, 0 hamming
+                      FROM mem m1 JOIN mem m2
+                        ON m1.fp = m2.fp AND m1.doc_id < m2.doc_id),
+            crossx AS (SELECT LEAST(ma.doc_id, mb.doc_id) doc_a,
+                              GREATEST(ma.doc_id, mb.doc_id) doc_b,
+                              p.hamming
+                       FROM rp p JOIN mem ma ON ma.rep = p.doc_a
+                                 JOIN mem mb ON mb.rep = p.doc_b)
+            SELECT doc_a, doc_b, CAST(hamming AS INT) hamming FROM (
+                SELECT * FROM intra UNION ALL SELECT * FROM crossx)
+            ORDER BY doc_a, doc_b, hamming"""
+        ).df()
+    finally:
+        duck.unregister("d04_sig")
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("doc_a", "doc_b", "hamming"):
+        assert got[c].tolist() == want[c].tolist(), c
