@@ -1437,6 +1437,7 @@ def weighted_srp_pairs(
     prefilter_margin: float | None = None,
     coarse_longs: int = SRP_COARSE_LONGS,
     coarse_margin: float | None = None,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """TF-IDF-weighted near-dup pairs at scale — the banded tier d15
     is the oracle of (the d02→d03 relationship, closed for the
@@ -1549,6 +1550,11 @@ def weighted_srp_pairs(
         # consumes it twice (id set + pair join) — without this the
         # band self-join + prefilter execute once per consumer
     )
+    if return_candidates:
+        # test hook (the s02/s17/d03 soundness pattern): expose the
+        # post-prefilter rep-level candidate set so the entire verify
+        # + expansion stage can be SQL-oracled over the export
+        return candidates
     rep_pairs = _verify_weighted_cosine(w_rep, candidates, threshold)
     return _expand_rep_pairs(
         rep_pairs,

@@ -244,3 +244,79 @@ def test_minhash_arrow_kernel_matches_jvm_expressions(spark, sf_dir):
         for r in minhash_signatures_wide_jvm(docs).orderBy("doc_id").collect()
     ]
     assert got == ref
+
+
+def test_weighted_neardup_verify_stage_sql_oracle(spark, duck, sf_dir):
+    """Candidate-set oracle for d16 (the s02/s17/d03 soundness
+    pattern): export the post-prefilter rep-level candidates, then
+    restate the ENTIRE downstream stage — full-multiset TF-IDF
+    weights, exact weighted-cosine verify with d15's stabilization,
+    threshold, and exact-dup member re-expansion — as DuckDB SQL over
+    the export. Sims compared at the bit level. The only un-oracled
+    stages left in d16 are the SRP signature build and its banding/
+    prefilter (pinned separately by the subset/recall/score tests
+    above)."""
+    import numpy as np
+
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.dedup import (
+        WEIGHTED_NEARDUP_THRESHOLD,
+        weighted_srp_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand_pdf = weighted_srp_pairs(docs, return_candidates=True).toPandas()
+    got = (
+        weighted_srp_pairs(docs)
+        .orderBy("doc_a", "doc_b", "sim")
+        .toPandas()
+    )
+    duck.register("d16_cand", cand_pdf)
+    try:
+        want = duck.execute(
+            f"""
+            WITH mem AS (SELECT doc_id, md5(text) fp,
+                                MIN(doc_id) OVER (PARTITION BY md5(text)) rep
+                         FROM documents),
+            words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                      FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) tf FROM words
+                   GROUP BY doc_id, word),
+            nd AS (SELECT COUNT(DISTINCT doc_id) n FROM documents),
+            dfreq AS (SELECT word, COUNT(*) df FROM tf GROUP BY word),
+            idf AS (SELECT word, ln((n + 1) * 1.0 / (df + 1)) idf
+                    FROM dfreq CROSS JOIN nd),
+            w AS (SELECT t.doc_id, t.word, t.tf * i.idf wt
+                  FROM tf t JOIN idf i USING (word)),
+            norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) nrm FROM w
+                      GROUP BY doc_id),
+            dots AS (SELECT c.doc_a, c.doc_b, SUM(a.wt * b.wt) dot
+                     FROM d16_cand c
+                     JOIN w a ON a.doc_id = c.doc_a
+                     JOIN w b ON b.doc_id = c.doc_b AND b.word = a.word
+                     GROUP BY 1, 2),
+            rp AS (SELECT doc_a, doc_b,
+                          ROUND(ROUND(dot / (x.nrm * y.nrm), 6) + 1e-9, 4) sim
+                   FROM dots JOIN norms x ON doc_a = x.doc_id
+                             JOIN norms y ON doc_b = y.doc_id),
+            kept AS (SELECT * FROM rp
+                     WHERE sim >= {WEIGHTED_NEARDUP_THRESHOLD}),
+            intra AS (SELECT m1.doc_id doc_a, m2.doc_id doc_b, 1.0 sim
+                      FROM mem m1 JOIN mem m2
+                        ON m1.fp = m2.fp AND m1.doc_id < m2.doc_id),
+            crossx AS (SELECT LEAST(ma.doc_id, mb.doc_id) doc_a,
+                              GREATEST(ma.doc_id, mb.doc_id) doc_b, p.sim
+                       FROM kept p JOIN mem ma ON ma.rep = p.doc_a
+                                   JOIN mem mb ON mb.rep = p.doc_b)
+            SELECT doc_a, doc_b, sim FROM (
+                SELECT * FROM intra UNION ALL SELECT * FROM crossx)
+            ORDER BY doc_a, doc_b, sim"""
+        ).df()
+    finally:
+        duck.unregister("d16_cand")
+    assert len(got) == len(want) and len(got) > 0
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    a = np.ascontiguousarray(got["sim"].values, dtype=np.float64)
+    b = np.ascontiguousarray(want["sim"].values, dtype=np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()
