@@ -2085,3 +2085,53 @@ def _v14_oracle() -> str:
 
 
 EXTENDED_ORACLE_SQL["v14_dup_label_consistency"] = _v14_oracle()
+
+
+MEDFILT_W = 6  # trailing window (rows): 7-point median filter
+
+
+def h16_rolling_median(spark, sf_dir):
+    """Rolling median filter — the ROBUST smoother (h10's EWMA twin):
+    per user, the interpolated median of the trailing 7 values. A
+    median filter removes impulsive spikes that any linear smoother
+    (EWMA/moving average) smears; it is the standard pre-step before
+    changepoint/anomaly scoring on noisy metrics. Also reports each
+    point's absolute deviation from its local median — the robust
+    spike magnitude.
+
+    Spark-first: ``percentile`` is a true WINDOW aggregate here (one
+    exchange on user_id, no collect_list detour, no UDF); DuckDB's
+    ``quantile_cont`` states the identical interpolated statistic.
+    Both engines interpolate the even-count midpoint; results are
+    stabilized 9→4 dp (values ≥ 0 and |dev| is ABS-wrapped, so no
+    -0.0 hazard)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("cf_events_h16")
+    return spark.sql(
+        f"""
+        SELECT user_id, event_id,
+               ROUND(ROUND(med_raw, 9) + 1e-12, 4) med,
+               ROUND(ROUND(ABS(value - med_raw), 9) + 1e-12, 4) dev
+        FROM (SELECT user_id, event_id, value,
+                     percentile(value, 0.5) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {MEDFILT_W} PRECEDING AND CURRENT ROW
+                     ) med_raw
+              FROM cf_events_h16)
+        ORDER BY user_id, event_id, med, dev"""
+    )
+
+
+EXTENDED_QUERIES["h16_rolling_median"] = h16_rolling_median
+
+EXTENDED_ORACLE_SQL["h16_rolling_median"] = f"""
+        SELECT user_id, event_id,
+               ROUND(ROUND(med_raw, 9) + 1e-12, 4) med,
+               ROUND(ROUND(ABS(value - med_raw), 9) + 1e-12, 4) dev
+        FROM (SELECT user_id, event_id, value,
+                     quantile_cont(value, 0.5) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {MEDFILT_W} PRECEDING AND CURRENT ROW
+                     ) med_raw
+              FROM events)
+        ORDER BY user_id, event_id, med, dev"""

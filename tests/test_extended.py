@@ -134,3 +134,38 @@ def test_v14_flags_only_genuinely_mixed_clusters(spark, sf_dir):
         srcs = {s for s, _ in members[r.cluster_id]}
         langs = {l for _, l in members[r.cluster_id]}
         assert (r.n_sources, r.n_langs) == (len(srcs), len(langs))
+
+
+def test_h16_median_matches_python_recompute(spark, sf_dir):
+    """Every med equals the numpy interpolated median of the trailing
+    window, and dev = |value - med| (pre-rounding), for every user."""
+    import numpy as np
+
+    from crossfire_spark.operators.extended import (
+        MEDFILT_W,
+        h16_rolling_median,
+    )
+
+    events = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict = {}
+    expect: dict = {}
+    for r in events:
+        vals = series.setdefault(r.user_id, [])
+        vals.append(r.value)
+        win = vals[-(MEDFILT_W + 1):]
+        med = float(np.percentile(win, 50))
+        expect[r.event_id] = (
+            round(round(med, 9) + 1e-12, 4),
+            round(round(abs(r.value - med), 9) + 1e-12, 4),
+        )
+    rows = h16_rolling_median(spark, sf_dir).collect()
+    assert rows and len(rows) == len(expect)
+    for r in rows:
+        want_med, want_dev = expect[r.event_id]
+        assert abs(r.med - want_med) < 1e-9, (r.event_id, r.med, want_med)
+        assert abs(r.dev - want_dev) < 1e-9, (r.event_id, r.dev, want_dev)

@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 223 and len(osql) == 212
+    assert len(qs) == 224 and len(osql) == 213
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
