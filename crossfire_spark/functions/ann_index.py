@@ -606,3 +606,126 @@ def _oracle() -> dict[str, str]:
 
 
 ANN_INDEX_ORACLE_SQL = _oracle()
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame, path: str, n_centroids: int = IVF_CENTROIDS
+):
+    """One-time IVF-PQ composite build (the persisted form of s20's
+    FAISS ``IndexIVFPQ`` shape): the IVF half (coarse centroids +
+    corpus→centroid assignment table) AND the PQ half (codebooks +
+    16-byte code table), all committed to the snapshot sink. Query
+    traffic touches only the probed slice of the code table; neither
+    corpus-wide pass (assignment, encode) ever runs again."""
+    books = build_pq_index(embeddings, path)
+    if books is None:  # empty corpus — nothing to commit
+        return None
+    build_ivf_index(embeddings, path, n_centroids=n_centroids)
+    return books
+
+
+def query_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-PQ ANN against a persisted index: probes rank against the
+    stored centroid table, ADC candidates come from the stored
+    assignment/code tables restricted to probed buckets, exact cosine
+    re-ranks survivors only. Identical output to
+    :func:`similarity.ivf_pq_topk` over the same corpus (same
+    centroids, assignment rule, codebooks, codes, and ranking keys) —
+    so it shares ``_ivf_pq_oracle`` verbatim."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from crossfire_spark.functions.similarity import (
+        PQ_CAND_MULT,
+        _adc_dist_col,
+        _exact_rerank,
+        _sqdist,
+        pq_adc_tables,
+    )
+
+    cb = snapshot_read(spark, os.path.join(path, "codebooks")).collect()
+    m = max(r["s"] for r in cb) + 1
+    kk = max(r["j"] for r in cb) + 1
+    books = np.zeros((m, kk, len(cb[0]["c"])), dtype=np.float64)
+    for r in cb:
+        books[r["s"], r["j"]] = r["c"]
+    cent = snapshot_read(spark, os.path.join(path, "centroids"))
+    assign = snapshot_read(spark, os.path.join(path, "assignments")).select(
+        "vec_id", "cid"
+    )
+    codes = snapshot_read(spark, os.path.join(path, "codes"))
+    qw = Window.partitionBy("qid").orderBy(
+        F.round(_sqdist("qe", "ce"), 6), F.col("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= n_probes)
+        .select("qid", "cid")
+    )
+    adc_q = pq_adc_tables(queries, books)
+    cand0 = (
+        assign.join(probes, "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand0.join(codes, "vec_id")
+        .join(F.broadcast(adc_q), "qid")
+        .select(
+            "qid", "vec_id", F.round(_adc_dist_col(m, kk), 9).alias("adcd")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adcd").asc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(embeddings, queries, cand, k)
+
+
+def s21_ivf_pq_index(spark, sf_dir):
+    """The persisted-index face of s20: build the IVF routing tables
+    AND the PQ code table into session-scoped snapshot tables once,
+    answer the query from them. Same centroids, assignment, codebooks,
+    codes, and ranking as s20 → shares ``_ivf_pq_oracle``; equality to
+    the ad-hoc path is additionally pinned in tests."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import _query_set
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    path = os.path.join(_session_workdir("s21_"), "ivfpq")
+    if build_ivf_pq_index(em, path) is None:  # empty corpus
+        from crossfire_spark.functions.similarity import _empty_topk
+
+        return _empty_topk(spark)
+    return query_ivf_pq_index(spark, path, em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
+
+
+ANN_INDEX_QUERIES["s21_ivf_pq_index"] = s21_ivf_pq_index
+
+
+def _s21_oracle() -> None:
+    from crossfire_spark.functions.similarity import SIMILARITY_ORACLE_SQL
+
+    # s21 must equal s20 exactly (same centroids, assignment rule,
+    # codebooks, codes, ADC and ranking); only the execution path
+    # (persisted snapshot tables vs recompute) differs.
+    ANN_INDEX_ORACLE_SQL["s21_ivf_pq_index"] = SIMILARITY_ORACLE_SQL[
+        "s20_ivf_pq_topk"
+    ]
+
+
+_s21_oracle()

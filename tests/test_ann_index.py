@@ -277,3 +277,30 @@ def test_pq_topk_large_query_set_stays_distributed(spark, sf_dir):
     assert len(dense) > len(sparse)
     sparse_qids = {q for q, _, _ in sparse}
     assert [t for t in dense if t[0] in sparse_qids] == sparse
+
+
+def test_ivf_pq_index_equals_adhoc(spark, sf_dir, tmp_path):
+    """Persisted-index IVF-PQ returns exactly the ad-hoc s20 result
+    (same centroids, assignment, codebooks, codes, and ranking)."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from crossfire_spark.functions.similarity import _query_set, ivf_pq_topk
+
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    q = _query_set(em)
+    path = str(tmp_path / "ivfpq")
+    assert build_ivf_pq_index(em, path) is not None
+    via_index = [
+        tuple(r)
+        for r in query_ivf_pq_index(spark, path, em, q)
+        .orderBy("qid", "vec_id")
+        .collect()
+    ]
+    adhoc = [
+        tuple(r)
+        for r in ivf_pq_topk(em, q).orderBy("qid", "vec_id").collect()
+    ]
+    assert via_index == adhoc and len(adhoc) > 0

@@ -110,7 +110,7 @@ def test_registry_contract_consistency():
         "st14_index_maintenance",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 224 and len(osql) == 213
+    assert len(qs) == 225 and len(osql) == 214
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
