@@ -24,30 +24,30 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # driver's sample spans the whole engine; remaining keys follow in
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
-    # relational core — r6 rotation: q02/q04/q06 (driver-green since
-    # r1) -> q07/q08/q09 (never driver-checked)
-    "q01", "q03", "q05", "q07", "q08", "q09",
+    # relational core — r7 rotation: q01/q03/q05 (driver-green since
+    # r1) rotate OUT; q07/q08/q09 (first checked r6) stay one more
+    # round for continuity
+    "q07", "q08", "q09",
     # round-5 session-4 additions (kNN graph, bipartite projection,
     # seasonality, Benford) — fresher driver signal than more q's
     "s15_knn_graph", "g08_bipartite_projection",
     "h11_seasonality", "v11_benford_report",
-    # dedup family (r6: d05 -> d18 winnowing, never driver-checked)
-    "d01_dedup_bag", "d02_ngram_jaccard", "d18_winnow_overlap",
-    "d06_dup_clusters", "d07_contamination", "d11_dedup_savings",
+    # dedup family (r7: d01/d02/d06 driver-green -> d13_build_index,
+    # never driver-checked)
+    "d18_winnow_overlap", "d13_build_index",
+    "d07_contamination", "d11_dedup_savings",
     "d20_dup_span_fraction",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
     "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",
-    # text pipeline (r6: t02/t05 -> t21 stratified sample + q50 sets)
-    "t01_langid", "t21_stratified_sample", "t03_tokens", "q50",
-    "t09_bm25", "t13_mixture_sample",
-    # similarity / ANN (r6: s07 -> q60 extended-relational slot)
-    "s01_cosine_topk", "s03_ivf_topk", "s05_hybrid_rrf", "q60",
-    "s11_filtered_topk",
+    # text pipeline (r7: t01/t03 driver-green -> t10/t15/t18, the
+    # last never-driver-checked text keys)
+    "t10_pii_scrub", "t15_split_assign", "t18_corpus_build",
+    "t21_stratified_sample", "q50", "t09_bm25", "t13_mixture_sample",
+    # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
+    "s05_hybrid_rrf", "q60", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
-    # (r6: h02/h04 -> h07 M4 / h09 LTTB; v03 -> v08 ref-integrity)
-    "h01_time_rollup", "h07_m4_downsample", "h09_lttb_downsample",
-    "h05_sessionize",
+    "h07_m4_downsample", "h09_lttb_downsample", "h05_sessionize",
     "v01_constraint_report", "v08_referential_integrity",
     "j01_json_extract", "a01_asof_join", "r01_range_join",
     # graph (r6: g02 -> g04 k-core)
@@ -56,8 +56,12 @@ _DRIVER_SAMPLE_PREFIX = (
     "m04_image_decode", "m05_audio_decode",
     # placement domain
     "p01_verify_placement", "p04_verify_fast",
-    # streaming (r6: st01 -> st06 stream-stream join declared form)
-    "st06_stream_stream", "st04_stateful_totals",
+    # streaming — r7 rotation target: the st family is the last
+    # driver-hash blind spot (VERDICT r6 item 1).  8 never-checked
+    # st keys in; st01/st04/st06 (driver-green r5/r6) rotate out.
+    "st02_stream_sliding", "st03_session_window", "st05_stream_static",
+    "st07_stream_upsert", "st08_stream_dedup", "st12_stream_matview",
+    "st15_stream_anomaly", "st17_stream_funnel",
 )
 
 
