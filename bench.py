@@ -4,14 +4,31 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
-Timing is end-to-end per query (plan + execute + collect-to-count);
-a warmup query first amortizes JVM/session startup out of the numbers.
+Methodology (round-7 hygiene, after r6's 176-236 s host-noise swing):
+- Each query runs $SPARK_GRAFT_BENCH_REPS (default 3) back-to-back
+  timed reps; the reported per-query number is the MEDIAN.  Rep 1
+  carries the one-time whole-stage-codegen compile for that plan
+  shape, so it lands in the discarded max — no separate warmup pass
+  is needed, and the median measures steady-state execution (what a
+  production job sees: one plan compiled once, amortized over every
+  partition).
+- /proc/loadavg is sampled before and after the sweep and emitted so
+  a noisy-host run is visible in the artifact instead of needing a
+  forensic paragraph.
+- The headline "value" is computed ONCE (sum of per-query medians)
+  and reused verbatim in the detail line, the compact tail line, and
+  BENCH_DETAIL.json, so the three can never disagree.
+
+Timing is end-to-end per query (plan + execute + noop-write); the
+noop sink executes the FULL plan (count() would let Catalyst elide
+final sorts) with zero sink cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +38,15 @@ from crossfire_spark import get_spark  # noqa: E402
 from crossfire_spark.registry import all_queries  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
 
 
 def main() -> None:
@@ -34,48 +60,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-
-    # Warmup strategy: each query runs once at the smallest SF
-    # *immediately before* its timed run. Whole-stage codegen classes
-    # are compiled per plan shape and cached in a fixed 100-entry LRU —
-    # warming all ~100 queries and then timing all of them evicts every
-    # entry between a query's warmup and its timed run (cyclic access
-    # vs LRU = always miss), so the timed pass would re-pay 1-4 s of
-    # janino compilation per wide plan. Warming per-query measures
-    # steady-state execution, which is what a production job sees (one
-    # plan compiled once, amortized over every partition). Streaming
-    # queries also pre-pay their fixed state-store/query-setup costs in
-    # the warmup run.
-    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = SF_DIR
+    load_before = _loadavg()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in sorted(qs):
-        try:
-            qs[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:  # noqa: BLE001,S110 — warmup only; timed run reports
-            pass
-        t0 = time.perf_counter()
-        try:
-            df = qs[name](spark, SF_DIR)
-            # noop write executes the FULL plan (count() would let
-            # Catalyst elide final sorts) with zero sink cost.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(round(time.perf_counter() - t0, 4))
+            except Exception as exc:  # noqa: BLE001
+                print(f"# bench error {name}: {exc}", file=sys.stderr)
+                break
+        if len(reps) == REPS:
+            timings[name] = round(statistics.median(reps), 4)
+            spreads[name] = [min(reps), max(reps)]
+        else:
             timings[name] = -1.0
-            print(f"# bench error {name}: {exc}", file=sys.stderr)
 
+    load_after = _loadavg()
     ok = [v for v in timings.values() if v >= 0]
+    total = round(sum(ok), 4)
     full = {
         "metric": "total_query_wall_time",
-        "value": round(sum(ok), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "reps": REPS,
+        "rep_stat": "median",
+        "spread_min_max": spreads,
+        "load_before": load_before,
+        "load_after": load_after,
     }
     # Detail line first (and a committed sidecar file), compact
     # headline LAST: the round driver records only the tail of stdout,
@@ -101,11 +120,15 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "total_query_wall_time",
-                "value": round(sum(ok), 4),
+                "value": total,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "reps": REPS,
+                "rep_stat": "median",
+                "load_before": load_before,
+                "load_after": load_after,
                 "queries": {**slowest, **failed},
                 "detail": "BENCH_DETAIL.json",
             }
