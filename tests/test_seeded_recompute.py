@@ -1,0 +1,305 @@
+"""Independent bit-level recompute of every SEEDED HASH BUILD.
+
+The candidate-set SQL oracles added in round 6 bit-check everything
+DOWNSTREAM of the seeded signature builds (band joins, Hamming
+prefilters, exact verification) — but the builds themselves
+(xxhash64-derived minhash rows, the simhash word vote, the sha256
+SRP sign model, the MT19937 LSH hyperplanes, the xxhash64 k-means
+init) had no cross-implementation check (VERDICT r6 task 4). This
+module closes that: each build is recomputed in PURE PYTHON
+(int-arithmetic XXH64 per the public xxHash spec — the same function
+Spark's ``xxhash64`` exposes, seed 42, multi-arg chaining; hashlib
+sha256; ``math.fsum`` dot products) on a ~100-doc/vector sample and
+compared BIT-EQUAL against the Spark-computed signatures.
+
+These recomputes share no code with the engine: the engine computes
+hashes JVM-side (codegen'd ``xxhash64``) or via vectorized NumPy
+kernels; the tests use Python ints and per-element loops. Agreement
+therefore pins both the algorithm and the engine's vectorization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- XXH64
+# Public xxHash64 spec (Cyan4973/xxHash); Spark's `xxhash64` expression
+# applies it with seed 42 and, for multi-arg calls, chains each
+# argument's hash as the next argument's seed.
+
+_M = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    seed &= _M
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v = [
+            (seed + _P1 + _P2) & _M,
+            (seed + _P2) & _M,
+            seed,
+            (seed - _P1) & _M,
+        ]
+        while off + 32 <= n:
+            for i in range(4):
+                k = int.from_bytes(data[off + 8 * i : off + 8 * i + 8], "little")
+                v[i] = (_rotl((v[i] + k * _P2) & _M, 31) * _P1) & _M
+            off += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M
+        for vi in v:
+            h ^= (_rotl((vi * _P2) & _M, 31) * _P1) & _M
+            h = ((h * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while off + 8 <= n:
+        k = int.from_bytes(data[off : off + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M
+        off += 8
+    if off + 4 <= n:
+        k = int.from_bytes(data[off : off + 4], "little")
+        h ^= (k * _P1) & _M
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M
+        off += 4
+    while off < n:
+        h ^= (data[off] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        off += 1
+    return _fmix(h)
+
+
+def xxh64_long(val: int, seed: int) -> int:
+    seed &= _M
+    val &= _M
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl((val * _P2) & _M, 31) * _P1) & _M
+    h = ((_rotl(h, 27) * _P1) + _P4) & _M
+    return _fmix(h)
+
+
+def xxh64_int(val: int, seed: int) -> int:
+    seed &= _M
+    val &= (1 << 32) - 1
+    h = (seed + _P5 + 4) & _M
+    h ^= (val * _P1) & _M
+    h = ((_rotl(h, 23) * _P2) + _P3) & _M
+    return _fmix(h)
+
+
+def _i64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _u64(x: int) -> int:
+    return x & _M
+
+
+# ------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def sample_docs(spark, sf_dir):
+    from crossfire_spark.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+        .cache()
+    )
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_xxhash64_string_matches_spark(spark, sample_docs):
+    """Spark's seeded base hashes (the root of the d03 minhash build)
+    equal the pure-Python XXH64 on UTF-8 bytes, including the
+    chained-seed form xxhash64(s, 1)."""
+    rows = (
+        sample_docs.select(
+            "text",
+            F.xxhash64("text").alias("h1"),
+            F.xxhash64("text", F.lit(1)).alias("h2"),
+        )
+        .collect()
+    )
+    assert len(rows) == 100
+    for r in rows:
+        b = r.text.encode("utf-8")
+        assert r.h1 == _i64(xxh64_bytes(b, 42))
+        assert r.h2 == _i64(xxh64_int(1, xxh64_bytes(b, 42)))
+
+
+def test_kmeans_init_hash_matches_spark(spark):
+    """s04/s06/s21's deterministic init key xxhash64(vec_id, 42) —
+    a long column chained with an int literal — recomputes exactly."""
+    df = spark.range(0, 100).select(F.col("id").alias("vec_id"))
+    rows = df.select(
+        "vec_id", F.xxhash64("vec_id", F.lit(42)).alias("h")
+    ).collect()
+    for r in rows:
+        assert r.h == _i64(xxh64_int(42, xxh64_long(r.vec_id, 42)))
+
+
+def test_minhash_signature_recompute(spark, sample_docs):
+    """m0..m127 for 30 docs recomputed from raw text with Python ints:
+    shingle set -> two XXH64 base hashes -> Kirsch-Mitzenmacher
+    rotl/xor derivation -> min per permutation. Bit-equal against the
+    engine's Arrow kernel output."""
+    from crossfire_spark.functions.dedup import (
+        MINHASH_K,
+        minhash_signatures_wide,
+    )
+
+    docs = sample_docs.limit(30)
+    got = {
+        r.doc_id: [r[f"m{i}"] for i in range(MINHASH_K)]
+        for r in minhash_signatures_wide(docs).collect()
+    }
+    gold = 0x9E3779B97F4A7C15
+    consts = [(i * gold) & _M for i in range(MINHASH_K)]
+    for r in docs.collect():
+        words = r.text.lower().split(" ")
+        n = 3
+        if len(words) >= n:
+            sh = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+        else:
+            sh = {" ".join(words)}  # slice(w, 1, 3) on a short array
+        mins = [None] * MINHASH_K
+        for s in sh:
+            b = s.encode("utf-8")
+            h1 = xxh64_bytes(b, 42)
+            h2 = xxh64_int(1, xxh64_bytes(b, 42))
+            for i in range(MINHASH_K):
+                hi = _i64(
+                    _rotl(h1, (7 * i) % 64) ^ _rotl(h2, i % 64) ^ consts[i]
+                )
+                if mins[i] is None or hi < mins[i]:
+                    mins[i] = hi
+        assert got[r.doc_id] == mins, f"doc {r.doc_id}"
+
+
+def test_simhash_recompute(spark, sample_docs):
+    """The 64-bit word-vote signature (d04) recomputed per doc with
+    Python ints: distinct words, XXH64 per word, +1/-1 vote per bit,
+    sign-of-sum reassembly."""
+    from crossfire_spark.functions.dedup import simhash_signatures
+
+    got = {r.doc_id: r.simhash for r in simhash_signatures(sample_docs).collect()}
+    for r in sample_docs.collect():
+        votes = [0] * 64
+        for w in set(r.text.lower().split(" ")):
+            h = xxh64_bytes(w.encode("utf-8"), 42)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        assert got[r.doc_id] == _i64(sig), f"doc {r.doc_id}"
+
+
+def test_srp_signature_recompute(spark, sample_docs):
+    """d16's 2048-bit SRP signature recomputed per doc in plain
+    Python: sha256(word#block) sign model, fsum-accumulated weighted
+    votes, round-6dp sign, little-endian 64-bit packing. Weights come
+    from the engine's TF-IDF table (the seeded part under test is the
+    sign model + packing, not the TF-IDF arithmetic, which the
+    candidate-set SQL oracles already cover)."""
+    from crossfire_spark.functions.dedup import (
+        SRP_LONGS,
+        _per_doc_vectors,
+        _srp_signatures,
+        _tfidf_weights,
+    )
+
+    docs = sample_docs.limit(40)
+    per_doc = _per_doc_vectors(_tfidf_weights(docs))
+    got = {
+        r.doc_id: [r[f"s{i}"] for i in range(SRP_LONGS)]
+        for r in _srp_signatures(per_doc).collect()
+    }
+    nbits = 64 * SRP_LONGS
+
+    def signs_for(word: str) -> list[int]:
+        raw = b"".join(
+            hashlib.sha256(f"{word}#{blk}".encode()).digest()
+            for blk in range((nbits + 255) // 256)
+        )
+        bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:nbits]
+        return [1 if b else -1 for b in bits]
+
+    for r in per_doc.collect():
+        contribs = [(e["wt"], signs_for(e["word"])) for e in r.wv]
+        sig = []
+        for blk in range(SRP_LONGS):
+            v = 0
+            for bit in range(64):
+                i = blk * 64 + bit
+                s = round(math.fsum(wt * sg[i] for wt, sg in contribs), 6)
+                if s > 0:
+                    v |= 1 << bit
+            sig.append(_i64(v))
+        assert got[r.doc_id] == sig, f"doc {r.doc_id}"
+
+
+def test_lsh_signature_recompute(spark, sf_dir):
+    """s02's 16-bit sign-random-projection signature recomputed per
+    vector with fsum dot products against an independently re-seeded
+    MT19937 hyperplane draw (RandomState(42).randn — NumPy's
+    documented stable generator contract), including the round-9
+    cross-build discipline."""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.similarity import (
+        LSH_BITS,
+        LSH_SEED,
+        lsh_signature,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    got = {r.vec_id: r.lsh_sig for r in lsh_signature(emb).collect()}
+    planes = np.random.RandomState(LSH_SEED).randn(LSH_BITS, 64).astype(float)
+    for r in emb.collect():
+        sig = 0
+        for b in range(LSH_BITS):
+            d = round(
+                math.fsum(float(x) * float(p) for x, p in zip(r.embedding, planes[b])),
+                9,
+            )
+            if d >= 0.0:
+                sig |= 1 << b
+        assert got[r.vec_id] == sig, f"vec {r.vec_id}"
