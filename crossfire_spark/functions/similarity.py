@@ -396,99 +396,75 @@ def _sqdist(a: str, b: str) -> F.Column:
     )
 
 
+# FAISS practice trains coarse quantizers on a bounded sample (faiss
+# Clustering defaults to max_points_per_centroid=256; 39 is its "too
+# few" warning floor). 64 points per centroid keeps the sample small
+# enough to hold in driver RAM at any corpus size while giving each
+# centroid a dense neighborhood to settle into.
+KMEANS_TRAIN_FACTOR = 64
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = IVF_CENTROIDS,
     n_iter: int = 5,
     seed: int = LSH_SEED,
+    train_cap: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
-    """Lloyd's k-means over the ``embedding`` column as a DataFrame
-    loop — the production centroid trainer behind :func:`ivf_topk`.
+    """Lloyd's k-means over the ``embedding`` column — the production
+    centroid trainer behind :func:`ivf_topk`, in FAISS's shape: train
+    on a deterministic capped sample, assign the full corpus ONCE
+    downstream.
 
-    Per iteration: one distributed assignment pass (corpus ×
-    broadcast-centroids, argmin by squared distance), then a
-    distributed per-(centroid, position) mean via ``posexplode`` —
-    only the k×dim centroid matrix and per-cluster objective ever
-    reach the driver (k·dim doubles, bytes — independent of corpus
-    size, so the loop is cluster-safe at 100 TB). Empty clusters keep
-    their previous centroid. Deterministic: seeded-hash init, integer
-    tiebreaks — same input → same centroids on any partitioning.
+    The training sample is the first ``train_cap`` (default
+    ``KMEANS_TRAIN_FACTOR · k``) rows in ``xxhash64(vec_id, seed)``
+    order — the same ordering whose ``k``-row prefix was already the
+    init rule, so init = sample[:k] unchanged. One distributed
+    TakeOrdered pulls the sample to the driver (cap·dim doubles,
+    corpus-size-independent); the Lloyd iterations then run locally in
+    NumPy — argmin with the 6-dp round + lowest-cid tiebreak and
+    empty-clusters-keep-previous exactly as the distributed form had —
+    so the BUILD costs one corpus scan total instead of one per
+    iteration (the r6 form paid 3 assignment scans for n_iter=3; the
+    r7 form pays 1 regardless of n_iter — the 100 TB difference).
+    Deterministic: seeded-hash sample, fixed iteration math — same
+    input → same centroids on any partitioning; the DuckDB oracle
+    replays the same sample, so the result stays cross-engine exact.
 
     Returns ``(centroids, objective_history)`` where objective is the
-    summed squared distance to the assigned centroid (non-increasing
-    across iterations — pinned in tests).
+    summed squared distance of TRAINING-SAMPLE points to their
+    assigned centroid (non-increasing across iterations — pinned in
+    tests). When ``train_cap`` >= corpus size the sample IS the
+    corpus and the semantics coincide with full-corpus Lloyd.
     """
-    spark = embeddings.sparkSession
-    init = (
+    if train_cap is None:
+        train_cap = KMEANS_TRAIN_FACTOR * k
+    sample = (
         embeddings.orderBy(
             F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id")
         )
-        .limit(k)
+        .limit(train_cap)
         .select("embedding")
         .collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in init]
-    if not centroids:
+    if not sample:
         return [], []  # empty corpus — callers emit an empty result
-    # corpus smaller than k: limit(k) returned fewer rows, so clamp —
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    # corpus smaller than k: the sample has fewer rows, so clamp —
     # the i-th empty-cluster fallback below indexes centroids[i].
-    # dim comes from the init rows — no separate first() probe job.
-    k = min(k, len(centroids))
-    dim = len(centroids[0])
+    k = min(k, len(X))
+    C = X[:k].copy()
+    x_sq = (X * X).sum(axis=1)
     history: list[float] = []
-
-    # Assignment is one Arrow-batched argmin against the broadcast
-    # centroid matrix riding the UDF closure (k x dim doubles) — no
-    # corpus x k crossJoin, no per-vector window, no shuffle at all
-    # for the assignment step. Ties broken like the previous
-    # all-Catalyst form: distance rounded to 6, lowest cid wins
-    # (np.argmin returns the first minimum). The UDF must be REBUILT
-    # each iteration: PySpark caches the serialized closure on first
-    # use (UserDefinedFunction._judf), so an in-place buffer update
-    # never reaches the executors — a define-once UDF silently
-    # re-assigns against the initial centroids forever (the stalled
-    # loop showed up as a bit-constant objective history when the
-    # DuckDB-unrolled oracle disagreed with iteration 2).
-    from pyspark.sql.functions import pandas_udf
-
-    def _make_assign(cent: list[list[float]]):
-        C = np.asarray(cent, dtype=np.float64)
-        c_sq = (C * C).sum(axis=1)
-
-        @pandas_udf("struct<cid: int, dist: double>")
-        def _assign(v: pd.Series) -> pd.DataFrame:
-            V = np.stack(v.values).astype(np.float64)
-            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            cid = np.round(d, 6).argmin(axis=1)
-            return pd.DataFrame(
-                {
-                    "cid": cid.astype(np.int32),
-                    "dist": d[np.arange(len(cid)), cid],
-                }
-            )
-
-        return _assign
-
     for _ in range(n_iter):
-        _assign = _make_assign(centroids)
-        assigned = embeddings.select(
-            "vec_id", "embedding", _assign("embedding").alias("a")
-        ).select("embedding", F.col("a.cid").alias("cid"), F.col("a.dist").alias("dist"))
-        stats = (
-            assigned.select("cid", "dist", F.posexplode("embedding"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("col").alias("m"), F.sum("dist").alias("sd"))
-            .collect()
-        )
-        new = {r.cid: [0.0] * dim for r in stats}
-        obj = 0.0
-        for r in stats:
-            new[r.cid][r.pos] = float(r.m)
-            if r.pos == 0:
-                obj += float(r.sd)
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
-        history.append(obj)
-    return centroids, history
+        d = x_sq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        cid = np.round(d, 6).argmin(axis=1)
+        history.append(float(d[np.arange(len(cid)), cid].sum()))
+        for i in range(k):
+            members = X[cid == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C], history
 
 
 def ivf_topk(
@@ -1890,13 +1866,16 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
     Lloyd's iterations + the IVF probe/re-rank tail.
 
     The init order replays Spark's ``xxhash64(vec_id, lit(42))`` with
-    exact 64-bit integer CTE arithmetic (``_xxhash64_steps``); each
-    iteration is one argmin assignment (squared distance rounded to
-    6 dp — wide enough to absorb BLAS-vs-SQL float noise) and one
-    per-(cid, position) mean with empty clusters keeping their
-    previous centroid, exactly the ``kmeans_fit`` update. The same
-    unroll discipline as s13's greedy-MMR oracle: a fixed, small
-    iteration count is just a deeper CTE chain."""
+    exact 64-bit integer CTE arithmetic (``_xxhash64_steps``); the
+    TRAINING SAMPLE is the first ``KMEANS_TRAIN_FACTOR·k`` rows in
+    that hash order (``vs``), exactly ``kmeans_fit``'s capped sample;
+    each iteration is one argmin assignment over the sample (squared
+    distance rounded to 6 dp — wide enough to absorb BLAS-vs-SQL
+    float noise) and one per-(cid, position) mean with empty clusters
+    keeping their previous centroid, exactly the ``kmeans_fit``
+    update; the FULL corpus is assigned once against the final
+    centroids. The same unroll discipline as s13's greedy-MMR oracle:
+    a fixed, small iteration count is just a deeper CTE chain."""
     ctes = [
         "vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)",
         "x0 AS (SELECT vec_id, vec_id::HUGEINT v FROM vx)",
@@ -1906,19 +1885,23 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
         ctes.append(f"x{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
         prev = f"x{i}"
     ctes.append(
+        f"vs AS (SELECT vx.vec_id, vx.e FROM {prev} t JOIN vx USING (vec_id)"
+        f" ORDER BY t.h, t.vec_id LIMIT {KMEANS_TRAIN_FACTOR * IVF_CENTROIDS})"
+    )
+    ctes.append(
         f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY t.h, t.vec_id) - 1 AS cid,"
         f" vx.e ce FROM {prev} t JOIN vx USING (vec_id)"
         f" ORDER BY t.h, t.vec_id LIMIT {IVF_CENTROIDS})"
     )
     assign_tpl = (
         "{out} AS (SELECT vec_id, e, cid FROM ("
-        "SELECT vx.vec_id, vx.e, c.cid,"
-        " ROW_NUMBER() OVER (PARTITION BY vx.vec_id"
-        " ORDER BY ROUND(list_distance(vx.e, c.ce) ^ 2, 6), c.cid) rn"
-        " FROM vx, {cent} c) WHERE rn = 1)"
+        "SELECT {src}.vec_id, {src}.e, c.cid,"
+        " ROW_NUMBER() OVER (PARTITION BY {src}.vec_id"
+        " ORDER BY ROUND(list_distance({src}.e, c.ce) ^ 2, 6), c.cid) rn"
+        " FROM {src}, {cent} c) WHERE rn = 1)"
     )
     for t in range(1, n_iter + 1):
-        ctes.append(assign_tpl.format(out=f"a{t}", cent=f"c{t-1}"))
+        ctes.append(assign_tpl.format(out=f"a{t}", cent=f"c{t-1}", src="vs"))
         ctes.append(
             f"m{t} AS (SELECT cid, i, AVG(e[i]) m"
             f" FROM a{t}, UNNEST(range(1, len(e) + 1)) t(i) GROUP BY cid, i)"
@@ -1930,7 +1913,7 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
             f"c{t} AS (SELECT p.cid, COALESCE(n.ce, p.ce) ce"
             f" FROM c{t-1} p LEFT JOIN n{t} n USING (cid))"
         )
-    ctes.append(assign_tpl.format(out="assign", cent=f"c{n_iter}"))
+    ctes.append(assign_tpl.format(out="assign", cent=f"c{n_iter}", src="vx"))
     ctes.append(
         f"probes AS (SELECT qid, qe, cid FROM ("
         f"SELECT q.vec_id qid, q.e qe, c.cid,"
