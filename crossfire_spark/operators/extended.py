@@ -925,7 +925,7 @@ PROFILE_COLS = (
 )
 
 
-def column_profile(df: DataFrame) -> DataFrame:
+def column_profile(df: DataFrame, approx: bool = False) -> DataFrame:
     """One row per profiled column — (col, n_rows, n_null, n_distinct,
     min_v, max_v, min_s, max_s): the deequ/TFDV-style table profile a
     pipeline snapshots before and after every ingest (v02's drift
@@ -934,14 +934,19 @@ def column_profile(df: DataFrame) -> DataFrame:
     columns, so the output schema is stable across heterogeneous
     inputs.
 
-    Scale shape: one full scan folds every non-distinct metric into a
-    single HashAggregate; each exact distinct count is its own
-    column-pruned scan (columnar parquet reads exactly that column)
-    joined back as a 1-row broadcast. NOT the one-agg multi-distinct
-    form: Spark rewrites that via an Expand that multiplies the whole
-    row stream ×(k+1) through two SortAggregates (measured 4.2 s vs
-    1.3 s here at sf0.1). At 100 TB swap ``approx_count_distinct``
-    into the first scan and drop the per-column scans entirely."""
+    Scale shape, exact tier (``approx=False``): one full scan folds
+    every non-distinct metric into a single HashAggregate; each exact
+    distinct count is its own column-pruned scan (columnar parquet
+    reads exactly that column) joined back as a 1-row broadcast. NOT
+    the one-agg multi-distinct form: Spark rewrites that via an
+    Expand that multiplies the whole row stream ×(k+1) through two
+    SortAggregates (measured 4.2 s vs 1.3 s here at sf0.1).
+
+    Approx tier (``approx=True``, the 100 TB shape): every metric
+    including ``approx_count_distinct`` (HLL++, rsd 0.05, map-side
+    combinable) folds into ONE HashAggregate over ONE scan — no
+    per-column re-scans, no Expand. Accuracy vs the exact tier is
+    pinned in tests (≤5% relative error per column)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, _kind in PROFILE_COLS:
         aggs += [
@@ -949,11 +954,18 @@ def column_profile(df: DataFrame) -> DataFrame:
             F.min(c).alias(f"{c}__mn"),
             F.max(c).alias(f"{c}__mx"),
         ]
+        if approx:
+            # rsd 0.02 (vs the 0.05 default): a profile's distinct
+            # counts feed drift thresholds, so spend the ~2.7 KB/
+            # sketch for ±4%-at-2σ accuracy — still one scan, still
+            # map-side combinable.
+            aggs.append(F.approx_count_distinct(c, 0.02).alias(f"{c}__nd"))
     a = df.agg(*aggs)
-    for c, _kind in PROFILE_COLS:
-        a = a.crossJoin(
-            F.broadcast(df.agg(F.countDistinct(c).alias(f"{c}__nd")))
-        )
+    if not approx:
+        for c, _kind in PROFILE_COLS:
+            a = a.crossJoin(
+                F.broadcast(df.agg(F.countDistinct(c).alias(f"{c}__nd")))
+            )
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     structs = []
@@ -995,6 +1007,21 @@ def v06_column_profile(spark, sf_dir):
     per-column aggregate UNION in DuckDB."""
     o = load_table(spark, sf_dir, "orders")
     return column_profile(o).orderBy(
+        "col", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "min_s", "max_s"
+    )
+
+
+def v06_column_profile_approx(spark, sf_dir):
+    """The 100 TB tier of v06: identical schema, but every metric —
+    including the distinct counts, via ``approx_count_distinct``
+    (HLL++) — computed in ONE HashAggregate over ONE scan of the
+    table (v06 exact pays one extra column-pruned scan per exact
+    distinct count; this pays zero). Sketch estimates are engine-
+    specific, so the entry is declared rows-only; accuracy vs the
+    exact tier (≤5% relative error on every n_distinct) and the
+    one-scan plan shape are pinned in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return column_profile(o, approx=True).orderBy(
         "col", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "min_s", "max_s"
     )
 
@@ -1475,6 +1502,7 @@ EXTENDED_QUERIES = {
     "v03_table_diff": v03_table_diff,
     "v04_outlier_report": v04_outlier_report,
     "v06_column_profile": v06_column_profile,
+    "v06_column_profile_approx": v06_column_profile_approx,
     "v07_quantile_report": v07_quantile_report,
     "v08_referential_integrity": v08_referential_integrity,
     "v09_sketch_cardinality": v09_sketch_cardinality,

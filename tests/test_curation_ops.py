@@ -592,6 +592,32 @@ def test_sketch_cardinality_accuracy_and_merge(spark, sf_dir):
     assert abs(got["__all__"] - direct) <= max(2, 0.01 * direct)
 
 
+def test_column_profile_approx_accuracy_and_one_scan(spark, sf_dir):
+    """The v06 approx tier matches the exact tier on every non-sketch
+    column byte-for-byte, keeps each approx_count_distinct within 5%
+    relative error (HLL++ at the default rsd 0.05), and plans as ONE
+    parquet scan (the exact tier pays one extra column-pruned scan
+    per profiled column)."""
+    from crossfire_spark.operators.extended import (
+        v06_column_profile,
+        v06_column_profile_approx,
+    )
+
+    exact = {r["col"]: r.asDict() for r in v06_column_profile(spark, sf_dir).collect()}
+    approx_df = v06_column_profile_approx(spark, sf_dir)
+    approx = {r["col"]: r.asDict() for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        for f in ("n_rows", "n_null", "min_v", "max_v", "min_s", "max_s"):
+            assert a[f] == e[f], (c, f, a[f], e[f])
+        nd_e, nd_a = e["n_distinct"], a["n_distinct"]
+        assert abs(nd_a - nd_e) <= max(1, 0.05 * nd_e), (c, nd_a, nd_e)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Scan parquet")
+    assert n <= 2, f"approx profile: {n} scans (AQE lists each up to twice)"
+
+
 def test_ewma_smooth_planted(spark):
     """The bounded-horizon EWMA matches a direct Python recompute of
     the truncated-and-renormalized weights, and early rows (fewer

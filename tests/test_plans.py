@@ -108,9 +108,10 @@ def test_registry_contract_consistency():
         "s16_ann_recall_audit",
         "s17_knn_graph_ann",
         "st14_index_maintenance",
+        "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 225 and len(osql) == 214
+    assert len(qs) == 226 and len(osql) == 214
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
