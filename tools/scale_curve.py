@@ -12,12 +12,24 @@ that into measured evidence on a builder-generated corpus family:
 `gen` writes documents.parquet + embeddings.parquet at 1x (matching
 the driver's sf0.1 shape: 5 000 docs / 2 000 vectors), 3x and 10x,
 all drawn from ONE seeded generator that mimics the driver corpus
-profile (31-word vocab read from /root/testdata/sf0.1, 15-60 words
-per doc, 5 langs x 20 sources, unit-norm 64-dim embeddings, 10
-labels) with proportional duplicate structure: ~0.6% exact-dup docs,
-~2% near-dup docs (15% word mutation), ~1.5% perturbed near-dup
-vectors. Holding the generator fixed and scaling n is what makes the
-fitted exponent meaningful; /root/testdata is never written.
+profile (15-60 words per doc, langs/sources read from
+/root/testdata/sf0.1, unit-norm 64-dim embeddings, 10 labels) with
+proportional duplicate structure: ~0.6% exact-dup docs, ~2% near-dup
+docs (15% word mutation), ~1.5% perturbed near-dup vectors. Holding
+the generator fixed and scaling n is what makes the fitted exponent
+meaningful; /root/testdata is never written.
+
+VOCABULARY: 2 000 synthetic words, NOT the driver corpus's 31-word
+toy vocab. A first run with the 31-word vocab showed why: random
+bag-of-words docs over 31 words are all ambiently similar, so the
+TRUE near-dup pair mass itself grows quadratically (d16 verified
+pairs 2 025 -> 212 186 for 10x docs) — a corpus-math property no
+dedup algorithm can linearize, which would measure the corpus, not
+the operator. With a realistic vocabulary ambient similarity
+collapses and the injected (linear) duplicates dominate, so the
+fitted exponent isolates algorithmic overheads — the thing the 100 TB
+claim is actually about. (That toy-vocab run is still recorded in
+PERFORMANCE.md as an output-bound stress datapoint.)
 
 `run` executes each target query end-to-end (noop sink, median of
 --reps back-to-back reps, rep 1 absorbing codegen) at every scale,
@@ -54,16 +66,22 @@ BASE_VECS = 2_000
 SEED = 20260815
 
 
+VOCAB_SIZE = 2_000
+
+
 def _real_profile():
     import duckdb
 
-    vocab = [
-        r[0]
-        for r in duckdb.sql(
-            "SELECT DISTINCT unnest(string_split(text, ' ')) w "
-            f"FROM '{REF_SF}/documents.parquet' ORDER BY w"
-        ).fetchall()
-    ]
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vrng = np.random.default_rng(SEED + 1)
+    vocab = list(
+        {
+            "".join(vrng.choice(letters, size=int(vrng.integers(4, 9))))
+            for _ in range(int(VOCAB_SIZE * 1.3))
+        }
+    )
+    vocab.sort()
+    vocab = vocab[:VOCAB_SIZE]
     langs = [
         r[0]
         for r in duckdb.sql(
