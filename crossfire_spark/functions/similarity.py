@@ -2221,3 +2221,192 @@ def _ivf_pq_oracle() -> str:
 
 SIMILARITY_QUERIES["s20_ivf_pq_topk"] = s20_ivf_pq_topk
 SIMILARITY_ORACLE_SQL["s20_ivf_pq_topk"] = _ivf_pq_oracle()
+
+
+def _residual_col(vec: str, cent: str) -> F.Column:
+    """Element-wise ``vec - cent`` in double precision — one codegen'd
+    ``zip_with``, bit-identical to the same IEEE subtraction in SQL."""
+    return F.expr(
+        f"zip_with({vec}, {cent},"
+        " (a, b) -> cast(a as double) - cast(b as double))"
+    )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — what FAISS ``IndexIVFPQ``
+    actually quantizes (Jégou et al. 2011 §V.A, eq. 27-30: encode
+    ``r(x) = x - q1(x)``, the vector MINUS its coarse centroid, and
+    at query time build the ADC table from the per-probe query
+    residual ``q - c``). Residuals concentrate near the origin, so
+    the same codebook budget spends its resolution on the part of the
+    vector the coarse quantizer didn't explain — the reason every
+    production IVF-PQ defaults to residual encoding (s20 is the
+    ``by_residual=false`` variant kept for its simpler one-table ADC).
+
+    Cost difference vs s20, and why it still scales: the ADC table is
+    per (query, probed centroid) instead of per query — ``n_probes``×
+    more broadcast rows (still M·K doubles each, never a driver
+    tensor), and the bucket-restricted scan joins on (qid, cid)
+    instead of qid. Corpus side is unchanged: one assignment scan,
+    one M-byte-code table, exact re-rank of ADC survivors only.
+
+    Deterministic end-to-end: the residual subtraction is the same
+    IEEE double op on both engines, encode rounds 9 dp with lowest-
+    code tiebreak, the M ADC lookups sum left-to-right, candidates
+    rank at 9 dp, re-rank at 4 dp — fully DuckDB-oracled
+    (``_ivf_pq_residual_oracle``)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+    )
+    assign = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id", "cid", _residual_col("embedding", "ce").alias("resid")
+        )
+    )
+    # Residual codebooks: the nearest-sample rule of pq_codebooks,
+    # applied to residuals — the first PQ_K residual vectors by
+    # vec_id. K x dim doubles of driver traffic, corpus-independent.
+    book_rows = (
+        assign.orderBy("vec_id").limit(PQ_K).select("resid").collect()
+    )
+    if not book_rows:
+        return _empty_topk(embeddings.sparkSession)
+    C = np.array([list(r[0]) for r in book_rows], dtype=np.float64)
+    if C.shape[1] % PQ_M:
+        raise ValueError(f"dim {C.shape[1]} not divisible by M={PQ_M}")
+    books = C.reshape(len(C), PQ_M, -1).transpose(1, 0, 2)
+    B = np.asarray(books, dtype=np.float64)
+    m, kk, d = B.shape
+
+    codes = pq_encode(
+        assign.select("vec_id", F.col("resid").alias("embedding")), books
+    )
+    qw = Window.partitionBy("qid").orderBy(
+        F.round(_sqdist("qe", "ce"), 6), F.col("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= n_probes)
+        .select("qid", "cid", _residual_col("qe", "ce").alias("qresid"))
+    )
+
+    @pandas_udf("array<double>")
+    def _tab(qr: pd.Series) -> pd.Series:
+        Q = np.stack(qr.values).astype(np.float64).reshape(len(qr), m, 1, d)
+        T = ((Q - B[None, :, :, :]) ** 2).sum(-1)  # (batch, M, K)
+        return pd.Series(list(T.reshape(len(qr), m * kk)))
+
+    adc_q = probes.select("qid", "cid", _tab("qresid").alias("adc"))
+    scored = (
+        assign.select("vec_id", "cid")
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc_q), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.round(_adc_dist_col(m, kk), 9).alias("adcd")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adcd").asc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_CAND_MULT * k)
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(embeddings, queries, cand, k)
+
+
+def s22_ivf_pq_residual(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_residual_topk(em, _query_set(em)).orderBy(
+        "qid", "vec_id", "sim"
+    )
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """DuckDB mirror of the residual-encoded composite: s20's oracle
+    with the codebook/encode/ADC stages rebased onto ``x - q1(x)``
+    residuals (``list_transform`` index arithmetic — the same IEEE
+    subtraction Spark's ``zip_with`` performs) and the ADC table
+    keyed by (qid, cid)."""
+    d = EMBED_DIM // PQ_M
+    resid = (
+        f"list_transform(range(1, {EMBED_DIM + 1}),"
+        " i -> e[i] - ce[i])"
+    )
+    qresid = (
+        f"list_transform(range(1, {EMBED_DIM + 1}),"
+        " i -> qe[i] - ce[i])"
+    )
+
+    def d2(v: str) -> str:
+        return " + ".join(
+            f"({v}[s*{d}+{i}]-bce[s*{d}+{i}])*({v}[s*{d}+{i}]-bce[s*{d}+{i}])"
+            for i in range(1, d + 1)
+        )
+
+    lookup = " + ".join(
+        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    return f"""
+        WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings
+                      WHERE vec_id < {IVF_CENTROIDS}),
+        vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        assign AS (SELECT vec_id, cid, r FROM (
+            SELECT v.vec_id, c.cid, {resid} r,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_distance(v.e, c.ce) ^ 2, 6), c.cid) rn
+            FROM vx v, cent c) WHERE rn = 1),
+        book AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, r bce
+          FROM (SELECT vec_id, r FROM assign ORDER BY vec_id LIMIT {PQ_K})),
+        subs AS (SELECT UNNEST(range({PQ_M})) s),
+        enc AS (SELECT vec_id, s, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                           ORDER BY ROUND({d2('r')}, 9), j) rn
+                FROM assign, book, subs),
+        codes AS (SELECT vec_id, list(j ORDER BY s) cl FROM enc WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings
+              WHERE vec_id % {QUERY_STRIDE} = 0),
+        probes AS (SELECT qid, cid, qr FROM (
+            SELECT q.qid, c.cid, {qresid} qr,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ROUND(list_distance(q.qe, c.ce) ^ 2, 6), c.cid) rn
+            FROM q, cent c) WHERE rn <= {IVF_PROBES}),
+        adc AS (SELECT qid, cid, s, j, {d2('qr')} d2 FROM probes, book, subs),
+        adct AS (SELECT qid, cid, list(d2 ORDER BY s, j) al FROM adc GROUP BY qid, cid),
+        dist AS (SELECT t.qid, a.vec_id, ROUND({lookup}, 9) adcd
+                 FROM assign a JOIN adct t ON a.cid = t.cid
+                 JOIN codes co ON co.vec_id = a.vec_id
+                 WHERE a.vec_id != t.qid),
+        cand AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcd, vec_id) rn
+            FROM dist) WHERE rn <= {PQ_CAND_MULT * TOPK}),
+        rer AS (SELECT c.qid, c.vec_id,
+                       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) sim
+                FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+                            JOIN embeddings b ON b.vec_id = c.qid),
+        fin AS (SELECT qid, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM rer)
+        SELECT qid, vec_id, sim FROM fin WHERE rn <= {TOPK}
+        ORDER BY qid, vec_id, sim"""
+
+
+SIMILARITY_QUERIES["s22_ivf_pq_residual"] = s22_ivf_pq_residual
+SIMILARITY_ORACLE_SQL["s22_ivf_pq_residual"] = _ivf_pq_residual_oracle()

@@ -955,6 +955,46 @@ def test_s20_ivf_pq_subset_and_exact_sims(spark, sf_dir):
     assert all(len(v) <= TOPK for v in per_q.values())
 
 
+def test_s22_residual_encoding_properties(spark, sf_dir):
+    """Residual-encoded IVF-PQ (s22): (a) recall@TOPK vs exact cosine
+    stays within 0.05 of the non-residual composite s20 on this
+    corpus (unit-norm noise has no cluster structure, so residual
+    encoding can't WIN here — parity is the property; its advantage
+    needs clustered data the coarse quantizer can explain), (b) the
+    exact round-4 cosine is reported for every returned pair, and
+    (c) at most TOPK rows per query."""
+    import numpy as np
+
+    from crossfire_spark.catalog import spread
+    from crossfire_spark.functions.similarity import (
+        TOPK,
+        _query_set,
+        cosine_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    em = spread(load_table(spark, sf_dir, "embeddings")).cache()
+    q = _query_set(em)
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(em, q, k=5).collect()}
+    s20 = {(r.qid, r.vec_id) for r in ivf_pq_topk(em, q).collect()}
+    rows = ivf_pq_residual_topk(em, q).collect()
+    s22 = {(r.qid, r.vec_id) for r in rows}
+    r20 = len(exact & s20) / len(exact)
+    r22 = len(exact & s22) / len(exact)
+    assert r22 >= r20 - 0.05, (r22, r20)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in em.collect()
+    }
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+        a, b = vecs[r.qid], vecs[r.vec_id]
+        want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+        assert abs(r.sim - want) < 1e-9, (r.qid, r.vec_id, r.sim, want)
+    assert all(len(v) <= TOPK for v in per_q.values())
+
+
 def test_lsh_topk_verify_stage_sql_oracle(spark, duck, sf_dir):
     """Candidate-set oracle for s02 (the s17/d13 soundness pattern):
     export the seeded-LSH band candidates, then verify the whole
