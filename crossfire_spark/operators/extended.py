@@ -1028,6 +1028,89 @@ def v06_column_profile_approx(spark, sf_dir):
 
 
 
+DRIFT_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+DRIFT_NULL_TOL = 0.01   # absolute null-rate increase that trips the gate
+DRIFT_MEAN_TOL = 0.05   # relative mean shift that trips the gate
+
+
+def profile_drift_gate(
+    base_and_current: DataFrame, split_col: str = "grp"
+) -> DataFrame:
+    """deequ-style two-snapshot drift gate: given one table carrying a
+    0/1 ``split_col`` (0 = baseline snapshot, 1 = current ingest),
+    emit per numeric column the row counts, null rates, means, the
+    relative mean shift, and a PASS / WARN_NULLS / WARN_SHIFT status —
+    the accept/reject check a pipeline runs on every new partition
+    before publishing it.
+
+    Scale shape: ONE HashAggregate over ONE scan — every per-split
+    metric is a conditional aggregate (``FILTER``-style ``CASE``), so
+    adding a snapshot never adds a pass; the k-column explode runs on
+    a 1-row aggregate. Float discipline: means stabilized
+    ``ROUND(ROUND(x, 6) + 1e-9, 2)``; the sign-indefinite shift gets
+    the trailing ``+ 0.0`` (negative-zero rule, SURVEY §2.12)."""
+    aggs = []
+    for g, p in (("b", 0), ("c", 1)):
+        aggs.append(
+            F.count(F.when(F.col(split_col) == p, F.lit(1))).alias(f"__{g}n")
+        )
+        for c in DRIFT_COLS:
+            aggs += [
+                F.sum(
+                    F.when(
+                        (F.col(split_col) == p) & F.col(c).isNull(), 1
+                    ).otherwise(
+                        F.when(F.col(split_col) == p, 0)
+                    )
+                ).alias(f"{c}__{g}null"),
+                F.avg(F.when(F.col(split_col) == p, F.col(c))).alias(
+                    f"{c}__{g}mean"
+                ),
+            ]
+    a = base_and_current.agg(*aggs)
+    structs = []
+    for c in DRIFT_COLS:
+        bn, cn = F.col("__bn"), F.col("__cn")
+        b_null = F.col(f"{c}__bnull") / bn
+        c_null = F.col(f"{c}__cnull") / cn
+        b_mean = F.col(f"{c}__bmean")
+        c_mean = F.col(f"{c}__cmean")
+        shift = F.round(
+            F.round((c_mean - b_mean) / F.abs(b_mean), 9) + F.lit(1e-12), 4
+        ) + F.lit(0.0)
+        null_delta = F.round(
+            F.round(c_null - b_null, 9) + F.lit(1e-12), 4
+        ) + F.lit(0.0)
+        status = (
+            F.when(null_delta > DRIFT_NULL_TOL, F.lit("WARN_NULLS"))
+            .when(F.abs(shift) > DRIFT_MEAN_TOL, F.lit("WARN_SHIFT"))
+            .otherwise(F.lit("PASS"))
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                bn.alias("base_rows"),
+                cn.alias("cur_rows"),
+                F.round(F.round(b_mean, 6) + F.lit(1e-9), 2).alias("base_mean"),
+                F.round(F.round(c_mean, 6) + F.lit(1e-9), 2).alias("cur_mean"),
+                null_delta.alias("null_delta"),
+                shift.alias("mean_shift"),
+                status.alias("status"),
+            )
+        )
+    return a.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def v15_profile_drift_gate(spark, sf_dir):
+    """Drift gate between the even- and odd-orderkey halves of orders
+    (a deterministic stand-in for yesterday's vs today's partition) —
+    fully oracled by the identical FILTER-aggregate in DuckDB."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "grp", F.pmod("o_orderkey", F.lit(2)).cast("int")
+    )
+    return profile_drift_gate(o).orderBy("col", "base_rows", "cur_rows")
+
+
 QUANTILE_PS = (0.5, 0.9, 0.99)
 
 
@@ -2163,3 +2246,50 @@ EXTENDED_ORACLE_SQL["h16_rolling_median"] = f"""
                      ) med_raw
               FROM events)
         ORDER BY user_id, event_id, med, dev"""
+
+
+def _v15_oracle() -> str:
+    """DuckDB mirror of the drift gate: the same single FILTER-
+    aggregate + per-column projection, rounding discipline included."""
+    cols = []
+    for c in DRIFT_COLS:
+        cols.append(
+            f"SELECT '{c}' col, bn base_rows, cn cur_rows,\n"
+            f"  ROUND(ROUND({c}__bmean, 6) + 1e-9, 2) base_mean,\n"
+            f"  ROUND(ROUND({c}__cmean, 6) + 1e-9, 2) cur_mean,\n"
+            f"  ROUND(ROUND({c}__cnull / CAST(cn AS DOUBLE)"
+            f" - {c}__bnull / CAST(bn AS DOUBLE), 9) + 1e-12, 4) + 0.0 null_delta,\n"
+            f"  ROUND(ROUND(({c}__cmean - {c}__bmean) / ABS({c}__bmean), 9)"
+            f" + 1e-12, 4) + 0.0 mean_shift,\n"
+            f"  CASE WHEN ROUND(ROUND({c}__cnull / CAST(cn AS DOUBLE)"
+            f" - {c}__bnull / CAST(bn AS DOUBLE), 9) + 1e-12, 4) + 0.0"
+            f" > {DRIFT_NULL_TOL} THEN 'WARN_NULLS'\n"
+            f"       WHEN ABS(ROUND(ROUND(({c}__cmean - {c}__bmean)"
+            f" / ABS({c}__bmean), 9) + 1e-12, 4) + 0.0)"
+            f" > {DRIFT_MEAN_TOL} THEN 'WARN_SHIFT'\n"
+            f"       ELSE 'PASS' END status\n"
+            f"FROM a"
+        )
+    metrics = [
+        "COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) bn",
+        "COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) cn",
+    ]
+    for c in DRIFT_COLS:
+        for g, p in (("b", 0), ("c", 1)):
+            metrics.append(
+                f"CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = {p}"
+                f" AND {c} IS NULL) AS BIGINT) {c}__{g}null"
+            )
+            metrics.append(
+                f"AVG({c}) FILTER (WHERE o_orderkey % 2 = {p}) {c}__{g}mean"
+            )
+    body = ",\n          ".join(metrics)
+    sel = "\nUNION ALL\n".join(cols)
+    return (
+        f"WITH a AS (SELECT {body} FROM orders)\n{sel}\n"
+        "ORDER BY col, base_rows, cur_rows"
+    )
+
+
+EXTENDED_QUERIES["v15_profile_drift_gate"] = v15_profile_drift_gate
+EXTENDED_ORACLE_SQL["v15_profile_drift_gate"] = _v15_oracle()

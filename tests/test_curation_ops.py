@@ -618,6 +618,42 @@ def test_column_profile_approx_accuracy_and_one_scan(spark, sf_dir):
     assert n <= 2, f"approx profile: {n} scans (AQE lists each up to twice)"
 
 
+def test_profile_drift_gate_planted(spark):
+    """Planted drift trips the right gate: extra nulls in the current
+    split -> WARN_NULLS; a >5% mean shift -> WARN_SHIFT; an unchanged
+    column -> PASS. (The registry entry's oracle covers the no-drift
+    corpus; this covers the firing paths.)"""
+    from crossfire_spark.operators.extended import profile_drift_gate
+
+    rows = []
+    for i in range(200):
+        # base split (grp=0): clean
+        rows.append((0, 100 + i, 10, float(100 + (i % 7))))
+    for i in range(200):
+        # current split: o_orderkey nulls 5%, o_custkey mean +50%,
+        # o_totalprice unchanged
+        rows.append(
+            (
+                1,
+                None if i % 20 == 0 else 100 + i,
+                15,
+                float(100 + (i % 7)),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "grp int, o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    got = {r["col"]: r for r in profile_drift_gate(df).collect()}
+    assert got["o_orderkey"]["status"] == "WARN_NULLS", got["o_orderkey"]
+    assert got["o_custkey"]["status"] == "WARN_SHIFT", got["o_custkey"]
+    assert got["o_totalprice"]["status"] == "PASS", got["o_totalprice"]
+    assert got["o_totalprice"]["mean_shift"] == 0.0
+    # negative-zero discipline: a 0 shift must render +0.0, not -0.0
+    import math
+
+    assert math.copysign(1.0, got["o_totalprice"]["mean_shift"]) == 1.0
+
+
 def test_ewma_smooth_planted(spark):
     """The bounded-horizon EWMA matches a direct Python recompute of
     the truncated-and-renormalized weights, and early rows (fewer
