@@ -2293,3 +2293,106 @@ def _v15_oracle() -> str:
 
 EXTENDED_QUERIES["v15_profile_drift_gate"] = v15_profile_drift_gate
 EXTENDED_ORACLE_SQL["v15_profile_drift_gate"] = _v15_oracle()
+
+
+HOLT_ALPHA = 0.5   # level gain  — binary-exact literal on both engines
+HOLT_BETA = 0.25   # trend gain  — binary-exact literal on both engines
+
+
+def holt_linear(series: DataFrame) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957;
+    the trend-aware upgrade of h10's EWMA) over a (key, d, y) series
+    table: per key, sequentially
+
+        f_t = l_{t-1} + b_{t-1}            (one-step forecast)
+        l_t = α·y_t + (1-α)·f_t            (level)
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}   (trend)
+
+    seeded l_1 = y_1, b_1 = 0, f_1 = NULL. Unlike the bounded-horizon
+    EWMA (which truncates to a lag window so a window expression can
+    compute it), a trend recursion has no finite lag form — this is
+    the canonical "genuinely sequential per key" operator, so it runs
+    as one ``applyInPandas`` per key: ONE shuffle on the series key,
+    state = one (level, trend) pair, scale in the number of series,
+    never their length × keys. α, β are powers of two, so every
+    arithmetic step is the identical IEEE double op in DuckDB's
+    recursive-CTE replay — the whole recursion is cross-engine exact
+    before the output rounding (level/trend/forecast stabilized
+    ``ROUND(ROUND(x, 9) + 1e-12, 4) + 0.0``)."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        level = [0.0] * n
+        trend = [0.0] * n
+        fcst: list = [None] * n
+        lp, bp = 0.0, 0.0
+        for i in range(n):
+            y = float(pdf.y.iloc[i])
+            if i == 0:
+                level[i], trend[i] = y, 0.0
+            else:
+                f = lp + bp
+                fcst[i] = f
+                lv = a * y + (1.0 - a) * f
+                level[i] = lv
+                trend[i] = b * (lv - lp) + (1.0 - b) * bp
+            lp, bp = level[i], trend[i]
+        pdf["level"], pdf["trend"], pdf["forecast"] = level, trend, fcst
+        return pdf
+
+    out = series.groupBy("skey").applyInPandas(
+        _fit,
+        "skey string, d timestamp, y double, level double, trend double,"
+        " forecast double",
+    )
+    stab = lambda c: F.round(F.round(c, 9) + F.lit(1e-12), 4) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        "skey",
+        "d",
+        "y",
+        stab(F.col("level")).alias("level"),
+        stab(F.col("trend")).alias("trend"),
+        stab(F.col("forecast")).alias("forecast"),
+    )
+
+
+def h17_holt_linear(spark, sf_dir):
+    """Holt linear smoothing of the per-event-type daily value series
+    — fully oracled by a DuckDB recursive-CTE replay of the identical
+    recursion."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    return holt_linear(series).orderBy("skey", "d", "y")
+
+
+EXTENDED_QUERIES["h17_holt_linear"] = h17_holt_linear
+
+EXTENDED_ORACLE_SQL["h17_holt_linear"] = f"""
+        WITH RECURSIVE v AS (
+            SELECT event_type skey, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) d,
+                   ROUND(SUM(value), 6) y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) rn
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT skey, rn, d, y, y AS "level", CAST(0.0 AS DOUBLE) "trend",
+                   CAST(NULL AS DOUBLE) "forecast"
+            FROM v WHERE rn = 1
+            UNION ALL
+            SELECT v.skey, v.rn, v.d, v.y,
+                   {HOLT_ALPHA} * v.y + {1.0 - HOLT_ALPHA} * (s."level" + s."trend"),
+                   {HOLT_BETA} * (({HOLT_ALPHA} * v.y
+                       + {1.0 - HOLT_ALPHA} * (s."level" + s."trend")) - s."level")
+                       + {1.0 - HOLT_BETA} * s."trend",
+                   s.level + s.trend
+            FROM s JOIN v ON v.skey = s.skey AND v.rn = s.rn + 1)
+        SELECT skey, d, y,
+               ROUND(ROUND("level", 9) + 1e-12, 4) + 0.0 AS "level",
+               ROUND(ROUND("trend", 9) + 1e-12, 4) + 0.0 AS "trend",
+               ROUND(ROUND("forecast", 9) + 1e-12, 4) + 0.0 AS "forecast"
+        FROM s ORDER BY skey, d, y"""

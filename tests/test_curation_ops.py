@@ -618,6 +618,32 @@ def test_column_profile_approx_accuracy_and_one_scan(spark, sf_dir):
     assert n <= 2, f"approx profile: {n} scans (AQE lists each up to twice)"
 
 
+def test_holt_linear_hand_checked(spark):
+    """The Holt recursion on a tiny planted series matches the hand
+    algebra (alpha=0.5, beta=0.25): y=[10,20,30] ->
+    f3 = 15 + 1.25 = 16.25, l3 = 0.5*30 + 0.5*16.25 = 23.125,
+    b3 = 0.25*(23.125-15) + 0.75*1.25 = 2.96875 (4-dp 2.9688);
+    a single-point series seeds (y, 0, None) and stops."""
+    import datetime
+
+    from crossfire_spark.operators.extended import holt_linear
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + datetime.timedelta(days=i), float(y))
+        for i, y in enumerate((10, 20, 30))
+    ] + [("b", t0, 7.0)]
+    series = spark.createDataFrame(rows, "skey string, d timestamp, y double")
+    got = {
+        (r.skey, r.d.day): (r.level, r.trend, r.forecast)
+        for r in holt_linear(series).collect()
+    }
+    assert got[("a", 1)] == (10.0, 0.0, None)
+    assert got[("a", 2)] == (15.0, 1.25, 10.0)
+    assert got[("a", 3)] == (23.125, 2.9688, 16.25)
+    assert got[("b", 1)] == (7.0, 0.0, None)
+
+
 def test_profile_drift_gate_planted(spark):
     """Planted drift trips the right gate: extra nulls in the current
     split -> WARN_NULLS; a >5% mean shift -> WARN_SHIFT; an unchanged
