@@ -739,3 +739,89 @@ STREAMING_ORACLE_SQL["st16_stream_topk"] = f"""
             FROM events GROUP BY user_id
             ORDER BY SUM(value) DESC, user_id LIMIT {STREAM_TOPK})
         ORDER BY user_id, total"""
+
+
+def st19_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply — st07's MERGE plus DELETE semantics, the
+    full changelog contract (Debezium/Delta CDF shape): each event is
+    an upsert ('U') or a delete ('D' — here the deterministic proxy
+    ``event_type = 'error'``), keyed by ``user_id``, ordered by
+    ``(ts, event_id)``. Per micro-batch the newest change per key is
+    MERGEd into the state table WITH its op — deletes persist as
+    TOMBSTONES so a late-arriving older upsert cannot resurrect a
+    deleted key (the recency precedence settles the race); the read
+    view filters tombstones out. This is exactly how log-compacted
+    CDC state works at scale: tombstones survive until compaction,
+    the final projection hides them. Batching-independence (1-batch
+    vs forced split replay) is pinned in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.io import read_table, upsert_table
+
+    work = _session_workdir("st19_")
+    target = os.path.join(work, "state")
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+    def merge(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_table(
+            batch_df.sparkSession,
+            latest,
+            target,
+            keys=["user_id"],
+            precedence=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(target):  # zero-batch replay (empty source)
+        return spark.createDataFrame([], stream.schema).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
+    return (
+        read_table(spark, target)
+        .where(F.col("op") == "U")  # hide tombstones, keep them stored
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("v"),
+        )
+        .orderBy("user_id", "event_id", "event_type", "ts", "v")
+    )
+
+
+STREAMING_QUERIES["st19_stream_cdc_apply"] = st19_stream_cdc_apply
+
+STREAMING_ORACLE_SQL["st19_stream_cdc_apply"] = """
+        SELECT user_id, event_id, event_type, ts, ROUND(value, 2) v
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) rn FROM events) t
+        WHERE rn = 1 AND event_type != 'error'
+        ORDER BY user_id, event_id, event_type, ts, v"""

@@ -465,3 +465,77 @@ def test_st18_interval_merge_order_independent_across_batches(
     got = sorted(map(tuple, final.collect()))
     want = sorted(map(tuple, h15_interval_merge(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_cdc_apply_batching_independent_and_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """st19's CDC apply under a forced 3-batch split equals the batch
+    changelog compaction: newest change per user wins, users whose
+    newest change is a delete are ABSENT from the read view but
+    PRESENT as tombstones in the stored state (so a late older upsert
+    cannot resurrect them)."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.io import read_table, upsert_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    src = str(tmp_path / "src")
+    events.withColumn("b", F.pmod("event_id", F.lit(3))).repartition(
+        "b"
+    ).write.partitionBy("b").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    target = str(tmp_path / "state")
+
+    def merge(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        upsert_table(
+            batch_df.sparkSession, latest, target,
+            keys=["user_id"], precedence=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = read_table(spark, target)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    newest = events.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    live_expect = {
+        (r.user_id, r.event_id) for r in newest.where("op = 'U'").collect()
+    }
+    dead_expect = {r.user_id for r in newest.where("op = 'D'").collect()}
+    live_got = {
+        (r.user_id, r.event_id) for r in state.where("op = 'U'").collect()
+    }
+    dead_got = {r.user_id for r in state.where("op = 'D'").collect()}
+    assert live_got == live_expect
+    assert dead_got == dead_expect
+    assert dead_expect, "corpus should exercise the delete path"
+    assert dead_expect.isdisjoint({u for u, _ in live_got})
