@@ -978,3 +978,84 @@ GRAPH_ORACLE_SQL["g11_clustering_coefficient"] = """
         FROM deg d LEFT JOIN tcount t ON d.node = t.node
         WHERE d.deg >= 2
         ORDER BY d.node, d.deg, n_triangles, cc"""
+
+
+HARMONIC_DEPTH = 3
+
+
+def harmonic_centrality(edges: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFrame:
+    """Bounded-depth harmonic centrality (Boldi & Vigna 2014, "Axioms
+    for Centrality": h(v) = Σ_{u≠v} 1/d(u,v), the centrality that
+    handles disconnected graphs where closeness can't) — truncated at
+    ``depth`` hops, the standard large-graph practice (contributions
+    beyond a few hops are negligible and exact all-pairs distances
+    are infeasible).
+
+    INTEGER-EXACT output: with depth 3 the per-pair contribution
+    6/d ∈ {6, 3, 2}, so the reported score is ``harmonic_x6`` =
+    6·h(v) as a BIGINT — no float summation order, no rounding
+    discipline, full DuckDB oracle equality at the bit level by
+    construction.
+
+    Scale shape: hop k is ONE equi-join of the (src, dst, k-1) pair
+    table to the edge table on the frontier node — pair cardinality
+    is bounded by N·(out-degree)^depth, each hop shuffles on a node
+    key; the closing MIN(dist) collapses multi-path duplicates; no
+    per-source BFS, no all-pairs product."""
+    e = edges.select("src", "dst").distinct()
+    paths = e.withColumn("dist", F.lit(1))
+    frontier = paths
+    for k in range(2, depth + 1):
+        frontier = (
+            frontier.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(e.select(F.col("src").alias("mid"), "dst"), "mid")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .withColumn("dist", F.lit(k))
+        )
+        paths = paths.unionByName(frontier)
+    sp = paths.groupBy("src", "dst").agg(F.min("dist").alias("d"))
+    contrib = (
+        F.when(F.col("d") == 1, F.lit(6))
+        .when(F.col("d") == 2, F.lit(3))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    return sp.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(contrib).alias("harmonic_x6"),
+    )
+
+
+def g12_harmonic_centrality(spark, sf_dir):
+    """Depth-3 harmonic centrality of the synthetic document link
+    graph — integer-exact, fully DuckDB-oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    return harmonic_centrality(doc_link_graph(d)).orderBy(
+        "node", "n_sources", "harmonic_x6"
+    )
+
+
+GRAPH_QUERIES["g12_harmonic_centrality"] = g12_harmonic_centrality
+
+GRAPH_ORACLE_SQL["g12_harmonic_centrality"] = """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        p1 AS (SELECT src, dst, 1 d FROM e),
+        p2 AS (SELECT DISTINCT a.src, b.dst, 2 d
+               FROM e a JOIN e b ON a.dst = b.src WHERE a.src <> b.dst),
+        p3 AS (SELECT DISTINCT a.src, b.dst, 3 d
+               FROM (SELECT src, dst FROM p2) a JOIN e b ON a.dst = b.src
+               WHERE a.src <> b.dst),
+        sp AS (SELECT src, dst, MIN(d) d FROM (
+                   SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                   UNION ALL SELECT * FROM p3) GROUP BY src, dst)
+        SELECT dst node, COUNT(*) n_sources,
+               CAST(SUM(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) harmonic_x6
+        FROM sp GROUP BY dst
+        ORDER BY node, n_sources, harmonic_x6"""

@@ -846,3 +846,44 @@ def test_h13_retention_shape(spark, sf_dir):
         assert 0 < r["retention"] <= 1
         if r["week_offset"] == 0:
             assert r["retention"] == 1.0
+
+
+def test_harmonic_centrality_matches_python_bfs(spark, sf_dir):
+    """Depth-3 harmonic centrality equals a per-source Python BFS over
+    the same closed-form graph (truncated at 3 hops, x6 integer
+    scores)."""
+    from collections import deque
+
+    from crossfire_spark.functions.graph import (
+        HARMONIC_DEPTH,
+        doc_link_graph,
+        g12_harmonic_centrality,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = [(r.src, r.dst) for r in doc_link_graph(d).collect()]
+    adj: dict[int, list[int]] = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    score: dict[int, int] = {}
+    nsrc: dict[int, int] = {}
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= HARMONIC_DEPTH:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, dd in dist.items():
+            if v != s:
+                score[v] = score.get(v, 0) + 6 // dd
+                nsrc[v] = nsrc.get(v, 0) + 1
+    got = {
+        r.node: (r.n_sources, r.harmonic_x6)
+        for r in g12_harmonic_centrality(spark, sf_dir).collect()
+    }
+    assert got == {v: (nsrc[v], score[v]) for v in score}
