@@ -33,25 +33,30 @@ _DRIVER_SAMPLE_PREFIX = (
     "s15_knn_graph", "g08_bipartite_projection",
     "h11_seasonality", "v11_benford_report",
     # dedup family (r7: d01/d02/d06 driver-green -> d13_build_index,
-    # never driver-checked)
+    # never driver-checked; d07/d11 green since r2 -> r7 additions)
     "d18_winnow_overlap", "d13_build_index",
-    "d07_contamination", "d11_dedup_savings",
     "d20_dup_span_fraction",
+    # round-7 additions — every new oracled operator enters the
+    # sample in the round it ships (VERDICT r6 task 8)
+    "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
+    "st19_stream_cdc_apply", "g12_harmonic_centrality",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
     "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",
     # text pipeline (r7: t01/t03 driver-green -> t10/t15/t18, the
     # last never-driver-checked text keys)
     "t10_pii_scrub", "t15_split_assign", "t18_corpus_build",
+    "t19_token_stats",
     "t21_stratified_sample", "q50", "t09_bm25", "t13_mixture_sample",
     # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
     "s05_hybrid_rrf", "q60", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
-    "h07_m4_downsample", "h09_lttb_downsample", "h05_sessionize",
-    "v01_constraint_report", "v08_referential_integrity",
+    # (r7: h05/v01 green since r1-r2 rotate out for the new ops)
+    "h07_m4_downsample", "h09_lttb_downsample",
+    "v08_referential_integrity",
     "j01_json_extract", "a01_asof_join", "r01_range_join",
-    # graph (r6: g02 -> g04 k-core)
-    "g01_pagerank", "g04_kcore",
+    # graph (r7: g01 green since r2 -> g12; g04 stays)
+    "g04_kcore",
     # multimodal
     "m04_image_decode", "m05_audio_decode",
     # placement domain
