@@ -2396,3 +2396,48 @@ EXTENDED_ORACLE_SQL["h17_holt_linear"] = f"""
                ROUND(ROUND("trend", 9) + 1e-12, 4) + 0.0 AS "trend",
                ROUND(ROUND("forecast", 9) + 1e-12, 4) + 0.0 AS "forecast"
         FROM s ORDER BY skey, d, y"""
+
+
+def scd2_intervals(changes: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 build (Kimball's versioned
+    dimension): every change row becomes a validity interval — open at
+    its own timestamp, closed by the key's NEXT change
+    (``valid_to = LEAD(ts)``, NULL while current). One LEAD window =
+    one shuffle on the dimension key; at 100 TB the key space
+    partitions freely and nothing is global. The streaming twin
+    (st20) maintains the same table incrementally."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_type",
+        F.round("value", 2).alias("v"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def h18_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals of the per-user event changelog —
+    fully oracled by the identical LEAD window in DuckDB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return scd2_intervals(e).orderBy(
+        "user_id", "valid_from", "event_id", "event_type", "v"
+    )
+
+
+EXTENDED_QUERIES["h18_scd2_intervals"] = h18_scd2_intervals
+
+EXTENDED_ORACLE_SQL["h18_scd2_intervals"] = """
+        SELECT user_id, event_id, ts valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   valid_to,
+               event_type, ROUND(value, 2) v,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL is_current
+        FROM events
+        ORDER BY user_id, valid_from, event_id, event_type, v"""

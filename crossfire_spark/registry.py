@@ -25,9 +25,9 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
     # relational core — r7 rotation: q01/q03/q05 (driver-green since
-    # r1) rotate OUT; q07/q08/q09 (first checked r6) stay one more
-    # round for continuity
-    "q07", "q08", "q09",
+    # r1) and q08/q09 (checked r6) rotate OUT; q07 stays for
+    # continuity
+    "q07",
     # round-5 session-4 additions (kNN graph, bipartite projection,
     # seasonality, Benford) — fresher driver signal than more q's
     "s15_knn_graph", "g08_bipartite_projection",
@@ -40,6 +40,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # sample in the round it ships (VERDICT r6 task 8)
     "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
     "st19_stream_cdc_apply", "g12_harmonic_centrality",
+    "h18_scd2_intervals", "st20_stream_scd2",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
     "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",

@@ -825,3 +825,90 @@ STREAMING_ORACLE_SQL["st19_stream_cdc_apply"] = """
                   ORDER BY ts DESC, event_id DESC) rn FROM events) t
         WHERE rn = 1 AND event_type != 'error'
         ORDER BY user_id, event_id, event_type, ts, v"""
+
+
+def st20_stream_scd2(spark, sf_dir):
+    """Incremental SCD2 maintenance — h18's versioned-dimension table
+    kept current by the stream: each micro-batch (a) reads the stored
+    versions of the users it touches, (b) unions its own change rows
+    in as new versions, (c) recomputes the LEAD validity chain for
+    those users only, and (d) MERGEs the recomputed rows back (key =
+    (user_id, event_id), so a re-derived version row replaces its
+    stale open-interval predecessor). Untouched users are never read
+    or rewritten — per-batch cost is O(batch + touched users'
+    versions), the incremental-view discipline st12/st14 use. Equals
+    the batch h18 build under any micro-batch split (pinned by a
+    forced split-replay test); shares h18's DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from crossfire_spark.sources.io import read_table, upsert_table
+
+    work = _session_workdir("st20_")
+    target = os.path.join(work, "scd2")
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out_schema = (
+        "user_id long, event_id long, valid_from timestamp,"
+        " valid_to timestamp, event_type string, v double,"
+        " is_current boolean"
+    )
+
+    def merge(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        fresh = batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            "event_type",
+            F.round("value", 2).alias("v"),
+        )
+        if os.path.isdir(target):
+            touched = fresh.select("user_id").distinct()
+            current = (
+                read_table(sp, target)
+                .join(F.broadcast(touched), "user_id", "left_semi")
+                .select("user_id", "event_id", "valid_from", "event_type", "v")
+            )
+            allrows = current.unionByName(fresh).dropDuplicates(
+                ["user_id", "event_id"]
+            )
+        else:
+            allrows = fresh
+        w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        rechained = allrows.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        upsert_table(
+            sp,
+            rechained.select(
+                "user_id", "event_id", "valid_from", "valid_to",
+                "event_type", "v", "is_current",
+            ),
+            target,
+            keys=["user_id", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(target):  # zero-batch replay (empty source)
+        return spark.createDataFrame([], out_schema)
+    return read_table(spark, target).orderBy(
+        "user_id", "valid_from", "event_id", "event_type", "v"
+    )
+
+
+STREAMING_QUERIES["st20_stream_scd2"] = st20_stream_scd2
+
+from crossfire_spark.operators.extended import (  # noqa: E402
+    EXTENDED_ORACLE_SQL as _EXT_ORACLE_SQL,
+)
+
+STREAMING_ORACLE_SQL["st20_stream_scd2"] = _EXT_ORACLE_SQL[
+    "h18_scd2_intervals"
+]

@@ -539,3 +539,89 @@ def test_stream_cdc_apply_batching_independent_and_tombstones(
     assert dead_got == dead_expect
     assert dead_expect, "corpus should exercise the delete path"
     assert dead_expect.isdisjoint({u for u, _ in live_got})
+
+
+def test_stream_scd2_batching_independent(spark, sf_dir, tmp_path):
+    """st20's incremental SCD2 maintenance under a forced 3-batch
+    split equals the batch h18 build: every version row, every
+    valid_to closure (including intervals that straddle batch
+    boundaries), and exactly one open interval per user."""
+    import os
+
+    from crossfire_spark.operators.extended import scd2_intervals
+    from crossfire_spark.streaming import jobs as sj
+    from crossfire_spark.sources.io import read_table, upsert_table
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.withColumn("b", F.pmod("event_id", F.lit(3))).repartition(
+        "b"
+    ).write.partitionBy("b").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    target = str(tmp_path / "scd2")
+
+    def merge(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        fresh = batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            "event_type",
+            F.round("value", 2).alias("v"),
+        )
+        if os.path.isdir(target):
+            touched = fresh.select("user_id").distinct()
+            current = (
+                read_table(sp, target)
+                .join(F.broadcast(touched), "user_id", "left_semi")
+                .select("user_id", "event_id", "valid_from", "event_type", "v")
+            )
+            allrows = current.unionByName(fresh).dropDuplicates(
+                ["user_id", "event_id"]
+            )
+        else:
+            allrows = fresh
+        w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        rechained = allrows.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        upsert_table(
+            sp,
+            rechained.select(
+                "user_id", "event_id", "valid_from", "valid_to",
+                "event_type", "v", "is_current",
+            ),
+            target,
+            keys=["user_id", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id): (r.valid_from, r.valid_to, r.is_current)
+        for r in read_table(spark, target).collect()
+    }
+    expect = {
+        (r.user_id, r.event_id): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(events).collect()
+    }
+    assert got == expect
+    open_per_user: dict = {}
+    for (u, _), (_, vt, cur) in got.items():
+        if cur:
+            open_per_user[u] = open_per_user.get(u, 0) + 1
+            assert vt is None
+    assert set(open_per_user.values()) == {1}
