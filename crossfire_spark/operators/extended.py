@@ -2441,3 +2441,118 @@ EXTENDED_ORACLE_SQL["h18_scd2_intervals"] = """
                    IS NULL is_current
         FROM events
         ORDER BY user_id, valid_from, event_id, event_type, v"""
+
+
+KS_CRIT_05 = 1.358  # Smirnov asymptotic critical coefficient, alpha=0.05
+KS_PARTS = 8
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, grp_col: str = "grp"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the 0/1 splits
+    of ``grp_col``: D = max_x |F_a(x) − F_b(x)|, with the standard
+    tie handling (ECDFs evaluated after all occurrences of each
+    distinct value). One row out: split sizes, D, the α=0.05
+    asymptotic critical value c·√((n_a+n_b)/(n_a·n_b)), and the
+    reject flag — the distribution-shift gate v15's mean test can't
+    see (equal means, different shapes).
+
+    Scale shape — the distributed-ECDF discipline, not a global
+    window: per-value counts (one hash agg), range-repartition on the
+    value so partitions hold ordered slices, per-partition running
+    sums (window keyed by partition id — parallelism = KS_PARTS, no
+    single-task global sort), then each partition's prefix OFFSET
+    joins in via a broadcast of the P-row partition-total table. The
+    driver sees P rows, never values. Every cumulative count is an
+    exact integer, so D is bit-deterministic before its stabilizing
+    round."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    pv = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(grp_col) == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col(grp_col) == 1, 1).otherwise(0)).alias("cb"),
+    )
+    pv = (
+        pv.repartitionByRange(KS_PARTS, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid assignment; totals + window reuse it
+    )
+    totals = sorted(
+        pv.groupBy("pid")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect(),
+        key=lambda r: r.pid,
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for r in totals:
+        offs.append((r.pid, acc_a, acc_b))
+        acc_a += r.ta or 0
+        acc_b += r.tb or 0
+    n_a, n_b = acc_a, acc_b
+    if not n_a or not n_b:
+        return spark.createDataFrame(
+            [], "n_a long, n_b long, ks_d double, crit_05 double,"
+            " reject boolean"
+        )
+    off_df = spark.createDataFrame(offs, "pid int, oa long, ob long")
+    w = Window.partitionBy("pid").orderBy("v")
+    cum = (
+        pv.withColumn("la", F.sum("ca").over(w))
+        .withColumn("lb", F.sum("cb").over(w))
+        .join(F.broadcast(off_df), "pid")
+    )
+    diff = F.abs(
+        (F.col("la") + F.col("oa")) / F.lit(float(n_a))
+        - (F.col("lb") + F.col("ob")) / F.lit(float(n_b))
+    )
+    crit = KS_CRIT_05 * ((n_a + n_b) / (n_a * float(n_b))) ** 0.5
+    return cum.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (F.round(F.round(F.max(diff), 9) + F.lit(1e-12), 6) + F.lit(0.0)).alias(
+            "ks_d"
+        ),
+        (F.round(F.round(F.lit(crit), 9) + F.lit(1e-12), 6) + F.lit(0.0)).alias(
+            "crit_05"
+        ),
+        (
+            F.round(F.round(F.max(diff), 9) + F.lit(1e-12), 6)
+            > F.round(F.round(F.lit(crit), 9) + F.lit(1e-12), 6)
+        ).alias("reject"),
+    )
+
+
+def v16_ks_test(spark, sf_dir):
+    """KS two-sample test of o_totalprice between the even/odd
+    orderkey halves — fully oracled by the global-window ECDF in
+    DuckDB (the oracle may use the one-task form; the engine's
+    partition-offset form must equal it exactly)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "grp", F.pmod("o_orderkey", F.lit(2)).cast("int")
+    )
+    return ks_two_sample(o, "o_totalprice").orderBy("n_a", "n_b", "ks_d")
+
+
+EXTENDED_QUERIES["v16_ks_test"] = v16_ks_test
+
+EXTENDED_ORACLE_SQL["v16_ks_test"] = f"""
+        WITH g AS (SELECT o_totalprice v,
+                          COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) ca,
+                          COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) cb
+                   FROM orders GROUP BY 1),
+        t AS (SELECT SUM(ca) na, SUM(cb) nb FROM g),
+        c AS (SELECT SUM(ca) OVER (ORDER BY v) la,
+                     SUM(cb) OVER (ORDER BY v) lb FROM g)
+        SELECT CAST(t.na AS BIGINT) n_a, CAST(t.nb AS BIGINT) n_b,
+               ROUND(ROUND(MAX(ABS(la / CAST(t.na AS DOUBLE)
+                   - lb / CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6) + 0.0 ks_d,
+               ROUND(ROUND({KS_CRIT_05} * sqrt((t.na + t.nb)
+                   / (t.na * CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6) + 0.0 crit_05,
+               ROUND(ROUND(MAX(ABS(la / CAST(t.na AS DOUBLE)
+                   - lb / CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6)
+                 > ROUND(ROUND({KS_CRIT_05} * sqrt((t.na + t.nb)
+                   / (t.na * CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6) reject
+        FROM c, t GROUP BY t.na, t.nb
+        ORDER BY n_a, n_b, ks_d"""

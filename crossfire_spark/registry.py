@@ -40,7 +40,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # sample in the round it ships (VERDICT r6 task 8)
     "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
     "st19_stream_cdc_apply", "g12_harmonic_centrality",
-    "h18_scd2_intervals", "st20_stream_scd2",
+    "h18_scd2_intervals", "st20_stream_scd2", "v16_ks_test",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
     "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",
@@ -50,7 +50,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "t19_token_stats",
     "t21_stratified_sample", "q50", "t09_bm25", "t13_mixture_sample",
     # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
-    "s05_hybrid_rrf", "q60", "s11_filtered_topk",
+    "s05_hybrid_rrf", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
     # (r7: h05/v01 green since r1-r2 rotate out for the new ops)
     "h07_m4_downsample", "h09_lttb_downsample",

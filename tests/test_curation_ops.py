@@ -887,3 +887,35 @@ def test_harmonic_centrality_matches_python_bfs(spark, sf_dir):
         for r in g12_harmonic_centrality(spark, sf_dir).collect()
     }
     assert got == {v: (nsrc[v], score[v]) for v in score}
+
+
+def test_ks_two_sample_planted_and_numpy_recompute(spark):
+    """KS gate: (a) an identical-distribution split accepts, (b) a
+    shifted split rejects, (c) D equals a NumPy ECDF recompute on the
+    raw values."""
+    import numpy as np
+
+    from crossfire_spark.operators.extended import ks_two_sample
+
+    rng = np.random.default_rng(7)
+    # identical value multiset in both splits -> D is exactly 0
+    base = rng.normal(0, 1, 2000)
+    same = [(g, float(v)) for v in base for g in (0, 1)]
+    a_vals = rng.normal(0, 1, 2000)
+    b_vals = rng.normal(0.6, 1, 2000)  # clear location shift
+    shift = [(0, float(v)) for v in a_vals] + [(1, float(v)) for v in b_vals]
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "grp int, x double")
+        return ks_two_sample(df, "x").collect()[0]
+
+    r_same, r_shift = run(same), run(shift)
+    assert r_same.ks_d == 0.0 and not r_same.reject, r_same
+    assert r_shift.reject, r_shift
+
+    # NumPy recompute of D for the shifted case
+    allv = np.sort(np.unique(np.concatenate([a_vals, b_vals])))
+    fa = np.searchsorted(np.sort(a_vals), allv, side="right") / len(a_vals)
+    fb = np.searchsorted(np.sort(b_vals), allv, side="right") / len(b_vals)
+    d_np = round(round(float(np.max(np.abs(fa - fb))), 9) + 1e-12, 6)
+    assert abs(r_shift.ks_d - d_np) < 1e-9, (r_shift.ks_d, d_np)
