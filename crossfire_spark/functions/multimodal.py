@@ -1002,3 +1002,120 @@ MULTIMODAL_ORACLE_SQL["m09_audio_vad_trim"] = f"""
         FROM v GROUP BY v.doc_id
         ORDER BY media_id, n_samples, n_windows, n_voiced,
                  trim_start, trim_end, longest_run"""
+
+
+PATCH_W, PATCH_H = 4, 4        # ViT-style patch size
+PATCH_IMG_W, PATCH_IMG_H = 16, 12  # synthetic gradient image dims
+
+
+def synthesize_patch_images(docs: DataFrame) -> DataFrame:
+    """Real PPM bytes with a CLOSED-FORM gradient (unlike m04's
+    constant channels, patch statistics genuinely vary across the
+    image): pixel (y, x) of channel c is ((c+1)·(doc_id + 7x + 13y))
+    mod 251 on a fixed 16×12 canvas — every byte a pure function of
+    (doc_id, x, y, c), so any decoder-side statistic is exactly
+    restatable in SQL while the bytes still round-trip a real image
+    container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys, xs = np.mgrid[0:PATCH_IMG_H, 0:PATCH_IMG_W]
+        base = 7 * xs + 13 * ys
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                arr = np.empty((PATCH_IMG_H, PATCH_IMG_W, 3), dtype=np.uint8)
+                for c in range(3):
+                    arr[:, :, c] = ((c + 1) * (did + base)) % 251
+                out.append(encode_ppm(arr))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+
+
+def image_patches(media: DataFrame) -> DataFrame:
+    """ViT-style patch extraction over a binary image column: REAL
+    decode (the PPM parser), then the non-overlapping PATCH_H×PATCH_W
+    grid with per-patch per-channel means — the preprocessing every
+    vision-transformer training pipeline runs before embedding.
+    Patch means divide an exact integer pixel sum by 16 (a power of
+    two), so outputs are bit-exact doubles with no rounding
+    discipline needed.
+
+    Scale shape: embarrassingly parallel ``mapInPandas`` (state = one
+    image), ~W/pw · H/ph output rows per image, no shuffle before the
+    output sort."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                h, w = arr.shape[0], arr.shape[1]
+                for py in range(h // PATCH_H):
+                    for px in range(w // PATCH_W):
+                        tile = arr[
+                            py * PATCH_H : (py + 1) * PATCH_H,
+                            px * PATCH_W : (px + 1) * PATCH_W,
+                        ].astype(np.int64)
+                        n = PATCH_H * PATCH_W
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "py": py,
+                                "px": px,
+                                "m_r": float(tile[:, :, 0].sum()) / n,
+                                "m_g": float(tile[:, :, 1].sum()) / n,
+                                "m_b": float(tile[:, :, 2].sum()) / n,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "py", "px", "m_r", "m_g", "m_b"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, py int, px int,"
+        " m_r double, m_g double, m_b double",
+    )
+
+
+def m10_image_patches(spark, sf_dir):
+    """Patch-grid preprocessing over real encoded/decoded PPM bytes —
+    per-patch channel means on the closed-form gradient corpus, fully
+    DuckDB-oracled (integer pixel sums / 16)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_patches(synthesize_patch_images(docs)).orderBy(
+        "media_id", "py", "px", "m_r", "m_g", "m_b"
+    )
+
+
+MULTIMODAL_QUERIES["m10_image_patches"] = m10_image_patches
+
+MULTIMODAL_ORACLE_SQL["m10_image_patches"] = f"""
+        WITH g AS (SELECT doc_id, py.y py, px.x px, dy.y dy, dx.x dx
+                   FROM documents,
+                        UNNEST(range({PATCH_IMG_H // PATCH_H})) py(y),
+                        UNNEST(range({PATCH_IMG_W // PATCH_W})) px(x),
+                        UNNEST(range({PATCH_H})) dy(y),
+                        UNNEST(range({PATCH_W})) dx(x)),
+        pix AS (SELECT doc_id, py, px,
+                       (doc_id + 7 * (px * {PATCH_W} + dx)
+                               + 13 * (py * {PATCH_H} + dy)) % 251 r,
+                       (2 * (doc_id + 7 * (px * {PATCH_W} + dx)
+                               + 13 * (py * {PATCH_H} + dy))) % 251 g2,
+                       (3 * (doc_id + 7 * (px * {PATCH_W} + dx)
+                               + 13 * (py * {PATCH_H} + dy))) % 251 b
+                FROM g)
+        SELECT doc_id media_id, CAST(py AS INT) py, CAST(px AS INT) px,
+               SUM(r) / {PATCH_H * PATCH_W}.0 m_r,
+               SUM(g2) / {PATCH_H * PATCH_W}.0 m_g,
+               SUM(b) / {PATCH_H * PATCH_W}.0 m_b
+        FROM pix GROUP BY doc_id, py, px
+        ORDER BY media_id, py, px, m_r, m_g, m_b"""

@@ -59,7 +59,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # graph (r7: g01 green since r2 -> g12; g04 stays)
     "g04_kcore",
     # multimodal
-    "m04_image_decode", "m05_audio_decode",
+    "m04_image_decode", "m10_image_patches",
     # placement domain
     "p01_verify_placement", "p04_verify_fast",
     # streaming — r7 rotation target: the st family is the last

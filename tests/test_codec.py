@@ -171,3 +171,39 @@ def test_audio_fingerprint_gain_invariance_and_distinctness(spark):
     for p in range(AFP_PATTERNS):
         assert out[p] == out[p + AFP_PATTERNS]
     assert len({out[p] for p in range(AFP_PATTERNS)}) == AFP_PATTERNS
+
+
+def test_image_patches_real_roundtrip_and_coverage(spark, sf_dir):
+    """m10: the patch grid covers the whole image exactly once
+    (12 patches per 16x12 image), every mean is inside [0, 250], and
+    re-assembling patch sums reproduces the full-image channel sum
+    computed directly from the decoded array."""
+    import numpy as np
+
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.multimodal import (
+        PATCH_IMG_H,
+        PATCH_IMG_W,
+        PATCH_H,
+        PATCH_W,
+        decode_image,
+        image_patches,
+        synthesize_patch_images,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).limit(20)
+    media = synthesize_patch_images(docs)
+    rows = image_patches(media).collect()
+    per_img: dict = {}
+    for r in rows:
+        per_img.setdefault(r.media_id, []).append(r)
+    n_patches = (PATCH_IMG_H // PATCH_H) * (PATCH_IMG_W // PATCH_W)
+    assert all(len(v) == n_patches for v in per_img.values())
+    assert all(0.0 <= r.m_r <= 250.0 for r in rows)
+    raw = {r.media_id: bytes(r.content) for r in media.collect()}
+    n = PATCH_H * PATCH_W
+    for mid, patches in per_img.items():
+        arr = decode_image(raw[mid]).astype(np.int64)
+        assert arr.shape == (PATCH_IMG_H, PATCH_IMG_W, 3)
+        got_sum = round(sum(p.m_r for p in patches) * n)
+        assert got_sum == int(arr[:, :, 0].sum())
