@@ -2410,3 +2410,124 @@ def _ivf_pq_residual_oracle() -> str:
 
 SIMILARITY_QUERIES["s22_ivf_pq_residual"] = s22_ivf_pq_residual
 SIMILARITY_ORACLE_SQL["s22_ivf_pq_residual"] = _ivf_pq_residual_oracle()
+
+
+MRL_DIMS = (16, 32, 64)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): how much top-k recall
+    survives when only the first d dimensions of each embedding are
+    kept — the measurement that decides how small an MRL prefix a
+    serving index can use. For each d in ``MRL_DIMS``: exact top-k by
+    cosine over the d-prefix vs exact top-k over the full vectors;
+    report mean recall@k. The full-width row (d = native dim) is a
+    built-in sanity anchor: its recall is 1 by construction.
+
+    Scale shape: each tier is the s01 shape (broadcast queries ×
+    one corpus scan, per-query window top-k); the recall join is
+    top-k-set sized. Recall = integer intersection counts / (k·|Q|)
+    — a single exact division."""
+    from pyspark.sql import Window
+
+    exact = cosine_topk(embeddings, queries, k=k).select(
+        "qid", F.col("vec_id").alias("ev")
+    )
+    n_q = queries.count()
+    out = None
+    for d in MRL_DIMS:
+        corpus = embeddings.select(
+            "vec_id", F.slice("embedding", 1, d).alias("te")
+        ).withColumn("nrm", _norm("te"))
+        q = queries.select(
+            "qid", F.slice("qe", 1, d).alias("tq")
+        ).withColumn("qn", _norm("tq"))
+        scored = corpus.join(
+            F.broadcast(q), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot("te", "tq") / (F.col("nrm") * F.col("qn")), 4
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+        hits = approx.join(
+            exact, (approx.qid == exact.qid) & (approx.vec_id == exact.ev)
+        ).count()
+        row = embeddings.sparkSession.createDataFrame(
+            [(d, n_q, hits)], "dims int, n_queries long, n_hits long"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "dims",
+        "n_queries",
+        "n_hits",
+        (
+            F.round(
+                F.round(
+                    F.col("n_hits") / (F.lit(float(k)) * F.col("n_queries")), 9
+                )
+                + F.lit(1e-12),
+                6,
+            )
+        ).alias("recall"),
+    )
+
+
+def s23_matryoshka_eval(spark, sf_dir):
+    """Truncated-dimension recall sweep over the embeddings corpus —
+    fully oracled tier by tier in DuckDB (list-slice cosine)."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return matryoshka_recall(em, _query_set(em)).orderBy(
+        "dims", "n_queries", "n_hits", "recall"
+    )
+
+
+def _s23_oracle() -> str:
+    tiers = []
+    for d in MRL_DIMS:
+        tiers.append(f"""
+        SELECT {d} dims, (SELECT COUNT(*) FROM q) n_queries,
+               (SELECT COUNT(*) FROM (
+                   SELECT a.qid, a.vec_id FROM (
+                       SELECT qid, vec_id FROM (
+                           SELECT q.qid, e.vec_id,
+                                  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                      ROUND(list_cosine_similarity(
+                                          (e.embedding::DOUBLE[])[1:{d}],
+                                          (q.qe::DOUBLE[])[1:{d}]), 4) DESC,
+                                      e.vec_id) rn
+                           FROM embeddings e, q WHERE e.vec_id != q.qid)
+                       WHERE rn <= {TOPK}) a
+                   JOIN ex ON ex.qid = a.qid AND ex.vec_id = a.vec_id)) n_hits""")
+    body = "\n        UNION ALL\n".join(tiers)
+    return f"""
+        WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                   WHERE vec_id % {QUERY_STRIDE} = 0),
+        ex AS (SELECT qid, vec_id FROM (
+                   SELECT q.qid, e.vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                              ROUND(list_cosine_similarity(
+                                  e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                              e.vec_id) rn
+                   FROM embeddings e, q WHERE e.vec_id != q.qid)
+               WHERE rn <= {TOPK}),
+        t AS ({body})
+        SELECT dims, n_queries, n_hits,
+               ROUND(ROUND(n_hits / ({TOPK}.0 * n_queries), 9) + 1e-12, 6) recall
+        FROM t ORDER BY dims, n_queries, n_hits, recall"""
+
+
+SIMILARITY_QUERIES["s23_matryoshka_eval"] = s23_matryoshka_eval
+SIMILARITY_ORACLE_SQL["s23_matryoshka_eval"] = _s23_oracle()

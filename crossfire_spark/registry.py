@@ -50,7 +50,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "t19_token_stats",
     "t21_stratified_sample", "q50", "t09_bm25", "t13_mixture_sample",
     # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
-    "s05_hybrid_rrf", "s11_filtered_topk",
+    "s23_matryoshka_eval", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
     # (r7: h05/v01 green since r1-r2 rotate out for the new ops)
     "h07_m4_downsample", "h09_lttb_downsample",

@@ -1356,3 +1356,22 @@ def test_simhash_verify_stage_sql_oracle(spark, duck, sf_dir):
     assert len(got) == len(want) and len(got) > 0
     for c in ("doc_a", "doc_b", "hamming"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_matryoshka_eval_sanity(spark, sf_dir):
+    """s23: the full-width tier recalls exactly 1.0 (it IS the exact
+    ranking), every recall is a valid fraction of k*|Q|, and one row
+    per declared dim tier."""
+    from crossfire_spark.functions.similarity import (
+        MRL_DIMS,
+        TOPK,
+        s23_matryoshka_eval,
+    )
+
+    rows = s23_matryoshka_eval(spark, sf_dir).collect()
+    assert [r.dims for r in rows] == sorted(MRL_DIMS)
+    by_d = {r.dims: r for r in rows}
+    assert by_d[64].recall == 1.0
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits <= TOPK * r.n_queries
