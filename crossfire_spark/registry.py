@@ -34,7 +34,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "h11_seasonality", "v11_benford_report",
     # dedup family (r7: d01/d02/d06 driver-green -> d13_build_index,
     # never driver-checked; d07/d11 green since r2 -> r7 additions)
-    "d18_winnow_overlap", "d13_build_index",
+    "d24_bloom_decontam", "d13_build_index",
     "d20_dup_span_fraction",
     # round-7 additions — every new oracled operator enters the
     # sample in the round it ships (VERDICT r6 task 8)

@@ -919,3 +919,19 @@ def test_ks_two_sample_planted_and_numpy_recompute(spark):
     fb = np.searchsorted(np.sort(b_vals), allv, side="right") / len(b_vals)
     d_np = round(round(float(np.max(np.abs(fa - fb))), 9) + 1e-12, 6)
     assert abs(r_shift.ks_d - d_np) < 1e-9, (r_shift.ks_d, d_np)
+
+
+def test_bloom_decontam_equals_exact_and_prefilter_sound(spark, sf_dir):
+    """d24's bloom-prefiltered output equals d07's exact output row
+    for row (the exact verify removes every false positive), and the
+    bloom prefilter is SOUND: no true eval shingle is ever rejected
+    (Bloom filters have no false negatives)."""
+    from crossfire_spark.functions.dedup import (
+        d07_contamination,
+        d24_bloom_decontam,
+    )
+
+    exact = [(r.doc_id, r.n_shared) for r in d07_contamination(spark, sf_dir).collect()]
+    bloom = [(r.doc_id, r.n_shared) for r in d24_bloom_decontam(spark, sf_dir).collect()]
+    assert bloom == exact
+    assert exact, "corpus should exercise the contamination path"

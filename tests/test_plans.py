@@ -111,7 +111,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 236 and len(osql) == 224
+    assert len(qs) == 237 and len(osql) == 225
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
