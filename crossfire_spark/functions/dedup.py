@@ -712,13 +712,12 @@ def d17_hashed_decontam(spark, sf_dir):
     This is the Bloom-filter decontamination shape every production
     pipeline runs — a compact over-approximating membership structure
     map-side, exact verification of survivors. An actual Bloom drops
-    the per-key cost another ~5x (12.5x at 1% fpp vs 8-byte hashes);
-    this build's Spark doesn't expose ``bloom_filter_agg`` to SQL,
-    and the two-phase plan (compact-prefilter → exact verify) is
-    identical either way — swap the hash set for the bloom bytes and
-    nothing else moves. At 100 TB: corpus shingles never shuffle
-    until the per-doc count agg; the verify shuffle carries hits
-    only."""
+    the per-key cost another ~5x (12.5x at 1% fpp vs 8-byte hashes) —
+    that tier is :func:`d24_bloom_decontam` (r7); the two-phase plan
+    (compact-prefilter → exact verify) is identical, only the
+    membership structure changes. At 100 TB: corpus shingles never
+    shuffle until the per-doc count agg; the verify shuffle carries
+    hits only."""
     d = load_table(spark, sf_dir, "documents")
     eval_sh = (
         _shingles(d.where(F.col("source") == EVAL_SOURCE), CONTAM_NGRAM)
