@@ -2235,3 +2235,64 @@ def d24_bloom_decontam(spark, sf_dir):
 
 DEDUP_QUERIES["d24_bloom_decontam"] = d24_bloom_decontam
 DEDUP_ORACLE_SQL["d24_bloom_decontam"] = DEDUP_ORACLE_SQL["d07_contamination"]
+
+
+def dedup_recall_audit(
+    exact_pairs: DataFrame, approx_pairs: DataFrame
+) -> DataFrame:
+    """Recall of an approximate near-dup tier against its exact
+    oracle, bucketed by true similarity — the dedup-family twin of
+    s16's ANN recall audit (the ship/no-ship measurement before a
+    banded tier replaces the exact tier in production: LSH recall is
+    similarity-dependent, so a single number hides exactly the
+    0.5–0.6 band where banding misses most). Per 0.1-wide Jaccard
+    bucket plus an ALL row: exact pair count, pairs the approximate
+    tier found, recall. The join is pair-set-sized; nothing
+    corpus-shaped."""
+    e = exact_pairs.select("doc_a", "doc_b", "j")
+    a = approx_pairs.select("doc_a", "doc_b").withColumn("hit", F.lit(1))
+    joined = e.join(a, ["doc_a", "doc_b"], "left")
+    bucket = F.concat(
+        (F.least(F.floor(F.round("j", 6) * 10), F.lit(9)) / 10).cast(
+            "decimal(2,1)"
+        ).cast("string"),
+        F.lit("-"),
+        ((F.least(F.floor(F.round("j", 6) * 10), F.lit(9)) + 1) / 10).cast(
+            "decimal(2,1)"
+        ).cast("string"),
+    )
+    by_bucket = joined.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+    )
+    total = joined.agg(
+        F.lit("ALL").alias("bucket"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+    )
+    return by_bucket.unionByName(total).select(
+        "bucket",
+        "n_exact",
+        "n_found",
+        F.round(
+            F.round(F.col("n_found") / F.col("n_exact"), 9) + F.lit(1e-12), 6
+        ).alias("recall"),
+    )
+
+
+def d25_dedup_recall_audit(spark, sf_dir):
+    """MinHash-LSH (d03) recall vs exact Jaccard (d02's kernel) per
+    similarity bucket. Deterministic given the seeded signatures but
+    not SQL-expressible (the oracle would restate the whole minhash
+    build) → rows-only driver check, like s16; the found⊆exact
+    soundness, the high-band recall floor, and the audit arithmetic
+    are pinned in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = exact_jaccard_pairs(d).localCheckpoint()
+    approx = minhash_lsh_pairs(d)
+    return dedup_recall_audit(exact, approx).orderBy(
+        "bucket", "n_exact", "n_found", "recall"
+    )
+
+
+DEDUP_QUERIES["d25_dedup_recall_audit"] = d25_dedup_recall_audit

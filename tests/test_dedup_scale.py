@@ -320,3 +320,19 @@ def test_weighted_neardup_verify_stage_sql_oracle(spark, duck, sf_dir):
     a = np.ascontiguousarray(got["sim"].values, dtype=np.float64)
     b = np.ascontiguousarray(want["sim"].values, dtype=np.float64)
     assert (a.view(np.int64) == b.view(np.int64)).all()
+
+
+def test_dedup_recall_audit_soundness_and_floor(spark, sf_dir):
+    """d25: found <= exact per bucket (the approx tier is verified, so
+    it can never overcount), the ALL row re-sums the buckets, and the
+    0.9-1.0 band holds the >=0.9 recall floor the d03 tier declares."""
+    from crossfire_spark.functions.dedup import d25_dedup_recall_audit
+
+    rows = {r.bucket: r for r in d25_dedup_recall_audit(spark, sf_dir).collect()}
+    assert "ALL" in rows
+    buckets = [r for b, r in rows.items() if b != "ALL"]
+    assert all(r.n_found <= r.n_exact for r in rows.values())
+    assert rows["ALL"].n_exact == sum(r.n_exact for r in buckets)
+    assert rows["ALL"].n_found == sum(r.n_found for r in buckets)
+    hi = [r for b, r in rows.items() if b.startswith("0.9")]
+    assert hi and hi[0].recall >= 0.9, hi

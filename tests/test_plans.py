@@ -102,6 +102,7 @@ def test_registry_contract_consistency():
         "d04_simhash",
         "d13_incremental_dedup",
         "d16_weighted_neardup",
+        "d25_dedup_recall_audit",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
@@ -111,7 +112,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 237 and len(osql) == 225
+    assert len(qs) == 238 and len(osql) == 225
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
