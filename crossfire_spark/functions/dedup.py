@@ -2274,8 +2274,14 @@ def dedup_recall_audit(
         "bucket",
         "n_exact",
         "n_found",
-        F.round(
-            F.round(F.col("n_found") / F.col("n_exact"), 9) + F.lit(1e-12), 6
+        # empty corpus -> the ALL row has n_exact = 0: recall is
+        # undefined, not a crash (ANSI division guard)
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.round(F.col("n_found") / F.col("n_exact"), 9) + F.lit(1e-12),
+                6,
+            ),
         ).alias("recall"),
     )
 

@@ -2437,6 +2437,10 @@ def matryoshka_recall(
         "qid", F.col("vec_id").alias("ev")
     )
     n_q = queries.count()
+    if n_q == 0:  # empty corpus/query set — recall is undefined
+        return embeddings.sparkSession.createDataFrame(
+            [], "dims int, n_queries long, n_hits long, recall double"
+        )
     out = None
     for d in MRL_DIMS:
         corpus = embeddings.select(
