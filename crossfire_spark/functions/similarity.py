@@ -2535,3 +2535,91 @@ def _s23_oracle() -> str:
 
 SIMILARITY_QUERIES["s23_matryoshka_eval"] = s23_matryoshka_eval
 SIMILARITY_ORACLE_SQL["s23_matryoshka_eval"] = _s23_oracle()
+
+
+SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def d26_threshold_sweep(spark, sf_dir):
+    """Near-dup THRESHOLD SWEEP — the curve a curation team reads
+    before fixing a dedup cutoff (SemDeDup §4 ablates exactly this):
+    for each candidate cosine threshold, how many pairs would be
+    merged, how many distinct vectors are touched, and what fraction
+    of the corpus a keep-one-per-pair policy would drop. One exact
+    pair materialization at the LOOSEST threshold (the d05 tiled
+    kernel), then every tighter threshold is a conditional aggregate
+    over that pair set — the sweep costs one extra hash agg, not one
+    all-pairs pass per threshold.
+
+    Scale shape: pair-set-sized after the one tiled pass; the explode
+    is 2 rows per pair; per-threshold distinct counts shuffle on
+    (threshold, vec). Fully oracled (the d05 pair SQL + the same
+    conditional sweep)."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    n_total = em.count()
+    pairs = embed_neardup_pairs(
+        em, threshold=min(SWEEP_THRESHOLDS)
+    ).localCheckpoint()
+    rows = []
+    for t in SWEEP_THRESHOLDS:
+        sel = pairs.where(F.col("sim") >= t)
+        n_pairs = sel.count()
+        n_touched = (
+            sel.select(F.col("va").alias("v"))
+            .unionByName(sel.select(F.col("vb").alias("v")))
+            .distinct()
+            .count()
+        )
+        # keep-one-per-connected-pair lower bound: drop count ==
+        # touched - components >= touched - pairs; report the simple
+        # touched-vector fraction (the sweep metric SemDeDup plots)
+        rows.append((float(t), n_pairs, n_touched))
+    out = spark.createDataFrame(
+        rows, "threshold double, n_pairs long, n_touched long"
+    )
+    return out.select(
+        "threshold",
+        "n_pairs",
+        "n_touched",
+        F.round(
+            F.round(F.col("n_touched") / F.lit(float(n_total)), 9)
+            + F.lit(1e-12),
+            6,
+        ).alias("touched_frac"),
+    ).orderBy("threshold", "n_pairs", "n_touched", "touched_frac")
+
+
+def _d26_oracle() -> str:
+    tiers = []
+    for t in SWEEP_THRESHOLDS:
+        tiers.append(f"""
+        SELECT CAST({t} AS DOUBLE) threshold,
+               (SELECT COUNT(*) FROM p WHERE sim >= {t}) n_pairs,
+               (SELECT COUNT(*) FROM (
+                    SELECT va v FROM p WHERE sim >= {t}
+                    UNION SELECT vb FROM p WHERE sim >= {t})) n_touched""")
+    body = "\n        UNION ALL\n".join(tiers)
+    return f"""
+        WITH p AS (
+            -- tier filters run on the ROUNDED 4-dp sim exactly as the
+            -- engine's pair table carries it (the base >= filter is
+            -- unrounded, mirroring the tiled kernel)
+            SELECT a.vec_id va, b.vec_id vb,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                  >= {min(SWEEP_THRESHOLDS)}),
+        n AS (SELECT COUNT(*) c FROM embeddings),
+        t AS ({body})
+        SELECT threshold, n_pairs, n_touched,
+               ROUND(ROUND(n_touched / CAST(n.c AS DOUBLE), 9) + 1e-12, 6)
+                   touched_frac
+        FROM t, n
+        ORDER BY threshold, n_pairs, n_touched, touched_frac"""
+
+
+SIMILARITY_QUERIES["d26_threshold_sweep"] = d26_threshold_sweep
+SIMILARITY_ORACLE_SQL["d26_threshold_sweep"] = _d26_oracle()

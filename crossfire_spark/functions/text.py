@@ -2230,3 +2230,72 @@ TEXT_ORACLE_SQL["t32_packing_efficiency"] = f"""
         FROM agg
         ORDER BY source, n_docs, total_tokens, n_seqs, waste_tokens,
                  fill_frac, n_fragmented_docs"""
+
+
+def t33_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility report per language — the tokenizer-
+    efficiency audit every multilingual pretraining run does (SentencePiece/
+    BPE fertility: how many tokens a language pays per word and per
+    character; high-fertility languages get under-trained at a fixed
+    token budget): per lang, document count, total chars / words /
+    BPE-ish regex tokens, fertility = tokens/word, compression =
+    chars/token. One map-side-combinable hash agg over one scan;
+    stabilized rounding on the two ratios (both strictly positive —
+    no negative-zero hazard)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum("n_words").alias("words_total"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "chars_total",
+        "words_total",
+        "tokens_total",
+        F.round(
+            F.round(F.col("tokens_total") / F.col("words_total"), 9)
+            + F.lit(1e-12),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.round(F.col("chars_total") / F.col("tokens_total"), 9)
+            + F.lit(1e-12),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy(
+        "lang", "n_docs", "chars_total", "words_total", "tokens_total",
+        "fertility", "chars_per_token",
+    )
+
+
+TEXT_QUERIES["t33_tokenizer_fertility"] = t33_tokenizer_fertility
+
+TEXT_ORACLE_SQL["t33_tokenizer_fertility"] = """
+        WITH p AS (SELECT lang,
+                          length(text) n_chars,
+                          len(string_split(text, ' ')) n_words,
+                          len(regexp_extract_all(text,
+                              '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) n_tokens
+                   FROM documents),
+        a AS (SELECT lang, COUNT(*) n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) chars_total,
+                     CAST(SUM(n_words) AS BIGINT) words_total,
+                     CAST(SUM(n_tokens) AS BIGINT) tokens_total
+              FROM p GROUP BY lang)
+        SELECT lang, n_docs, chars_total, words_total, tokens_total,
+               ROUND(ROUND(tokens_total / CAST(words_total AS DOUBLE), 9)
+                     + 1e-12, 6) fertility,
+               ROUND(ROUND(chars_total / CAST(tokens_total AS DOUBLE), 9)
+                     + 1e-12, 6) chars_per_token
+        FROM a
+        ORDER BY lang, n_docs, chars_total, words_total, tokens_total,
+                 fertility, chars_per_token"""

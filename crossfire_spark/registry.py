@@ -35,7 +35,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # dedup family (r7: d01/d02/d06 driver-green -> d13_build_index,
     # never driver-checked; d07/d11 green since r2 -> r7 additions)
     "d24_bloom_decontam", "d13_build_index",
-    "d20_dup_span_fraction",
+    "d26_threshold_sweep",
     # round-7 additions — every new oracled operator enters the
     # sample in the round it ships (VERDICT r6 task 8)
     "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
@@ -48,7 +48,8 @@ _DRIVER_SAMPLE_PREFIX = (
     # last never-driver-checked text keys)
     "t10_pii_scrub", "t15_split_assign", "t18_corpus_build",
     "t19_token_stats",
-    "t21_stratified_sample", "q50", "t09_bm25", "t13_mixture_sample",
+    "t21_stratified_sample", "q50", "t33_tokenizer_fertility",
+    "t13_mixture_sample",
     # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
     "s23_matryoshka_eval", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions

@@ -1375,3 +1375,27 @@ def test_matryoshka_eval_sanity(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall <= 1.0
         assert r.n_hits <= TOPK * r.n_queries
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """d26: tightening the threshold can only shrink the pair set and
+    the touched-vector set (monotone non-increasing sweep), and the
+    loosest tier's pair count equals the raw pair table's count."""
+    from crossfire_spark.functions.similarity import (
+        SWEEP_THRESHOLDS,
+        d26_threshold_sweep,
+        embed_neardup_pairs,
+    )
+    from crossfire_spark.catalog import spread
+
+    rows = sorted(
+        d26_threshold_sweep(spark, sf_dir).collect(), key=lambda r: r.threshold
+    )
+    assert [r.threshold for r in rows] == sorted(SWEEP_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_touched <= a.n_touched
+        assert b.touched_frac <= a.touched_frac
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    base = embed_neardup_pairs(em, threshold=min(SWEEP_THRESHOLDS)).count()
+    assert rows[0].n_pairs == base
