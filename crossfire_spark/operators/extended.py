@@ -2556,3 +2556,61 @@ EXTENDED_ORACLE_SQL["v16_ks_test"] = f"""
                    / (t.na * CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6) reject
         FROM c, t GROUP BY t.na, t.nb
         ORDER BY n_a, n_b, ks_d"""
+
+
+def h19_forecast_backtest(spark, sf_dir):
+    """Rolling-origin backtest of h17's one-step-ahead Holt forecasts
+    — the evaluation loop that decides whether a forecaster is fit to
+    alert on (per series: MAE, MAPE, mean signed bias over every step
+    that had a forecast). Composes h17's recursion (already
+    cross-engine exact) with one per-key aggregate; the bias column is
+    sign-indefinite so it carries the negative-zero guard."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    fit = holt_linear(series).where(F.col("forecast").isNotNull())
+    err = F.col("y") - F.col("forecast")
+    stab = lambda c: F.round(F.round(c, 9) + F.lit(1e-12), 4) + F.lit(0.0)  # noqa: E731
+    return (
+        fit.groupBy("skey")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.avg(F.abs(err)).alias("_mae"),
+            F.avg(F.abs(err) / F.abs(F.col("y"))).alias("_mape"),
+            F.avg(err).alias("_bias"),
+        )
+        .select(
+            "skey",
+            "n_steps",
+            stab(F.col("_mae")).alias("mae"),
+            stab(F.col("_mape")).alias("mape"),
+            stab(F.col("_bias")).alias("bias"),
+        )
+        .orderBy("skey", "n_steps", "mae", "mape", "bias")
+    )
+
+
+EXTENDED_QUERIES["h19_forecast_backtest"] = h19_forecast_backtest
+
+EXTENDED_ORACLE_SQL["h19_forecast_backtest"] = (
+    EXTENDED_ORACLE_SQL["h17_holt_linear"]
+    .replace(
+        '''SELECT skey, d, y,
+               ROUND(ROUND("level", 9) + 1e-12, 4) + 0.0 AS "level",
+               ROUND(ROUND("trend", 9) + 1e-12, 4) + 0.0 AS "trend",
+               ROUND(ROUND("forecast", 9) + 1e-12, 4) + 0.0 AS "forecast"
+        FROM s ORDER BY skey, d, y''',
+        '''SELECT skey, CAST(COUNT(*) AS BIGINT) n_steps,
+               ROUND(ROUND(AVG(ABS(y - f4)), 9) + 1e-12, 4) + 0.0 mae,
+               ROUND(ROUND(AVG(ABS(y - f4) / ABS(y)), 9) + 1e-12, 4)
+                   + 0.0 mape,
+               ROUND(ROUND(AVG(y - f4), 9) + 1e-12, 4) + 0.0 bias
+        FROM (SELECT skey, y,
+                     ROUND(ROUND("forecast", 9) + 1e-12, 4) + 0.0 f4
+              FROM s WHERE "forecast" IS NOT NULL)
+        GROUP BY skey
+        ORDER BY skey, n_steps, mae, mape, bias''',
+    )
+)

@@ -54,7 +54,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "s23_matryoshka_eval", "s11_filtered_topk",
     # time-series / validation / scalar-fn / join extensions
     # (r7: h05/v01 green since r1-r2 rotate out for the new ops)
-    "h07_m4_downsample", "h09_lttb_downsample",
+    "h19_forecast_backtest", "h09_lttb_downsample",
     "v08_referential_integrity",
     "j01_json_extract", "a01_asof_join", "r01_range_join",
     # graph (r7: g01 green since r2 -> g12; g04 stays)

@@ -935,3 +935,37 @@ def test_bloom_decontam_equals_exact_and_prefilter_sound(spark, sf_dir):
     bloom = [(r.doc_id, r.n_shared) for r in d24_bloom_decontam(spark, sf_dir).collect()]
     assert bloom == exact
     assert exact, "corpus should exercise the contamination path"
+
+
+def test_forecast_backtest_hand_checked(spark):
+    """h19's error arithmetic on a planted 2-series frame: constant
+    series -> Holt forecasts exactly (MAE 0 after the first step);
+    linear-growth series' one-step errors shrink as the trend term
+    locks on (MAE > 0, finite MAPE, positive bias for under-forecast
+    growth)."""
+    from crossfire_spark.operators.extended import h19_forecast_backtest
+
+    # drive through the real registry path with a temp parquet dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(10):
+            rows.append((i, t0 + datetime.timedelta(days=i), 100, "flat", 5.0, "{}"))
+            rows.append(
+                (100 + i, t0 + datetime.timedelta(days=i), 200, "grow", float(i + 1), "{}")
+            )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {r.skey: r for r in h19_forecast_backtest(spark, tmp).collect()}
+    assert got["flat"].mae == 0.0 and got["flat"].bias == 0.0
+    assert got["flat"].n_steps == 9
+    assert got["grow"].mae > 0.0
+    assert got["grow"].bias > 0.0  # Holt lags a growing series

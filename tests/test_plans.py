@@ -112,7 +112,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 240 and len(osql) == 227
+    assert len(qs) == 241 and len(osql) == 228
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
