@@ -196,6 +196,10 @@ def run(reps: int, scales=SCALES) -> None:
         "d23_longest_shared_span",
         "s04_ivf_kmeans",
         "s20_ivf_pq_topk",
+        # round-7 additions with nontrivial scale stories
+        "s22_ivf_pq_residual",
+        "d24_bloom_decontam",
+        "s23_matryoshka_eval",
     ]
     spark = get_spark(app_name="crossfire-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
