@@ -2581,10 +2581,14 @@ def d26_threshold_sweep(spark, sf_dir):
         "threshold",
         "n_pairs",
         "n_touched",
-        F.round(
-            F.round(F.col("n_touched") / F.lit(float(n_total)), 9)
-            + F.lit(1e-12),
-            6,
+        # empty corpus -> fraction undefined, not a crash (ANSI guard)
+        F.when(
+            F.lit(n_total) > 0,
+            F.round(
+                F.round(F.col("n_touched") / F.lit(float(max(n_total, 1))), 9)
+                + F.lit(1e-12),
+                6,
+            ),
         ).alias("touched_frac"),
     ).orderBy("threshold", "n_pairs", "n_touched", "touched_frac")
 
