@@ -2614,3 +2614,73 @@ EXTENDED_ORACLE_SQL["h19_forecast_backtest"] = (
         ORDER BY skey, n_steps, mae, mape, bias''',
     )
 )
+
+
+ANOM_K = 3.0  # flag when |err| exceeds K x the expanding mean abs error
+
+
+def h20_forecast_anomaly(spark, sf_dir):
+    """Forecast-residual anomaly detection — the alerting loop h19's
+    backtest qualifies: per series, each day's absolute one-step
+    forecast error compares against the EXPANDING mean absolute error
+    of all PRIOR forecast days (a self-calibrating threshold that
+    needs no fixed scale); days where err > K·baseline flag as
+    anomalies. Composes h17's cross-engine-exact recursion with one
+    expanding window over the same series key — no new shuffle key.
+    All comparisons run on 6-dp-rounded quantities on BOTH engines so
+    the boolean can't flip on summation-order noise."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    fit = holt_linear(series).where(F.col("forecast").isNotNull())
+    err = F.round(F.abs(F.col("y") - F.col("forecast")), 6)
+    w = (
+        Window.partitionBy("skey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = fit.select("skey", "d", "y", "forecast", err.alias("err")).withColumn(
+        "baseline", F.round(F.avg("err").over(w), 6)
+    )
+    return out.select(
+        "skey",
+        "d",
+        "y",
+        "err",
+        F.col("baseline"),
+        F.when(
+            F.col("baseline").isNotNull(),
+            F.col("err") > F.round(F.lit(ANOM_K) * F.col("baseline"), 6),
+        ).otherwise(F.lit(False)).alias("is_anomaly"),
+    ).orderBy("skey", "d", "y", "err", "baseline", "is_anomaly")
+
+
+EXTENDED_QUERIES["h20_forecast_anomaly"] = h20_forecast_anomaly
+
+EXTENDED_ORACLE_SQL["h20_forecast_anomaly"] = (
+    EXTENDED_ORACLE_SQL["h17_holt_linear"]
+    .replace(
+        '''SELECT skey, d, y,
+               ROUND(ROUND("level", 9) + 1e-12, 4) + 0.0 AS "level",
+               ROUND(ROUND("trend", 9) + 1e-12, 4) + 0.0 AS "trend",
+               ROUND(ROUND("forecast", 9) + 1e-12, 4) + 0.0 AS "forecast"
+        FROM s ORDER BY skey, d, y''',
+        '''SELECT skey, d, y, err, baseline,
+               CASE WHEN baseline IS NOT NULL
+                    THEN err > ROUND(3.0 * baseline, 6)
+                    ELSE FALSE END is_anomaly
+        FROM (SELECT skey, d, y, err,
+                     ROUND(AVG(err) OVER (PARTITION BY skey ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         6) baseline
+              FROM (SELECT skey, d, y,
+                           ROUND(ABS(y - (ROUND(ROUND("forecast", 9)
+                               + 1e-12, 4) + 0.0)), 6) err
+                    FROM s WHERE "forecast" IS NOT NULL))
+        ORDER BY skey, d, y, err, baseline, is_anomaly''',
+    )
+)

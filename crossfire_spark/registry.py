@@ -42,7 +42,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "st19_stream_cdc_apply", "g12_harmonic_centrality",
     "h18_scd2_intervals", "st20_stream_scd2", "v16_ks_test",
     # round-5 families: anomaly, profile, DSIR, link prediction, as-of
-    "h08_rolling_anomaly", "v06_column_profile", "t23_dsir_weights",
+    "h20_forecast_anomaly", "v06_column_profile", "t23_dsir_weights",
     "g05_link_prediction", "a03_asof_nearest",
     # text pipeline (r7: t01/t03 driver-green -> t10/t15/t18, the
     # last never-driver-checked text keys)

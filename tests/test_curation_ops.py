@@ -969,3 +969,35 @@ def test_forecast_backtest_hand_checked(spark):
     assert got["flat"].n_steps == 9
     assert got["grow"].mae > 0.0
     assert got["grow"].bias > 0.0  # Holt lags a growing series
+
+
+def test_forecast_anomaly_planted_spike(spark):
+    """h20 on a planted frame: a flat series with one injected spike
+    flags exactly the spike day (self-calibrated threshold: perfect
+    history -> any nonzero error flags); the spike-free twin flags
+    nothing."""
+    import datetime
+    import os
+    import tempfile
+
+    from crossfire_spark.operators.extended import h20_forecast_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):
+        rows.append((i, t0 + datetime.timedelta(days=i), 1, "flat", 5.0, "{}"))
+        v = 50.0 if i == 8 else 5.0  # spike on day 9
+        rows.append((100 + i, t0 + datetime.timedelta(days=i), 2, "spiky", v, "{}"))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        got = h20_forecast_anomaly(spark, tmp).collect()
+    flat = [r for r in got if r.skey == "flat"]
+    spiky = [r for r in got if r.skey == "spiky"]
+    assert flat and not any(r.is_anomaly for r in flat)
+    anom_days = [r.d.day for r in spiky if r.is_anomaly]
+    assert 9 in anom_days, anom_days
+    assert all(d >= 9 for d in anom_days)  # only the spike and its wake

@@ -112,7 +112,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 241 and len(osql) == 228
+    assert len(qs) == 242 and len(osql) == 229
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
