@@ -18,6 +18,17 @@ Methodology (round-7 hygiene, after r6's 176-236 s host-noise swing):
 - The headline "value" is computed ONCE (sum of per-query medians)
   and reused verbatim in the detail line, the compact tail line, and
   BENCH_DETAIL.json, so the three can never disagree.
+- Rep 1's one-time codegen compile lands in the discarded max only
+  when REPS >= 3; with REPS < 3 one UNTIMED warmup rep runs first so
+  a quick REPS=1 spot check still measures steady state. The emitted
+  JSON carries "warmup_rep" so artifacts are self-describing.
+- CALIBRATION ANCHOR (round-8, after r7's 1.5x ambient host swing):
+  a fixed seeded CPU-bound query (10^7-row xxhash64 + mod-1024
+  group-agg, plan shape never changes across rounds) is timed
+  median-of-3 BEFORE and AFTER the sweep. "anchor_sec" is the mean
+  of the two; "normalized_value" = value / anchor_sec is the
+  host-speed-independent total to compare across rounds. A large
+  before/after anchor delta means the host shifted MID-run.
 
 Timing is end-to-end per query (plan + execute + noop-write); the
 noop sink executes the FULL plan (count() would let Catalyst elide
@@ -41,6 +52,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
+def _anchor_sec(spark) -> float:
+    """Median-of-3 wall time of a fixed CPU-bound plan: 10^7 rows ->
+    xxhash64 -> mod-1024 group count. No data files, no Python, one
+    tiny shuffle — its cost tracks host CPU speed, not engine code."""
+    from pyspark.sql import functions as F
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("b"))
+            .groupBy("b")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    _run()  # untimed: absorbs codegen + JVM JIT warm-up at cold start
+    return round(statistics.median(_run() for _ in range(3)), 4)
+
+
 def _loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -61,10 +95,19 @@ def main() -> None:
 
     qs = all_queries()
     load_before = _loadavg()
+    anchor_before = _anchor_sec(spark)
+    warmup = REPS < 3
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in sorted(qs):
+        if warmup:
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — timed loop reports it
+                pass
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -81,9 +124,12 @@ def main() -> None:
         else:
             timings[name] = -1.0
 
+    anchor_after = _anchor_sec(spark)
     load_after = _loadavg()
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
+    anchor = round((anchor_before + anchor_after) / 2.0, 4)
+    normalized = round(total / anchor, 2) if anchor > 0 else None
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -92,6 +138,11 @@ def main() -> None:
         "sf": sf_val,
         "reps": REPS,
         "rep_stat": "median",
+        "warmup_rep": warmup,
+        "anchor_sec": anchor,
+        "anchor_before": anchor_before,
+        "anchor_after": anchor_after,
+        "normalized_value": normalized,
         "spread_min_max": spreads,
         "load_before": load_before,
         "load_after": load_after,
@@ -127,6 +178,9 @@ def main() -> None:
                 "n_failed": len(failed),
                 "reps": REPS,
                 "rep_stat": "median",
+                "warmup_rep": warmup,
+                "anchor_sec": anchor,
+                "normalized_value": normalized,
                 "load_before": load_before,
                 "load_after": load_after,
                 "queries": {**slowest, **failed},

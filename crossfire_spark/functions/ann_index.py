@@ -279,8 +279,20 @@ def d13_build_index(spark, sf_dir):
     distinct texts (one wide signature row per exact-dup
     representative) — both SQL-checkable, so the build gets a real
     DuckDB oracle even though the signatures themselves are
-    hash-defined."""
-    path = _d13_index_path(spark, sf_dir)
+    hash-defined.
+
+    TIMED WORK: every invocation performs a FULL fresh build (shingle
+    explode + 128 minhashes over the 90% corpus + two snapshot
+    commits) into a new workdir — the r7 judge found the session memo
+    was letting bench reps 2-3 time two snapshot counts instead of
+    the build. The memo is written (not read) here, so
+    d13_incremental_dedup still gets its amortized read path."""
+    from crossfire_spark.streaming.jobs import _session_workdir
+
+    corpus, _ = _d13_split(spark, sf_dir)
+    path = os.path.join(_session_workdir("d13b_"), "mh")
+    build_minhash_index(corpus, path)
+    _D13_INDEX_PATHS[sf_dir] = path
     membership = snapshot_read(spark, os.path.join(path, "membership"))
     signatures = snapshot_read(spark, os.path.join(path, "signatures"))
     return (

@@ -2172,14 +2172,18 @@ def d24_bloom_decontam(spark, sf_dir):
 
     Spark shape: this build's SQL registry exposes no
     ``bloom_filter_agg``/``might_contain`` (probed, r7), so the
-    filter is built once on the driver from the benchmark suite's
-    xxhash64 pairs (the eval side is the bounded benchmark, not the
-    crawl) and rides an Arrow-vectorized probe UDF as a numpy bit
-    array — Kirsch-Mitzenmacher double hashing (h1 + i·h2, the same
-    two-hash scheme the minhash derivation uses), k = m/n·ln2 probes
-    evaluated as k vectorized gathers per batch. Corpus shingles
-    never shuffle until the per-doc count agg; the verify shuffle
-    carries hits only."""
+    filter is built DISTRIBUTED (r8, VERDICT r7 task 5): an Arrow
+    kernel turns each eval shingle's (h1, h2) into its k
+    Kirsch-Mitzenmacher bit indices (h1 + i·h2 in uint64, the same
+    two-hash scheme the minhash derivation uses), and the m-bit
+    array is assembled as a ``groupBy(word_idx).agg(bit_or(word))``
+    over 64-bit words — map-side partial OR, then only m/64 longs
+    (~1.2 bits/key of driver traffic, the filter itself) are
+    collected and broadcast into the probe UDF's closure. Nothing
+    proportional to eval-shingle CARDINALITY ever reaches the
+    driver. The probe is k vectorized gathers per Arrow batch;
+    corpus shingles never shuffle until the per-doc count agg; the
+    verify shuffle carries hits only."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -2190,26 +2194,49 @@ def d24_bloom_decontam(spark, sf_dir):
         .distinct()
         .localCheckpoint()  # bloom build AND exact verify read it
     )
-    pairs = eval_sh.select(
-        F.xxhash64("shingle").alias("h1"),
-        F.xxhash64("shingle", F.lit(1)).alias("h2"),
-    ).collect()
     corpus_sh = _shingles(
         d.where(F.col("source") != EVAL_SOURCE), CONTAM_NGRAM
     ).select("doc_id", "shingle")
     empty = corpus_sh.limit(0).select("doc_id").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
-    if not pairs:
+    n = eval_sh.count()
+    if n == 0:
         return empty
-    n = len(pairs)
     m = max(64, int(np.ceil(-n * np.log(BLOOM_FPP) / (np.log(2) ** 2))))
     k = max(1, round(m / n * np.log(2)))
-    bits = np.zeros(m, dtype=bool)
-    H1 = np.array([r.h1 for r in pairs], dtype=np.int64).view(np.uint64)
-    H2 = np.array([r.h2 for r in pairs], dtype=np.int64).view(np.uint64)
-    for i in range(k):
-        bits[((H1 + np.uint64(i) * H2) % np.uint64(m)).astype(np.int64)] = True
+
+    @pandas_udf("array<long>")
+    def _bloom_idx(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        cols = [
+            ((a + np.uint64(i) * b) % np.uint64(m)).astype(np.int64)
+            for i in range(k)
+        ]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    word_rows = (
+        eval_sh.select(
+            F.xxhash64("shingle").alias("h1"),
+            F.xxhash64("shingle", F.lit(1)).alias("h2"),
+        )
+        .select(F.explode(_bloom_idx("h1", "h2")).alias("idx"))
+        .groupBy(F.shiftright("idx", 6).alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(idx % 64 AS INT))")
+            ).alias("word")
+        )
+        .collect()
+    )
+    n_words = (m + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in word_rows:  # signed long -> the same 64 bits, unsigned
+        words[r.w] = np.uint64(r.word & 0xFFFFFFFFFFFFFFFF)
+    bits = np.unpackbits(
+        words.view(np.uint8), bitorder="little"
+    ).astype(bool)
 
     @pandas_udf("boolean")
     def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
@@ -2302,3 +2329,52 @@ def d25_dedup_recall_audit(spark, sf_dir):
 
 
 DEDUP_QUERIES["d25_dedup_recall_audit"] = d25_dedup_recall_audit
+
+
+def d27_simhash_recall_audit(spark, sf_dir):
+    """SimHash (d04, Hamming ≤ 3) recall vs exact Jaccard (d02's
+    kernel) per similarity bucket — d25's mold applied to the SimHash
+    tier, so a curation team can read d03-vs-d04 banding recall off
+    the SAME exact truth before picking one (VERDICT r7 task 7).
+    SimHash votes on a different statistic (word-set cosine) than the
+    shingle Jaccard it is audited against, so sub-1.0 recall in mid
+    buckets is the MEASUREMENT, not a defect; the 0.9–1.0 band floor
+    is pinned in tests. Hash-dependent → rows-only driver check, like
+    d25. Scale shape: both tiers are their declared banded/exact
+    shapes; the audit join itself is pair-set-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = exact_jaccard_pairs(d).localCheckpoint()
+    approx = simhash_pairs(d)
+    return dedup_recall_audit(exact, approx).orderBy(
+        "bucket", "n_exact", "n_found", "recall"
+    )
+
+
+DEDUP_QUERIES["d27_simhash_recall_audit"] = d27_simhash_recall_audit
+
+
+def d28_srp_recall_audit(spark, sf_dir):
+    """SRP-banded weighted near-dup (d16's tier) recall vs the exact
+    TF-IDF sparse cosine (d15's kernel) per similarity bucket, on
+    d15's declared doc_id < 500 slice (the exact tier is Σdf²-
+    quadratic on this synthetic hot-vocabulary corpus — the audit
+    pays the exact tier once, on a bounded slice, to certify the
+    banded tier; same trade as d25). Exact pairs are enumerated from
+    d15's 0.6 threshold so the sub-threshold buckets SHOW the banding
+    falloff below d16's declared 0.85 operating point; the found ⊆
+    exact soundness (d16 exact-verifies its candidates) and the
+    0.9–1.0 recall floor are pinned in tests. Hash-dependent →
+    rows-only driver check."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    exact = (
+        sparse_cosine_pairs(d)
+        .select("doc_a", "doc_b", F.col("sim").alias("j"))
+        .localCheckpoint()
+    )
+    approx = weighted_srp_pairs(d)
+    return dedup_recall_audit(exact, approx).orderBy(
+        "bucket", "n_exact", "n_found", "recall"
+    )
+
+
+DEDUP_QUERIES["d28_srp_recall_audit"] = d28_srp_recall_audit

@@ -1961,8 +1961,13 @@ def _pq_oracle() -> str:
             for i in range(1, d + 1)
         )
 
+    # Stride the flattened ADC table by its ACTUAL per-subspace width
+    # (len(al) // PQ_M == the engine's kk = min(PQ_K, corpus rows)), so
+    # the oracle stays exact even when the corpus has fewer than PQ_K
+    # vectors (ADVICE r7: hardcoded PQ_K stride was latently wrong).
     lookup = " + ".join(
-        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+        f"al[{s} * (len(al) // {PQ_M}) + cl[{s + 1}] + 1]"
+        for s in range(PQ_M)
     )
     return f"""
         WITH book AS (
@@ -2172,8 +2177,13 @@ def _ivf_pq_oracle() -> str:
             for i in range(1, d + 1)
         )
 
+    # Stride the flattened ADC table by its ACTUAL per-subspace width
+    # (len(al) // PQ_M == the engine's kk = min(PQ_K, corpus rows)), so
+    # the oracle stays exact even when the corpus has fewer than PQ_K
+    # vectors (ADVICE r7: hardcoded PQ_K stride was latently wrong).
     lookup = " + ".join(
-        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+        f"al[{s} * (len(al) // {PQ_M}) + cl[{s + 1}] + 1]"
+        for s in range(PQ_M)
     )
     return f"""
         WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings
@@ -2361,8 +2371,13 @@ def _ivf_pq_residual_oracle() -> str:
             for i in range(1, d + 1)
         )
 
+    # Stride the flattened ADC table by its ACTUAL per-subspace width
+    # (len(al) // PQ_M == the engine's kk = min(PQ_K, corpus rows)), so
+    # the oracle stays exact even when the corpus has fewer than PQ_K
+    # vectors (ADVICE r7: hardcoded PQ_K stride was latently wrong).
     lookup = " + ".join(
-        f"al[{s * PQ_K} + cl[{s + 1}] + 1]" for s in range(PQ_M)
+        f"al[{s} * (len(al) // {PQ_M}) + cl[{s + 1}] + 1]"
+        for s in range(PQ_M)
     )
     return f"""
         WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings
@@ -2433,8 +2448,14 @@ def matryoshka_recall(
     — a single exact division."""
     from pyspark.sql import Window
 
-    exact = cosine_topk(embeddings, queries, k=k).select(
-        "qid", F.col("vec_id").alias("ev")
+    exact = (
+        cosine_topk(embeddings, queries, k=k)
+        .select(F.col("qid").alias("eqid"), F.col("vec_id").alias("ev"))
+        # Materialize once: the full-width exact top-k is the O(N·|Q|)
+        # corpus scan, and every tier's hits-join would otherwise
+        # re-trigger it (ADVICE r7) — same discipline as d26's shared
+        # pair table.
+        .localCheckpoint()
     )
     n_q = queries.count()
     if n_q == 0:  # empty corpus/query set — recall is undefined
@@ -2467,7 +2488,8 @@ def matryoshka_recall(
             .select("qid", "vec_id")
         )
         hits = approx.join(
-            exact, (approx.qid == exact.qid) & (approx.vec_id == exact.ev)
+            exact,
+            (F.col("qid") == F.col("eqid")) & (F.col("vec_id") == F.col("ev")),
         ).count()
         row = embeddings.sparkSession.createDataFrame(
             [(d, n_q, hits)], "dims int, n_queries long, n_hits long"
@@ -2514,7 +2536,8 @@ def _s23_oracle() -> str:
                                       e.vec_id) rn
                            FROM embeddings e, q WHERE e.vec_id != q.qid)
                        WHERE rn <= {TOPK}) a
-                   JOIN ex ON ex.qid = a.qid AND ex.vec_id = a.vec_id)) n_hits""")
+                   JOIN ex ON ex.qid = a.qid AND ex.vec_id = a.vec_id)) n_hits
+        WHERE EXISTS (SELECT 1 FROM q)""")
     body = "\n        UNION ALL\n".join(tiers)
     return f"""
         WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings

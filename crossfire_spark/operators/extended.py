@@ -2554,7 +2554,9 @@ EXTENDED_ORACLE_SQL["v16_ks_test"] = f"""
                    - lb / CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6)
                  > ROUND(ROUND({KS_CRIT_05} * sqrt((t.na + t.nb)
                    / (t.na * CAST(t.nb AS DOUBLE))), 9) + 1e-12, 6) reject
-        FROM c, t GROUP BY t.na, t.nb
+        FROM c, t
+        WHERE t.na > 0 AND t.nb > 0  -- engine emits 0 rows on an empty split
+        GROUP BY t.na, t.nb
         ORDER BY n_a, n_b, ks_d"""
 
 
@@ -2578,7 +2580,11 @@ def h19_forecast_backtest(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_steps"),
             F.avg(F.abs(err)).alias("_mae"),
-            F.avg(F.abs(err) / F.abs(F.col("y"))).alias("_mape"),
+            # y == 0 buckets are excluded from MAPE (ANSI-division
+            # discipline: avg ignores the NULLed terms on both engines)
+            F.avg(
+                F.when(F.col("y") != 0, F.abs(err) / F.abs(F.col("y")))
+            ).alias("_mape"),
             F.avg(err).alias("_bias"),
         )
         .select(
@@ -2604,7 +2610,8 @@ EXTENDED_ORACLE_SQL["h19_forecast_backtest"] = (
         FROM s ORDER BY skey, d, y''',
         '''SELECT skey, CAST(COUNT(*) AS BIGINT) n_steps,
                ROUND(ROUND(AVG(ABS(y - f4)), 9) + 1e-12, 4) + 0.0 mae,
-               ROUND(ROUND(AVG(ABS(y - f4) / ABS(y)), 9) + 1e-12, 4)
+               ROUND(ROUND(AVG(CASE WHEN y <> 0
+                   THEN ABS(y - f4) / ABS(y) END), 9) + 1e-12, 4)
                    + 0.0 mape,
                ROUND(ROUND(AVG(y - f4), 9) + 1e-12, 4) + 0.0 bias
         FROM (SELECT skey, y,

@@ -24,48 +24,50 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # driver's sample spans the whole engine; remaining keys follow in
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
-    # relational core — r7 rotation: q01/q03/q05 (driver-green since
-    # r1) and q08/q09 (checked r6) rotate OUT; q07 stays for
-    # continuity
-    "q07",
-    # round-5 session-4 additions (kNN graph, bipartite projection,
-    # seasonality, Benford) — fresher driver signal than more q's
-    "s15_knn_graph", "g08_bipartite_projection",
-    "h11_seasonality", "v11_benford_report",
-    # dedup family (r7: d01/d02/d06 driver-green -> d13_build_index,
-    # never driver-checked; d07/d11 green since r2 -> r7 additions)
+    # r8 rotation (VERDICT r7 task 1): the 16 slots with >=3 driver
+    # hashes (q07 x6, q50 x5, j01/a01/r01 x4, s15/g08/h11/v11/v06/
+    # t23/g05/a03/t13/s11/m04 x3) rotate OUT for 14 oracled keys the
+    # driver has NEVER hashed plus the two new r8 recall audits
+    # (rows-only, same-commit rotation discipline).
+    # relational — q56 (grouping-sets tier) never driver-hashed
+    "q56",
+    # as-of extension — a02 never driver-hashed
+    "a02_asof_forward",
+    # dedup family: exact weighted tier + shared-span, never hashed;
+    # d24/d13/d26 keep their single-hash continuity
+    "d15_sparse_cosine", "d23_longest_shared_span",
     "d24_bloom_decontam", "d13_build_index",
     "d26_threshold_sweep",
-    # round-7 additions — every new oracled operator enters the
-    # sample in the round it ships (VERDICT r6 task 8)
+    # r8 additions — every new operator enters the sample in the
+    # round it ships (VERDICT r6 task 8); rows-only driver check
+    "d27_simhash_recall_audit", "d28_srp_recall_audit",
+    # round-7 additions keep one more round of hash continuity
     "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
     "st19_stream_cdc_apply", "g12_harmonic_centrality",
     "h18_scd2_intervals", "st20_stream_scd2", "v16_ks_test",
-    # round-5 families: anomaly, profile, DSIR, link prediction, as-of
-    "h20_forecast_anomaly", "v06_column_profile", "t23_dsir_weights",
-    "g05_link_prediction", "a03_asof_nearest",
-    # text pipeline (r7: t01/t03 driver-green -> t10/t15/t18, the
-    # last never-driver-checked text keys)
+    "h20_forecast_anomaly",
+    # text pipeline — t24/t26 never driver-hashed; t10/t15/t18/t19
+    # (first hashed r7) keep continuity
+    "t24_ngram_novelty", "t26_sentence_dedup",
     "t10_pii_scrub", "t15_split_assign", "t18_corpus_build",
     "t19_token_stats",
-    "t21_stratified_sample", "q50", "t33_tokenizer_fertility",
-    "t13_mixture_sample",
-    # similarity / ANN (r7: s01/s03 driver-green since r3 rotate out)
-    "s23_matryoshka_eval", "s11_filtered_topk",
-    # time-series / validation / scalar-fn / join extensions
-    # (r7: h05/v01 green since r1-r2 rotate out for the new ops)
+    "t21_stratified_sample", "t33_tokenizer_fertility",
+    # similarity / ANN — s09/s19 never driver-hashed
+    "s09_pq_topk", "s19_hard_negatives", "s23_matryoshka_eval",
+    # validation — v05/v12 never driver-hashed
+    "v05_gopher_rules", "v12_fd_audit",
+    # time-series / scalar-fn extensions
     "h19_forecast_backtest", "h09_lttb_downsample",
     "v08_referential_integrity",
-    "j01_json_extract", "a01_asof_join", "r01_range_join",
-    # graph (r7: g01 green since r2 -> g12; g04 stays)
-    "g04_kcore",
-    # multimodal
-    "m04_image_decode", "m10_image_patches",
+    # graph — g06 never driver-hashed; g04 stays
+    "g06_labelprop_communities", "g04_kcore",
+    # multimodal — m07 never driver-hashed; m10 keeps continuity
+    "m07_image_neardup", "m10_image_patches",
     # placement domain
     "p01_verify_placement", "p04_verify_fast",
-    # streaming — r7 rotation target: the st family is the last
-    # driver-hash blind spot (VERDICT r6 item 1).  8 never-checked
-    # st keys in; st01/st04/st06 (driver-green r5/r6) rotate out.
+    # streaming — st09/st13 never driver-hashed; the 8 first hashed
+    # in r7 keep continuity
+    "st09_snapshot_merge_stream", "st13_stream_quality",
     "st02_stream_sliding", "st03_session_window", "st05_stream_static",
     "st07_stream_upsert", "st08_stream_dedup", "st12_stream_matview",
     "st15_stream_anomaly", "st17_stream_funnel",

@@ -336,3 +336,44 @@ def test_dedup_recall_audit_soundness_and_floor(spark, sf_dir):
     assert rows["ALL"].n_found == sum(r.n_found for r in buckets)
     hi = [r for b, r in rows.items() if b.startswith("0.9")]
     assert hi and hi[0].recall >= 0.9, hi
+
+
+def test_simhash_recall_audit_soundness(spark, sf_dir):
+    """d27: audit arithmetic (ALL re-sums the buckets), per-bucket
+    soundness, and the documented tier shape — SimHash at Hamming<=3
+    is a NEAR-IDENTICAL tier, so its 0.9-1.0-Jaccard recall is
+    nonzero but well under d03's (the measurement d27 exists to put
+    on the table; ~0.16-0.30 across sf0.001-0.1)."""
+    from crossfire_spark.functions.dedup import d27_simhash_recall_audit
+
+    rows = {r.bucket: r for r in d27_simhash_recall_audit(spark, sf_dir).collect()}
+    assert "ALL" in rows
+    buckets = [r for b, r in rows.items() if b != "ALL"]
+    assert all(r.n_found <= r.n_exact for r in rows.values())
+    assert rows["ALL"].n_exact == sum(r.n_exact for r in buckets)
+    assert rows["ALL"].n_found == sum(r.n_found for r in buckets)
+    hi = [r for b, r in rows.items() if b.startswith("0.9")]
+    assert hi and hi[0].recall >= 0.1, hi
+    # every bucket's recall is a valid ratio
+    assert all(0.0 <= (r.recall or 0.0) <= 1.0 for r in rows.values())
+
+
+def test_srp_recall_audit_soundness_and_floor(spark, sf_dir):
+    """d28: found <= exact per bucket (d16 exact-verifies candidates,
+    so it never overcounts vs d15's kernel on the same slice), the
+    ALL row re-sums, the 0.9-1.0 band holds the >=0.9 floor the SRP
+    banding declares at its 0.85 operating point, and the
+    sub-operating-point buckets (0.6-0.8) are zero BY DESIGN — the
+    falloff curve the audit exists to show."""
+    from crossfire_spark.functions.dedup import d28_srp_recall_audit
+
+    rows = {r.bucket: r for r in d28_srp_recall_audit(spark, sf_dir).collect()}
+    assert "ALL" in rows
+    buckets = [r for b, r in rows.items() if b != "ALL"]
+    assert all(r.n_found <= r.n_exact for r in rows.values())
+    assert rows["ALL"].n_exact == sum(r.n_exact for r in buckets)
+    assert rows["ALL"].n_found == sum(r.n_found for r in buckets)
+    hi = [r for b, r in rows.items() if b.startswith("0.9")]
+    assert hi and hi[0].recall >= 0.9, hi
+    low = [r for b, r in rows.items() if b.startswith(("0.6", "0.7"))]
+    assert low and all(r.n_found == 0 for r in low), low

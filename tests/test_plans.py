@@ -103,6 +103,8 @@ def test_registry_contract_consistency():
         "d13_incremental_dedup",
         "d16_weighted_neardup",
         "d25_dedup_recall_audit",
+        "d27_simhash_recall_audit",
+        "d28_srp_recall_audit",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
@@ -112,7 +114,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 242 and len(osql) == 229
+    assert len(qs) == 244 and len(osql) == 229
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
