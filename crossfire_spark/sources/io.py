@@ -161,6 +161,142 @@ def upsert_table(
     _swap_into_place(staging, path)
 
 
+BUCKET_COL = "__bucket"
+
+
+def _bucket_backup(path: str, bucket: int) -> str:
+    # dot-prefixed so Spark's file listing and hive partition
+    # discovery both ignore it while a swap is in flight
+    return os.path.join(path, f".__old_{BUCKET_COL}={bucket}")
+
+
+def _bucket_dir(path: str, bucket: int) -> str:
+    return os.path.join(path, f"{BUCKET_COL}={bucket}")
+
+
+def _recover_bucket_swaps(path: str) -> None:
+    """Heal a crash inside a per-bucket swap: a lone backup whose live
+    bucket dir is missing is the old bucket version — restore it; a
+    backup whose live dir exists is garbage from a crash after the
+    swap succeeded — drop it."""
+    if not os.path.isdir(path):
+        return
+    prefix = f".__old_{BUCKET_COL}="
+    for name in os.listdir(path):
+        if not name.startswith(prefix):
+            continue
+        live = os.path.join(path, f"{BUCKET_COL}={name[len(prefix):]}")
+        backup = os.path.join(path, name)
+        if os.path.exists(live):
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(backup, live)
+
+
+def state_bucket_expr(keys: list[str], n_buckets: int = 64):
+    """The bucket assignment a bucketed state table uses — exposed so
+    readers can compute touched buckets and prune their own scans with
+    ``WHERE __bucket IN (...)`` before a keyed lookup."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def upsert_table_bucketed(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    fmt: str = "parquet",
+    precedence: list[str] | None = None,
+    bucket_keys: list[str] | None = None,
+) -> None:
+    """:func:`upsert_table` with the 100 TB state layout it documents:
+    the table is hive-partitioned by ``__bucket =
+    pmod(xxhash64(keys), n_buckets)`` and a merge reads AND rewrites
+    only the buckets its update keys hash into — per-batch cost is
+    O(batch + touched buckets' state), independent of total state
+    size (measured in ``tools/stream_state_curve.py``; the plain
+    upsert's full rewrite is O(state) per batch). Same key/precedence
+    MERGE semantics, same crash discipline (per-bucket staged swap
+    with a recoverable dot-prefixed backup, invisible to partition
+    discovery).
+
+    Readers use :func:`read_state_table`, which drops the internal
+    bucket column. ``n_buckets`` is fixed at table creation — pick it
+    so each bucket holds ~one write task's worth of state; changing it
+    requires a rewrite (as with any hash-partitioned store).
+
+    ``bucket_keys`` (default: ``keys``) lets a multi-column merge key
+    bucket on a prefix — e.g. a version store MERGEd on
+    ``(user_id, event_id)`` but bucketed on ``user_id`` so one user's
+    whole history co-lives in one bucket and per-user reads prune.
+    Must be a subset of each row's identity that never changes across
+    versions of the same key (it decides which bucket dir a key's row
+    lives in).
+    """
+    updates = updates.withColumn(
+        BUCKET_COL, state_bucket_expr(bucket_keys or keys, n_buckets)
+    )
+    if not os.path.exists(path):
+        # one file per bucket: a long-running merge stream must not
+        # accumulate small files (each touch rewrites the bucket as a
+        # whole, so the file count per bucket stays at the count the
+        # last touch wrote — pin it to 1 with a bucket-keyed shuffle)
+        write_table(
+            updates.repartition(F.col(BUCKET_COL)),
+            path,
+            fmt=fmt,
+            partition_by=[BUCKET_COL],
+        )
+        return
+    _recover_bucket_swaps(path)
+    touched = sorted(
+        r[0] for r in updates.select(BUCKET_COL).distinct().collect()
+    )  # bounded by n_buckets, never by update or state cardinality
+    if not touched:
+        return
+    current = read_table(spark, path, fmt=fmt).where(
+        F.col(BUCKET_COL).isin(touched)  # partition-pruned scan
+    )
+    order = [F.col(c).desc() for c in (precedence or [])] + [
+        F.col("__src").desc()
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (
+        current.withColumn("__src", F.lit(0))
+        .unionByName(updates.withColumn("__src", F.lit(1)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.repartition(F.col(BUCKET_COL)).write.format(fmt).mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).save(staging)
+    for b in touched:
+        live, backup = _bucket_dir(path, b), _bucket_backup(path, b)
+        staged = os.path.join(staging, f"{BUCKET_COL}={b}")
+        if not os.path.isdir(staged):
+            continue  # merge emitted no rows for this bucket
+        if os.path.exists(live):
+            shutil.rmtree(backup, ignore_errors=True)
+            os.rename(live, backup)
+        os.rename(staged, live)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_state_table(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a (possibly bucketed) state table, hiding the internal
+    bucket partition column. Works on plain :func:`upsert_table`
+    output too (no bucket column to drop)."""
+    _recover_bucket_swaps(path)
+    df = read_table(spark, path, fmt=fmt)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

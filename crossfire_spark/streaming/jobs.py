@@ -753,10 +753,18 @@ def st19_stream_cdc_apply(spark, sf_dir):
     view filters tombstones out. This is exactly how log-compacted
     CDC state works at scale: tombstones survive until compaction,
     the final projection hides them. Batching-independence (1-batch
-    vs forced split replay) is pinned in tests/test_streaming.py."""
+    vs forced split replay) is pinned in tests/test_streaming.py.
+
+    State is bucket-partitioned (``upsert_table_bucketed``): each
+    micro-batch reads and rewrites only the hash-buckets its keys
+    touch, so per-batch cost is O(batch + touched buckets), flat in
+    accumulated state size (measured: tools/stream_state_curve.py)."""
     from pyspark.sql import Window
 
-    from crossfire_spark.sources.io import read_table, upsert_table
+    from crossfire_spark.sources.io import (
+        read_state_table,
+        upsert_table_bucketed,
+    )
 
     work = _session_workdir("st19_")
     target = os.path.join(work, "state")
@@ -780,7 +788,7 @@ def st19_stream_cdc_apply(spark, sf_dir):
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        upsert_table(
+        upsert_table_bucketed(
             batch_df.sparkSession,
             latest,
             target,
@@ -804,7 +812,7 @@ def st19_stream_cdc_apply(spark, sf_dir):
             F.round("value", 2).alias("v"),
         )
     return (
-        read_table(spark, target)
+        read_state_table(spark, target)
         .where(F.col("op") == "U")  # hide tombstones, keep them stored
         .select(
             "user_id",
@@ -838,10 +846,18 @@ def st20_stream_scd2(spark, sf_dir):
     or rewritten — per-batch cost is O(batch + touched users'
     versions), the incremental-view discipline st12/st14 use. Equals
     the batch h18 build under any micro-batch split (pinned by a
-    forced split-replay test); shares h18's DuckDB oracle."""
+    forced split-replay test); shares h18's DuckDB oracle.
+
+    The version store is bucket-partitioned on ``user_id``
+    (``upsert_table_bucketed``), so the MERGE in (d) rewrites only
+    the touched hash-buckets — per-batch cost stays flat as the
+    dimension's history grows (measured: tools/stream_state_curve.py)."""
     from pyspark.sql import Window
 
-    from crossfire_spark.sources.io import read_table, upsert_table
+    from crossfire_spark.sources.io import (
+        read_state_table,
+        upsert_table_bucketed,
+    )
 
     work = _session_workdir("st20_")
     target = os.path.join(work, "scd2")
@@ -864,9 +880,25 @@ def st20_stream_scd2(spark, sf_dir):
             F.round("value", 2).alias("v"),
         )
         if os.path.isdir(target):
+            from crossfire_spark.sources.io import (
+                BUCKET_COL,
+                read_table,
+                state_bucket_expr,
+            )
+
             touched = fresh.select("user_id").distinct()
+            touched_buckets = [
+                r[0]
+                for r in touched.select(
+                    state_bucket_expr(["user_id"]).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
             current = (
                 read_table(sp, target)
+                .where(F.col(BUCKET_COL).isin(touched_buckets))
+                .drop(BUCKET_COL)  # partition-pruned: untouched buckets unread
                 .join(F.broadcast(touched), "user_id", "left_semi")
                 .select("user_id", "event_id", "valid_from", "event_type", "v")
             )
@@ -879,7 +911,7 @@ def st20_stream_scd2(spark, sf_dir):
         rechained = allrows.withColumn(
             "valid_to", F.lead("valid_from").over(w)
         ).withColumn("is_current", F.col("valid_to").isNull())
-        upsert_table(
+        upsert_table_bucketed(
             sp,
             rechained.select(
                 "user_id", "event_id", "valid_from", "valid_to",
@@ -887,6 +919,7 @@ def st20_stream_scd2(spark, sf_dir):
             ),
             target,
             keys=["user_id", "event_id"],
+            bucket_keys=["user_id"],  # a user's versions co-live
         )
 
     q = (
@@ -898,7 +931,7 @@ def st20_stream_scd2(spark, sf_dir):
     q.awaitTermination()
     if not os.path.isdir(target):  # zero-batch replay (empty source)
         return spark.createDataFrame([], out_schema)
-    return read_table(spark, target).orderBy(
+    return read_state_table(spark, target).orderBy(
         "user_id", "valid_from", "event_id", "event_type", "v"
     )
 

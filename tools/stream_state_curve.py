@@ -1,0 +1,316 @@
+#!/usr/bin/env python
+"""State-scaling curve for the streaming maintenance family.
+
+tools/scale_curve.py measures cost vs CORPUS size; this tool measures
+the other axis a long-running stream lives on: per-micro-batch cost
+vs ACCUMULATED STATE size. The claim under test (PERFORMANCE.md,
+st14/st19/st20): per-batch work is O(batch + touched buckets), flat
+in total state — because
+
+- st14 appends PQ codes to a snapshot table and never rescans the
+  historical code table during maintenance,
+- st19/st20 MERGE through ``upsert_table_bucketed``, which reads and
+  rewrites only the hash-buckets the batch's keys touch.
+
+Method: seed each operator's state store at x1/x3/x10 accumulated
+state (CDC latest-per-key table: 30k/90k/300k keys; SCD2 version
+store: same keys ~2 versions each; PQ code table: the committed
+fixtures/scale corpora, 2k/6k/20k coded vectors), then time the SAME
+fixed micro-batch apply (5 000 CDC rows over 1 000 keys / 500
+vectors) against each state size — median of --reps back-to-back
+merges (state size is invariant across reps: the batch's keys already
+exist after rep 1). Least-squares alpha of log(time) vs log(state);
+flat is alpha ~ 0. The PLAIN (unbucketed) upsert_table is timed on
+the same CDC batch as the contrast row — its full-rewrite merge is
+O(state) by construction and should fit alpha ~ 1; that contrast is
+what certifies the harness can distinguish the two shapes (a
+measurement that cannot show the bad curve cannot certify the good
+one).
+
+Usage: python tools/stream_state_curve.py [--reps 3] [--scales 1,3,10]
+Prints a markdown table (for PERFORMANCE.md) + one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_FIX = os.path.join(REPO, "fixtures", "scale")
+
+BASE_KEYS = 30_000  # CDC/SCD2 key space at x1
+BATCH_ROWS = 5_000  # fixed micro-batch: rows
+BATCH_KEYS = 1_000  # ... over this many distinct keys (fixed at all scales)
+VEC_BATCH = 500  # st14 fixed ingest batch
+
+
+def _cdc_rows(spark, n_rows, key_space, salt):
+    """Deterministic synthetic CDC rows: key-unique when
+    n_rows <= key_space (seed), else one row per key cycling."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_rows).select(
+        (F.col("id") % key_space).alias("user_id"),
+        (F.col("id") + salt * 10_000_000).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + F.pmod(F.col("id") * 37 + salt, F.lit(86_400))
+        ).alias("ts"),
+        (F.pmod(F.col("id") * 13 + salt, F.lit(1000)) / 10.0).alias("value"),
+    )
+
+
+def _time_reps(fn, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def _seed_cdc(spark, path, n_keys, bucketed):
+    from crossfire_spark.sources.io import upsert_table, upsert_table_bucketed
+
+    seed = _cdc_rows(spark, n_keys, n_keys, salt=0)
+    if bucketed:
+        upsert_table_bucketed(
+            spark, seed, path, keys=["user_id"], precedence=["ts", "event_id"]
+        )
+    else:
+        upsert_table(
+            spark, seed, path, keys=["user_id"], precedence=["ts", "event_id"]
+        )
+
+
+def bench_cdc_merge(spark, work, n_keys, reps, bucketed):
+    """st19's merge body: newest-per-key window + MERGE, against a
+    state table of n_keys accumulated keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.sources.io import upsert_table, upsert_table_bucketed
+
+    path = os.path.join(work, f"cdc_{'b' if bucketed else 'p'}_{n_keys}")
+    _seed_cdc(spark, path, n_keys, bucketed)
+    batch = _cdc_rows(spark, BATCH_ROWS, BATCH_KEYS, salt=1).localCheckpoint()
+
+    def merge():
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+        if bucketed:
+            upsert_table_bucketed(
+                spark, latest, path,
+                keys=["user_id"], precedence=["ts", "event_id"],
+            )
+        else:
+            upsert_table(
+                spark, latest, path,
+                keys=["user_id"], precedence=["ts", "event_id"],
+            )
+
+    return _time_reps(merge, reps)
+
+
+def bench_scd2_merge(spark, work, n_keys, reps):
+    """st20's merge body (touched-bucket read + rechain + bucketed
+    MERGE) against a version store of ~2*n_keys accumulated rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.sources.io import (
+        BUCKET_COL,
+        read_table,
+        state_bucket_expr,
+        upsert_table_bucketed,
+    )
+
+    path = os.path.join(work, f"scd2_{n_keys}")
+    # ~2 versions per key, seeded in one merge
+    seed = _cdc_rows(spark, 2 * n_keys, n_keys, salt=0).select(
+        "user_id", "event_id", F.col("ts").alias("valid_from"),
+        F.lit("seed").alias("event_type"), F.col("value").alias("v"),
+    )
+    w0 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    seeded = seed.withColumn(
+        "valid_to", F.lead("valid_from").over(w0)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    upsert_table_bucketed(
+        spark, seeded, path,
+        keys=["user_id", "event_id"], bucket_keys=["user_id"],
+    )
+    batch = (
+        _cdc_rows(spark, BATCH_ROWS, BATCH_KEYS, salt=1)
+        .select(
+            "user_id", "event_id", F.col("ts").alias("valid_from"),
+            F.lit("batch").alias("event_type"), F.col("value").alias("v"),
+        )
+        .localCheckpoint()
+    )
+
+    def merge():
+        touched = batch.select("user_id").distinct()
+        touched_buckets = [
+            r[0]
+            for r in touched.select(state_bucket_expr(["user_id"]).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        current = (
+            read_table(spark, path)
+            .where(F.col(BUCKET_COL).isin(touched_buckets))
+            .drop(BUCKET_COL)
+            .join(F.broadcast(touched), "user_id", "left_semi")
+            .select("user_id", "event_id", "valid_from", "event_type", "v")
+        )
+        allrows = current.unionByName(
+            batch.select("user_id", "event_id", "valid_from", "event_type", "v")
+        ).dropDuplicates(["user_id", "event_id"])
+        w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        rechained = allrows.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        upsert_table_bucketed(
+            spark, rechained, path,
+            keys=["user_id", "event_id"], bucket_keys=["user_id"],
+        )
+
+    return _time_reps(merge, reps)
+
+
+def bench_pq_ingest(spark, work, mult, reps):
+    """st14's per-batch work: encode a fixed batch against stored
+    codebooks + snapshot-append its codes, with the historical code
+    table pre-seeded from the x{mult} scale corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.functions.ann_index import build_pq_index
+    from crossfire_spark.functions.similarity import pq_encode
+    from crossfire_spark.sources.snapshot import snapshot_read, snapshot_write
+
+    sf = os.path.join(SCALE_FIX, f"x{mult}")
+    em = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    path = os.path.join(work, f"pq_x{mult}")
+    if build_pq_index(em, path) is None:
+        raise SystemExit(f"empty corpus at {sf}")
+    cb = snapshot_read(spark, os.path.join(path, "codebooks")).collect()
+    m = max(r["s"] for r in cb) + 1
+    kk = max(r["j"] for r in cb) + 1
+    books = np.zeros((m, kk, len(cb[0]["c"])), dtype=np.float64)
+    for r in cb:
+        books[r["s"], r["j"]] = r["c"]
+    # fixed ingest batch: the x1 corpus's first VEC_BATCH vectors
+    batch = (
+        spark.read.parquet(os.path.join(SCALE_FIX, "x1", "embeddings.parquet"))
+        .orderBy("vec_id")
+        .limit(VEC_BATCH)
+        .withColumn("vec_id", F.col("vec_id") + 90_000_000)
+        .localCheckpoint()
+    )
+    codes_path = os.path.join(path, "codes")
+    state_rows = em.count()
+
+    def ingest():
+        snapshot_write(pq_encode(batch, books), codes_path)
+
+    return _time_reps(ingest, reps), state_rows
+
+
+def _alpha(xs, ys):
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(max(y, 1e-9)) for y in ys]
+    n = len(xs)
+    sx, sxx = sum(lx), sum(x * x for x in lx)
+    return (n * sum(a * b for a, b in zip(lx, ly)) - sx * sum(ly)) / (
+        n * sxx - sx * sx
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--scales", default="1,3,10")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from crossfire_spark import get_spark
+
+    spark = get_spark(app_name="crossfire-state-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="state_curve_")
+    try:
+        rows = {}
+        state_sizes = {}
+        for mult in scales:
+            n_keys = BASE_KEYS * mult
+            state_sizes[mult] = n_keys
+            r = {}
+            r["st19_cdc_bucketed"] = bench_cdc_merge(
+                spark, work, n_keys, args.reps, bucketed=True
+            )
+            r["cdc_plain_contrast"] = bench_cdc_merge(
+                spark, work, n_keys, args.reps, bucketed=False
+            )
+            r["st20_scd2_bucketed"] = bench_scd2_merge(
+                spark, work, n_keys, args.reps
+            )
+            r["st14_pq_ingest"], pq_state = bench_pq_ingest(
+                spark, work, mult, args.reps
+            )
+            r["_pq_state_rows"] = pq_state
+            rows[mult] = r
+            print(f"x{mult}: {r}", file=sys.stderr)
+
+        targets = [
+            "st19_cdc_bucketed",
+            "st20_scd2_bucketed",
+            "st14_pq_ingest",
+            "cdc_plain_contrast",
+        ]
+        lines = [
+            "| per-batch apply | "
+            + " | ".join(f"x{m} state (s)" for m in scales)
+            + " | alpha (t~state^a) | state rows at x1..x10 |",
+            "|---|" + "---|" * (len(scales) + 2),
+        ]
+        summary = {}
+        for t in targets:
+            ts = [rows[m][t] for m in scales]
+            if t == "st14_pq_ingest":
+                xs = [rows[m]["_pq_state_rows"] for m in scales]
+                srange = f"{xs[0]}..{xs[-1]} codes"
+            else:
+                xs = [state_sizes[m] for m in scales]
+                srange = f"{xs[0]}..{xs[-1]} keys"
+            a = _alpha(xs, ts)
+            summary[t] = {"alpha": round(a, 2), "times": ts}
+            lines.append(
+                "| " + t + " | "
+                + " | ".join(f"{v:.2f}" for v in ts)
+                + f" | {a:.2f} | {srange} |"
+            )
+        print("\n".join(lines))
+        print(json.dumps({"summary": summary, "batch_rows": BATCH_ROWS,
+                          "batch_keys": BATCH_KEYS, "reps": args.reps}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
