@@ -1059,3 +1059,70 @@ GRAPH_ORACLE_SQL["g12_harmonic_centrality"] = """
                CAST(SUM(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) harmonic_x6
         FROM sp GROUP BY dst
         ORDER BY node, n_sources, harmonic_x6"""
+
+
+# ------------------------------------------- weighted shortest path
+# Bounded-hop single-source cheapest path (Bellman–Ford, K relaxation
+# rounds) over the synthetic link graph with closed-form integer edge
+# weights w = 1 + (src + dst) % 5 — BIGINT-exact end to end. The
+# engine runs the SCALABLE shape: per round one equi-join of the
+# current distance table to the edge table + a MIN re-aggregate on
+# the node key, so state stays node-cardinality (the frontier is
+# deduped INSIDE the iteration — exactly the discipline g07's
+# docstring prescribes for corpus scale, here actually implemented).
+# The oracle is a deliberately DIFFERENT algorithm: a DuckDB
+# recursive CTE enumerating every ≤K-hop path and closing with
+# MIN(dist) — exponential in hops and fine at fixture degree 2, so
+# engine/oracle agreement cross-checks two independent formulations.
+# K rounds of relax = min cost over all paths with at most K edges.
+
+G13_HOPS = 6
+
+
+def g13_weighted_shortest_path(spark, sf_dir):
+    """Bounded-hop Bellman–Ford distances from node 0; integer
+    weights, BIGINT-exact; oracled by a recursive path-enumeration
+    CTE (different algorithm, same answer)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = doc_link_graph(d).select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+        .cast("long")
+        .alias("w"),
+    ).localCheckpoint()  # the K rounds re-join this table; one scan
+    dist = spark.createDataFrame(
+        [(REACH_SRC, 0)], "node bigint, dist bigint"
+    )
+    for _ in range(G13_HOPS):
+        relaxed = dist.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()  # cut the lineage: K-deep plan reuse
+        )
+    return dist.orderBy("node", "dist")
+
+
+GRAPH_QUERIES["g13_weighted_shortest_path"] = g13_weighted_shortest_path
+
+GRAPH_ORACLE_SQL["g13_weighted_shortest_path"] = f"""
+        WITH RECURSIVE nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        e AS (SELECT src, dst, 1 + (src + dst) % 5 w
+              FROM edges WHERE src <> dst),
+        paths(node, dist, hops) AS (
+            SELECT CAST({REACH_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, p.dist + e.w, p.hops + 1
+            FROM paths p JOIN e ON e.src = p.node
+            WHERE p.hops < {G13_HOPS})
+        SELECT node, CAST(MIN(dist) AS BIGINT) dist FROM paths
+        GROUP BY node ORDER BY node, dist"""

@@ -2299,3 +2299,85 @@ TEXT_ORACLE_SQL["t33_tokenizer_fertility"] = """
         FROM a
         ORDER BY lang, n_docs, chars_total, words_total, tokens_total,
                  fertility, chars_per_token"""
+
+
+# ------------------------------------------- t34: token-budget mix
+# The OVERSAMPLING-side complement of t13's downsample-only mixture:
+# t13 answers "largest mixture reachable without repeating data";
+# t34 answers the production question a fixed-compute pretraining run
+# actually asks — "given a global token budget and per-source target
+# weights, how many tokens does each source contribute and how many
+# epochs over each source does that imply?" (the GPT-3/LLaMA
+# 'epochs over dataset' table). epochs > 1 marks sources the schedule
+# repeats — the quantity data-governance reviews bound (seen-twice
+# data memorizes more), and the input t30's quality tiers modulate.
+#
+# Scale shape: ONE corpus scan into a per-source (count, token-sum)
+# aggregate (map-side combinable), a 1-row totals broadcast, then
+# |sources|-row arithmetic — nothing after the first aggregate is
+# corpus-sized. Cross-engine exactness: weights and token sums are
+# integers; every ratio is int/int double division written in the
+# same operand order on both engines; target_tokens uses FLOOR (no
+# ROUND-tie semantics); reported ratios go through the stabilized
+# ROUND(ROUND(x, 9) + 1e-12, k) + 0.0 discipline.
+
+TOKEN_BUDGET_FRAC = 1.0  # budget = 1.0 x total corpus tokens, remixed
+
+
+def token_budget_mix(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, tokens, target_w, share, target_tokens,
+    epochs, oversampled) — static mixture plan for a token budget of
+    ``TOKEN_BUDGET_FRAC`` × the corpus total."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens"),
+    )
+    wts = per.withColumn(
+        "target_w",
+        1 + (F.regexp_extract("source", "([0-9]+)", 1).cast("int") % MIX_MOD),
+    )
+    tot = wts.agg(
+        F.sum("tokens").alias("btot"), F.sum("target_w").alias("sw")
+    )
+    stab = lambda c, k: F.round(F.round(c, 9) + F.lit(1e-12), k) + F.lit(0.0)  # noqa: E731
+    share = F.col("target_w") / F.col("sw")
+    target_tokens = F.floor(
+        F.lit(TOKEN_BUDGET_FRAC) * F.col("btot") * share
+    ).cast("long")
+    epochs = stab(target_tokens / F.col("tokens"), 4)
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "target_w",
+        stab(share, 6).alias("share"),
+        target_tokens.alias("target_tokens"),
+        epochs.alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )
+
+
+def t34_token_budget_mix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(d).orderBy("source")
+
+
+TEXT_QUERIES["t34_token_budget_mix"] = t34_token_budget_mix
+
+TEXT_ORACLE_SQL["t34_token_budget_mix"] = f"""
+        WITH per AS (SELECT source, COUNT(*) n_docs,
+                            SUM(len(string_split(text, ' '))) tokens
+                     FROM documents GROUP BY source),
+        wts AS (SELECT source, n_docs, tokens,
+                       1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % {MIX_MOD}) target_w
+                FROM per),
+        tot AS (SELECT SUM(tokens) btot, SUM(target_w) sw FROM wts)
+        SELECT source, CAST(n_docs AS BIGINT) n_docs,
+               CAST(tokens AS BIGINT) tokens, target_w,
+               ROUND(ROUND(target_w / sw, 9) + 1e-12, 6) + 0.0 AS share,
+               CAST(FLOOR({TOKEN_BUDGET_FRAC} * btot * (target_w / sw)) AS BIGINT) target_tokens,
+               ROUND(ROUND(CAST(FLOOR({TOKEN_BUDGET_FRAC} * btot * (target_w / sw)) AS BIGINT)
+                           / tokens, 9) + 1e-12, 4) + 0.0 AS epochs,
+               (ROUND(ROUND(CAST(FLOOR({TOKEN_BUDGET_FRAC} * btot * (target_w / sw)) AS BIGINT)
+                            / tokens, 9) + 1e-12, 4) + 0.0 > 1.0) AS oversampled
+        FROM wts CROSS JOIN tot ORDER BY source"""

@@ -2691,3 +2691,146 @@ EXTENDED_ORACLE_SQL["h20_forecast_anomaly"] = (
         ORDER BY skey, d, y, err, baseline, is_anomaly''',
     )
 )
+
+
+# ------------------------------------------------------------------
+# h21: Holt–Winters additive seasonal smoothing (triple exponential)
+
+HW_PERIOD = 7      # weekly seasonality over the daily series
+HW_ALPHA = 0.5     # level gain   — power of two: binary-exact on both engines
+HW_BETA = 0.25     # trend gain
+HW_GAMMA = 0.25    # seasonal gain
+
+
+def holt_winters_seasonal(series: DataFrame, period: int = HW_PERIOD) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing (Winters
+    1960; h17's Holt recursion + a rotating seasonal state) over a
+    (skey, d, y) series: per key, with m = ``period``, sequentially
+
+        f_t = l_{t-1} + b_{t-1} + s_{t-m}            (forecast)
+        l_t = α·(y_t − s_{t-m}) + (1−α)·(l_{t-1}+b_{t-1})
+        b_t = β·(l_t − l_{t-1}) + (1−β)·b_{t-1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t-m}
+
+    seeded at observation m by l_m = y_m, b_m = 0,
+    s_i = y_i − y_m for i ≤ m (a pure order-determined seeding — no
+    aggregate whose float summation order could differ across
+    engines). The first m−1 observations are the warm-up and emit no
+    rows; keys with fewer than m observations emit none.
+
+    Like h17 this is the canonical genuinely-sequential-per-key
+    operator: one ``applyInPandas`` per key = ONE shuffle on the
+    series key; state is (level, trend, m seasonals) per key, so
+    scale is in the number of series, never their length. All gains
+    are powers of two and every arithmetic step is written in the
+    same operand order as the DuckDB recursive-CTE oracle (which
+    carries the m seasonals as a rotating LIST column), so the whole
+    recursion is cross-engine IEEE-exact before the output
+    stabilization ``ROUND(ROUND(x, 9) + 1e-12, 4) + 0.0``."""
+    a, b_, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    m = period
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n < m:
+            return pdf.iloc[0:0].assign(
+                level=0.0, trend=0.0, season=0.0, forecast=0.0
+            )
+        y = [float(v) for v in pdf.y]
+        seas = [y[i] - y[m - 1] for i in range(m)]
+        lv, tr = y[m - 1], 0.0
+        level = [lv]
+        trend = [tr]
+        season = [seas[m - 1]]  # = 0.0 by the seeding
+        fcst: list = [None]
+        for t in range(m, n):
+            s_tm = seas.pop(0)
+            f = lv + tr + s_tm
+            l_new = a * (y[t] - s_tm) + (1.0 - a) * (lv + tr)
+            t_new = b_ * (l_new - lv) + (1.0 - b_) * tr
+            s_new = g * (y[t] - l_new) + (1.0 - g) * s_tm
+            seas.append(s_new)
+            lv, tr = l_new, t_new
+            level.append(lv)
+            trend.append(tr)
+            season.append(s_new)
+            fcst.append(f)
+        out = pdf.iloc[m - 1:].copy()
+        out["level"], out["trend"] = level, trend
+        out["season"], out["forecast"] = season, fcst
+        return out
+
+    out = series.groupBy("skey").applyInPandas(
+        _fit,
+        "skey string, d timestamp, y double, level double, trend double,"
+        " season double, forecast double",
+    )
+    stab = lambda c: F.round(F.round(c, 9) + F.lit(1e-12), 4) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        "skey",
+        "d",
+        "y",
+        stab(F.col("level")).alias("level"),
+        stab(F.col("trend")).alias("trend"),
+        stab(F.col("season")).alias("season"),
+        stab(F.col("forecast")).alias("forecast"),
+    )
+
+
+def h21_holt_winters(spark, sf_dir):
+    """Holt–Winters additive-seasonal smoothing of the per-event-type
+    daily value series (period 7) — fully oracled by a DuckDB
+    recursive CTE that carries the rotating seasonal state as a LIST
+    column and replays the identical IEEE arithmetic.
+
+    The daily series is built as an INTEGER-CENTS floor-sum
+    (SUM(FLOOR(value*100)) / 100.0): a float SUM's result depends on
+    summation order, and a 1-ulp input difference walking through 150
+    recursion steps can straddle the output-rounding boundary (it did,
+    once, at sf0.1 with ROUND(SUM,6)) — the integer aggregate is
+    order-independent, so the recursion inputs are bit-identical
+    across engines by construction, not by luck."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(
+        (F.sum(F.floor(F.col("value") * 100)) / F.lit(100.0)).alias("y")
+    )
+    return holt_winters_seasonal(series).orderBy("skey", "d", "y")
+
+
+EXTENDED_QUERIES["h21_holt_winters"] = h21_holt_winters
+
+_HW_L = f"{HW_ALPHA}*(v.y - s.seas[1]) + {1.0 - HW_ALPHA}*(s.l + s.b)"
+EXTENDED_ORACLE_SQL["h21_holt_winters"] = f"""
+        WITH RECURSIVE v AS (
+            SELECT event_type skey, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) d,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 y,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) rn
+            FROM events GROUP BY 1, 2),
+        ym AS (SELECT skey, y ym FROM v WHERE rn = {HW_PERIOD}),
+        s AS (
+            SELECT v.skey, {HW_PERIOD} rn, CAST(NULL AS DOUBLE) f,
+                   ym.ym l, CAST(0.0 AS DOUBLE) b,
+                   list(v.y - ym.ym ORDER BY v.rn) seas
+            FROM v JOIN ym USING (skey) WHERE v.rn <= {HW_PERIOD}
+            GROUP BY v.skey, ym.ym
+            UNION ALL
+            SELECT v.skey, v.rn,
+                   s.l + s.b + s.seas[1],
+                   {_HW_L},
+                   {HW_BETA}*(({_HW_L}) - s.l) + {1.0 - HW_BETA}*s.b,
+                   list_append(s.seas[2:],
+                       {HW_GAMMA}*(v.y - ({_HW_L})) + {1.0 - HW_GAMMA}*s.seas[1])
+            FROM s JOIN v ON v.skey = s.skey AND v.rn = s.rn + 1)
+        SELECT s.skey, v.d, v.y,
+               ROUND(ROUND(s.l, 9) + 1e-12, 4) + 0.0 AS "level",
+               ROUND(ROUND(s.b, 9) + 1e-12, 4) + 0.0 AS "trend",
+               ROUND(ROUND(s.seas[{HW_PERIOD}], 9) + 1e-12, 4) + 0.0 AS season,
+               ROUND(ROUND(s.f, 9) + 1e-12, 4) + 0.0 AS forecast
+        FROM s JOIN v ON v.skey = s.skey AND v.rn = s.rn
+        ORDER BY s.skey, v.d, v.y"""

@@ -39,11 +39,17 @@ _DRIVER_SAMPLE_PREFIX = (
     "d24_bloom_decontam", "d13_build_index",
     "d26_threshold_sweep",
     # r8 additions — every new operator enters the sample in the
-    # round it ships (VERDICT r6 task 8); rows-only driver check
+    # round it ships (VERDICT r6 task 8); d27/d28 rows-only driver
+    # check; h21/g13/t34 fully oracled (they displace their r7-hashed
+    # unchanged twins h17/g12/v15)
     "d27_simhash_recall_audit", "d28_srp_recall_audit",
+    "h21_holt_winters", "g13_weighted_shortest_path",
+    "t34_token_budget_mix",
     # round-7 additions keep one more round of hash continuity
-    "s22_ivf_pq_residual", "v15_profile_drift_gate", "h17_holt_linear",
-    "st19_stream_cdc_apply", "g12_harmonic_centrality",
+    # (st19/st20 kept despite r7 hashes: their state store switched
+    # to the bucketed MERGE this round — re-hash the new path)
+    "s22_ivf_pq_residual",
+    "st19_stream_cdc_apply",
     "h18_scd2_intervals", "st20_stream_scd2", "v16_ks_test",
     "h20_forecast_anomaly",
     # text pipeline — t24/t26 never driver-hashed; t10/t15/t18/t19

@@ -114,7 +114,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 244 and len(osql) == 229
+    assert len(qs) == 247 and len(osql) == 232
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

@@ -4,28 +4,37 @@
 tools/scale_curve.py measures cost vs CORPUS size; this tool measures
 the other axis a long-running stream lives on: per-micro-batch cost
 vs ACCUMULATED STATE size. The claim under test (PERFORMANCE.md,
-st14/st19/st20): per-batch work is O(batch + touched buckets), flat
-in total state — because
+st14/st19/st20): per-batch work is O(batch + touched buckets' state),
+flat in total state — because
 
 - st14 appends PQ codes to a snapshot table and never rescans the
   historical code table during maintenance,
 - st19/st20 MERGE through ``upsert_table_bucketed``, which reads and
   rewrites only the hash-buckets the batch's keys touch.
 
-Method: seed each operator's state store at x1/x3/x10 accumulated
-state (CDC latest-per-key table: 30k/90k/300k keys; SCD2 version
-store: same keys ~2 versions each; PQ code table: the committed
-fixtures/scale corpora, 2k/6k/20k coded vectors), then time the SAME
-fixed micro-batch apply (5 000 CDC rows over 1 000 keys / 500
-vectors) against each state size — median of --reps back-to-back
-merges (state size is invariant across reps: the batch's keys already
-exist after rep 1). Least-squares alpha of log(time) vs log(state);
-flat is alpha ~ 0. The PLAIN (unbucketed) upsert_table is timed on
-the same CDC batch as the contrast row — its full-rewrite merge is
-O(state) by construction and should fit alpha ~ 1; that contrast is
-what certifies the harness can distinguish the two shapes (a
-measurement that cannot show the bad curve cannot certify the good
-one).
+THE SIZING RULE THE MEASUREMENT ENCODES: with uniformly-hashed keys a
+fixed bucket count cannot be flat (each bucket grows with state, and
+touched cost = touched_buckets x bucket_size). Flatness comes from
+the documented deployment discipline — hold PER-BUCKET SIZE constant
+(bucket count grows with the table, like file count in any LSM/lake
+upsert), so touched state per merge is bounded by
+batch_keys x bucket_rows regardless of total state. The harness
+therefore scales n_buckets with the state (64 x mult) and keeps the
+batch's key set fixed (32 keys), and reports BOTH wall time and the
+exact touched-rows bound alongside total state.
+
+Method: seed each store at x1/x3/x10 accumulated state (CDC
+latest-per-key table: 200k/600k/2M keys with a 64-char payload; SCD2
+version store: same keys x2 versions; PQ code table: the committed
+fixtures/scale corpora), then time the SAME fixed micro-batch apply
+(2 000 rows over 32 keys / 500 vectors) at each state size — median
+of --reps back-to-back merges after one untimed warmup (state size is
+invariant across reps: the batch's keys already exist after rep 1).
+Least-squares alpha of log(time) vs log(state); flat is alpha ~ 0.
+The PLAIN (unbucketed) upsert_table is timed on the same batch as the
+contrast row — its full-rewrite merge is O(state) by construction and
+must show a clearly positive alpha; that contrast is what certifies
+the harness can distinguish the two shapes at this scale.
 
 Usage: python tools/stream_state_curve.py [--reps 3] [--scales 1,3,10]
 Prints a markdown table (for PERFORMANCE.md) + one JSON summary line.
@@ -48,15 +57,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE_FIX = os.path.join(REPO, "fixtures", "scale")
 
-BASE_KEYS = 30_000  # CDC/SCD2 key space at x1
-BATCH_ROWS = 5_000  # fixed micro-batch: rows
-BATCH_KEYS = 1_000  # ... over this many distinct keys (fixed at all scales)
+BASE_KEYS = 200_000  # CDC/SCD2 key space at x1
+BASE_BUCKETS = 64  # bucket count at x1 — scaled with state (see module doc)
+BATCH_ROWS = 2_000  # fixed micro-batch: rows
+BATCH_KEYS = 32  # ... over this many distinct keys (fixed at all scales)
 VEC_BATCH = 500  # st14 fixed ingest batch
 
 
 def _cdc_rows(spark, n_rows, key_space, salt):
-    """Deterministic synthetic CDC rows: key-unique when
-    n_rows <= key_space (seed), else one row per key cycling."""
+    """Deterministic synthetic CDC rows with a 64-char payload (state
+    bytes must dominate fixed job overhead for the curve to measure
+    data, not scheduling)."""
     from pyspark.sql import functions as F
 
     return spark.range(n_rows).select(
@@ -66,10 +77,12 @@ def _cdc_rows(spark, n_rows, key_space, salt):
             F.lit(1_600_000_000) + F.pmod(F.col("id") * 37 + salt, F.lit(86_400))
         ).alias("ts"),
         (F.pmod(F.col("id") * 13 + salt, F.lit(1000)) / 10.0).alias("value"),
+        F.repeat(F.md5(F.col("id").cast("string")), 2).alias("payload"),
     )
 
 
 def _time_reps(fn, reps):
+    fn()  # untimed warmup: codegen + the batch keys' first insertion
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -78,30 +91,32 @@ def _time_reps(fn, reps):
     return round(statistics.median(ts), 3)
 
 
-def _seed_cdc(spark, path, n_keys, bucketed):
-    from crossfire_spark.sources.io import upsert_table, upsert_table_bucketed
+def bench_cdc_merge(spark, work, n_keys, n_buckets, reps, bucketed):
+    """st19's merge body: newest-per-key window + MERGE, against a
+    state table of n_keys accumulated keys. Returns (median_s,
+    touched_buckets, touched_rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
+    from crossfire_spark.sources.io import (
+        BUCKET_COL,
+        read_table,
+        state_bucket_expr,
+        upsert_table,
+        upsert_table_bucketed,
+    )
+
+    path = os.path.join(work, f"cdc_{'b' if bucketed else 'p'}_{n_keys}")
     seed = _cdc_rows(spark, n_keys, n_keys, salt=0)
     if bucketed:
         upsert_table_bucketed(
-            spark, seed, path, keys=["user_id"], precedence=["ts", "event_id"]
+            spark, seed, path, keys=["user_id"],
+            precedence=["ts", "event_id"], n_buckets=n_buckets,
         )
     else:
         upsert_table(
             spark, seed, path, keys=["user_id"], precedence=["ts", "event_id"]
         )
-
-
-def bench_cdc_merge(spark, work, n_keys, reps, bucketed):
-    """st19's merge body: newest-per-key window + MERGE, against a
-    state table of n_keys accumulated keys."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from crossfire_spark.sources.io import upsert_table, upsert_table_bucketed
-
-    path = os.path.join(work, f"cdc_{'b' if bucketed else 'p'}_{n_keys}")
-    _seed_cdc(spark, path, n_keys, bucketed)
     batch = _cdc_rows(spark, BATCH_ROWS, BATCH_KEYS, salt=1).localCheckpoint()
 
     def merge():
@@ -117,6 +132,7 @@ def bench_cdc_merge(spark, work, n_keys, reps, bucketed):
             upsert_table_bucketed(
                 spark, latest, path,
                 keys=["user_id"], precedence=["ts", "event_id"],
+                n_buckets=n_buckets,
             )
         else:
             upsert_table(
@@ -124,10 +140,24 @@ def bench_cdc_merge(spark, work, n_keys, reps, bucketed):
                 keys=["user_id"], precedence=["ts", "event_id"],
             )
 
-    return _time_reps(merge, reps)
+    med = _time_reps(merge, reps)
+    if bucketed:
+        tb = [
+            r[0]
+            for r in batch.select(
+                state_bucket_expr(["user_id"], n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        touched_rows = (
+            read_table(spark, path)
+            .where(F.col(BUCKET_COL).isin(tb))
+            .count()
+        )
+        return med, len(tb), touched_rows
+    return med, n_buckets, None
 
 
-def bench_scd2_merge(spark, work, n_keys, reps):
+def bench_scd2_merge(spark, work, n_keys, n_buckets, reps):
     """st20's merge body (touched-bucket read + rechain + bucketed
     MERGE) against a version store of ~2*n_keys accumulated rows."""
     from pyspark.sql import Window
@@ -141,10 +171,10 @@ def bench_scd2_merge(spark, work, n_keys, reps):
     )
 
     path = os.path.join(work, f"scd2_{n_keys}")
-    # ~2 versions per key, seeded in one merge
     seed = _cdc_rows(spark, 2 * n_keys, n_keys, salt=0).select(
         "user_id", "event_id", F.col("ts").alias("valid_from"),
         F.lit("seed").alias("event_type"), F.col("value").alias("v"),
+        "payload",
     )
     w0 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     seeded = seed.withColumn(
@@ -153,12 +183,14 @@ def bench_scd2_merge(spark, work, n_keys, reps):
     upsert_table_bucketed(
         spark, seeded, path,
         keys=["user_id", "event_id"], bucket_keys=["user_id"],
+        n_buckets=n_buckets,
     )
     batch = (
         _cdc_rows(spark, BATCH_ROWS, BATCH_KEYS, salt=1)
         .select(
             "user_id", "event_id", F.col("ts").alias("valid_from"),
             F.lit("batch").alias("event_type"), F.col("value").alias("v"),
+            "payload",
         )
         .localCheckpoint()
     )
@@ -167,7 +199,9 @@ def bench_scd2_merge(spark, work, n_keys, reps):
         touched = batch.select("user_id").distinct()
         touched_buckets = [
             r[0]
-            for r in touched.select(state_bucket_expr(["user_id"]).alias("b"))
+            for r in touched.select(
+                state_bucket_expr(["user_id"], n_buckets).alias("b")
+            )
             .distinct()
             .collect()
         ]
@@ -176,10 +210,16 @@ def bench_scd2_merge(spark, work, n_keys, reps):
             .where(F.col(BUCKET_COL).isin(touched_buckets))
             .drop(BUCKET_COL)
             .join(F.broadcast(touched), "user_id", "left_semi")
-            .select("user_id", "event_id", "valid_from", "event_type", "v")
+            .select(
+                "user_id", "event_id", "valid_from", "event_type", "v",
+                "payload",
+            )
         )
         allrows = current.unionByName(
-            batch.select("user_id", "event_id", "valid_from", "event_type", "v")
+            batch.select(
+                "user_id", "event_id", "valid_from", "event_type", "v",
+                "payload",
+            )
         ).dropDuplicates(["user_id", "event_id"])
         w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
         rechained = allrows.withColumn(
@@ -188,6 +228,7 @@ def bench_scd2_merge(spark, work, n_keys, reps):
         upsert_table_bucketed(
             spark, rechained, path,
             keys=["user_id", "event_id"], bucket_keys=["user_id"],
+            n_buckets=n_buckets,
         )
 
     return _time_reps(merge, reps)
@@ -256,26 +297,30 @@ def main():
     work = tempfile.mkdtemp(prefix="state_curve_")
     try:
         rows = {}
+        touched = {}
         state_sizes = {}
         for mult in scales:
             n_keys = BASE_KEYS * mult
+            n_buckets = BASE_BUCKETS * mult  # constant per-bucket size
             state_sizes[mult] = n_keys
             r = {}
-            r["st19_cdc_bucketed"] = bench_cdc_merge(
-                spark, work, n_keys, args.reps, bucketed=True
+            r["st19_cdc_bucketed"], tb, trows = bench_cdc_merge(
+                spark, work, n_keys, n_buckets, args.reps, bucketed=True
             )
-            r["cdc_plain_contrast"] = bench_cdc_merge(
-                spark, work, n_keys, args.reps, bucketed=False
+            touched[mult] = {"buckets": tb, "rows": trows,
+                             "of_buckets": n_buckets}
+            r["cdc_plain_contrast"], _, _ = bench_cdc_merge(
+                spark, work, n_keys, n_buckets, args.reps, bucketed=False
             )
             r["st20_scd2_bucketed"] = bench_scd2_merge(
-                spark, work, n_keys, args.reps
+                spark, work, n_keys, n_buckets, args.reps
             )
             r["st14_pq_ingest"], pq_state = bench_pq_ingest(
                 spark, work, mult, args.reps
             )
             r["_pq_state_rows"] = pq_state
             rows[mult] = r
-            print(f"x{mult}: {r}", file=sys.stderr)
+            print(f"x{mult}: {r} touched={touched[mult]}", file=sys.stderr)
 
         targets = [
             "st19_cdc_bucketed",
@@ -305,9 +350,23 @@ def main():
                 + " | ".join(f"{v:.2f}" for v in ts)
                 + f" | {a:.2f} | {srange} |"
             )
+        tl = [
+            "| scale | touched buckets | of n_buckets | touched state rows |",
+            "|---|---|---|---|",
+        ] + [
+            f"| x{m} | {touched[m]['buckets']} | {touched[m]['of_buckets']}"
+            f" | {touched[m]['rows']} |"
+            for m in scales
+        ]
         print("\n".join(lines))
-        print(json.dumps({"summary": summary, "batch_rows": BATCH_ROWS,
-                          "batch_keys": BATCH_KEYS, "reps": args.reps}))
+        print()
+        print("\n".join(tl))
+        print(json.dumps({
+            "summary": summary,
+            "touched": {str(k): v for k, v in touched.items()},
+            "batch_rows": BATCH_ROWS, "batch_keys": BATCH_KEYS,
+            "reps": args.reps,
+        }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
