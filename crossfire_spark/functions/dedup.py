@@ -2378,3 +2378,126 @@ def d28_srp_recall_audit(spark, sf_dir):
 
 
 DEDUP_QUERIES["d28_srp_recall_audit"] = d28_srp_recall_audit
+
+
+LSH_PLAN_FLOOR = 0.2  # loosest similarity the planner's pair pass keeps
+LSH_PLAN_GRID = ((64, 2), (32, 4), (16, 8), (8, 16))  # b*r = MINHASH_K
+
+
+def lsh_param_planner(
+    docs: DataFrame,
+    grid=LSH_PLAN_GRID,
+    tau: float = JACCARD_THRESHOLD,
+    floor: float = LSH_PLAN_FLOOR,
+) -> DataFrame:
+    """Banding-parameter PLANNER for the MinHash-LSH tier — the table
+    a dedup team reads before picking (bands, rows): for every
+    factorization of the 128-hash signature, the S-curve midpoint
+    s* = (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS §3.4.2) and —
+    against the CORPUS'S OWN measured pair-similarity distribution,
+    not a synthetic prior — the expected candidate volume, the
+    expected recall on true (≥ τ) pairs, and the expected
+    false-candidate load from sub-τ pairs. d25 certifies the shipped
+    config after the fact; this is the a-priori sweep that chooses
+    it (the shipped 32×4 should dominate its neighbors on
+    recall-per-candidate — pinned in tests).
+
+    Scale shape: ONE exact-Jaccard pair pass at the loose ``floor``
+    (the d02 kernel — the planner's only corpus-sized work, the same
+    price d25 pays), localCheckpointed; every grid config is then a
+    conditional aggregate over that pair set (the d26 sweep
+    discipline: one extra hash agg per config, never another pair
+    pass). Pairs below ``floor`` are ignored by construction — their
+    collision probability at any plotted config is ≤
+    1-(1-floor^2)^64 and they only DEFLATE exp_cands; declared, not
+    hidden. Fully oracled: the d02 pair CTE plus identical
+    POWER-arithmetic tiers, double-round stabilized."""
+    pairs = exact_jaccard_pairs(docs, threshold=floor).localCheckpoint()
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    outs = []
+    for b, r in grid:
+        p_cand = 1.0 - F.pow(
+            F.lit(1.0) - F.pow(F.col("j"), F.lit(float(r))), F.lit(float(b))
+        )
+        is_true = F.col("j") >= tau
+        outs.append(
+            pairs.agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                stab(
+                    F.pow(F.lit(1.0 / b), F.lit(1.0 / r)) + F.lit(0.0)
+                ).alias("s_star"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs_floor"),
+                F.sum(is_true.cast("long")).cast("long").alias("n_true"),
+                stab(F.sum(p_cand)).alias("exp_cands"),
+                stab(
+                    F.when(
+                        F.sum(is_true.cast("long")) > 0,
+                        F.sum(F.when(is_true, p_cand).otherwise(F.lit(0.0)))
+                        / F.sum(is_true.cast("long")),
+                    ).otherwise(F.lit(0.0))
+                ).alias("recall_tau"),
+                stab(
+                    F.sum(F.when(~is_true, p_cand).otherwise(F.lit(0.0)))
+                ).alias("exp_fp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def d29_lsh_param_planner(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_param_planner(d).orderBy("bands", "rows_per_band")
+
+
+DEDUP_QUERIES["d29_lsh_param_planner"] = d29_lsh_param_planner
+
+
+def _d29_oracle() -> str:
+    tiers = []
+    for b, r in LSH_PLAN_GRID:
+        tiers.append(f"""
+        SELECT CAST({b} AS INT) bands, CAST({r} AS INT) rows_per_band,
+               ROUND(ROUND(POWER(1.0 / {b}, 1.0 / {r}) + 0.0, 9) + 1e-12, 6)
+                   + 0.0 s_star,
+               CAST(COUNT(*) AS BIGINT) n_pairs_floor,
+               CAST(SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                    AS BIGINT) n_true,
+               ROUND(ROUND(SUM(1.0 - POWER(1.0 - POWER(j, {float(r)}),
+                                           {float(b)})), 9) + 1e-12, 6)
+                   + 0.0 exp_cands,
+               ROUND(ROUND(CASE
+                   WHEN SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) > 0
+                   THEN SUM(CASE WHEN j >= {JACCARD_THRESHOLD}
+                            THEN 1.0 - POWER(1.0 - POWER(j, {float(r)}), {float(b)})
+                            ELSE 0.0 END)
+                        / SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+                   ELSE 0.0 END, 9) + 1e-12, 6) + 0.0 recall_tau,
+               ROUND(ROUND(SUM(CASE WHEN j < {JACCARD_THRESHOLD}
+                           THEN 1.0 - POWER(1.0 - POWER(j, {float(r)}), {float(b)})
+                           ELSE 0.0 END), 9) + 1e-12, 6) + 0.0 exp_fp
+        FROM p""")
+    body = "\n        UNION ALL\n".join(tiers)
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
+        shd AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') s
+                FROM w, unnest(range(1, greatest(len(words) - 2, 1) + 1)) t(i)),
+        ns AS (SELECT doc_id, COUNT(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+                  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        p AS (SELECT ROUND(i * 1.0 / (x.n + y.n - i), 2) j
+              FROM inter JOIN ns x ON doc_a = x.doc_id
+                         JOIN ns y ON doc_b = y.doc_id
+              WHERE i * 1.0 / (x.n + y.n - i) >= {LSH_PLAN_FLOOR}),
+        t AS ({body})
+        SELECT * FROM t ORDER BY bands, rows_per_band"""
+
+
+DEDUP_ORACLE_SQL["d29_lsh_param_planner"] = _d29_oracle()

@@ -2381,3 +2381,235 @@ TEXT_ORACLE_SQL["t34_token_budget_mix"] = f"""
                (ROUND(ROUND(CAST(FLOOR({TOKEN_BUDGET_FRAC} * btot * (target_w / sw)) AS BIGINT)
                             / tokens, 9) + 1e-12, 4) + 0.0 > 1.0) AS oversampled
         FROM wts CROSS JOIN tot ORDER BY source"""
+
+
+SHARD_SEED = "shard-v1"
+SHARD_COUNT = 8
+SHARD_RANK_PARTS = 16  # range partitions backing the distributed rank
+
+
+def shard_manifest(
+    docs: "DataFrame", n_shards: int = SHARD_COUNT, seed: str = SHARD_SEED
+) -> "DataFrame":
+    """Reproducible global shuffle + shard manifest — the "reshuffle
+    100 TB into N balanced output shards" step every epoch-ordered
+    training build runs (a GPT-3/LLaMA-style loader reads shards
+    sequentially, so between-shard token balance and a seeded,
+    engine-independent permutation both matter). Each document gets a
+    seeded hash key ``md5(seed ‖ doc_id)``; the corpus is globally
+    ordered by that key (the deterministic permutation) and dealt
+    round-robin into ``n_shards`` shards — token balance within
+    ±max(doc) by construction. The manifest compares this against the
+    naive hash-mod assignment (``md5 % N``), whose binomial imbalance
+    is what the rank deal removes.
+
+    Scale shape: the global rank uses the v16 distributed-ECDF
+    discipline, NOT a global window — range-repartition on the hash
+    key (Spark's sort-shuffle machinery, linear at any size), ONE
+    localCheckpoint to pin partition ids, per-partition
+    ``row_number`` (parallelism = SHARD_RANK_PARTS), and the
+    partition prefix OFFSETS joined back from a broadcast
+    SHARD_RANK_PARTS-row table; the driver sees partition counts,
+    never documents. Everything after the rank is an n_shards-row
+    aggregate. Determinism: md5 both engines; hex-string ordering is
+    bytewise identical; counts are exact BIGINTs; skew ratios carry
+    the double-round stabilizer."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    h = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+        h.alias("h"),
+    )
+    pv = (
+        base.repartitionByRange(SHARD_RANK_PARTS, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid assignment; counts + window reuse
+    )
+    totals = sorted(
+        pv.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r.pid,
+    )
+    offs, acc = [], 0
+    for r in totals:
+        offs.append((r.pid, acc))
+        acc += r.c
+    if not acc:
+        return spark.createDataFrame(
+            [],
+            "shard int, n_docs long, n_tokens long, lo_h string,"
+            " hi_h string, rr_skew double, hm_docs long, hm_tokens long,"
+            " hm_skew double",
+        )
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    ranked = (
+        pv.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("rnk", F.col("rn") + F.col("off") - 1)
+    )
+    rr = ranked.groupBy(
+        F.pmod("rnk", F.lit(n_shards)).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("n_tokens"),
+        F.min(F.substring("h", 1, 8)).alias("lo_h"),
+        F.max(F.substring("h", 1, 8)).alias("hi_h"),
+    )
+    hm = base.groupBy(
+        F.pmod(_hash_u16(F.concat(F.lit(seed), F.col("doc_id").cast("string"))),
+               F.lit(n_shards)).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("hm_docs"),
+        F.sum("tokens").alias("hm_tokens"),
+    )
+    tot = base.agg(F.sum("tokens").alias("tt"))
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return (
+        rr.join(hm, "shard", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "lo_h",
+            "hi_h",
+            stab(F.col("n_tokens") * n_shards / F.col("tt")).alias("rr_skew"),
+            F.coalesce(F.col("hm_docs"), F.lit(0)).cast("long").alias("hm_docs"),
+            F.coalesce(F.col("hm_tokens"), F.lit(0)).cast("long").alias("hm_tokens"),
+            stab(F.coalesce(F.col("hm_tokens"), F.lit(0)) * n_shards / F.col("tt")).alias("hm_skew"),
+        )
+    )
+
+
+def t35_shard_manifest(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(d).orderBy("shard")
+
+
+TEXT_QUERIES["t35_shard_manifest"] = t35_shard_manifest
+
+_SHARD_H = f"md5(CONCAT('{SHARD_SEED}', CAST(doc_id AS VARCHAR)))"
+TEXT_ORACLE_SQL["t35_shard_manifest"] = f"""
+        WITH b AS (SELECT doc_id, len(string_split(text, ' ')) tokens,
+                          {_SHARD_H} h
+                   FROM documents),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 rnk
+              FROM b),
+        rr AS (SELECT CAST(rnk % {SHARD_COUNT} AS INT) shard,
+                      CAST(COUNT(*) AS BIGINT) n_docs,
+                      CAST(SUM(tokens) AS BIGINT) n_tokens,
+                      MIN(substr(h, 1, 8)) lo_h, MAX(substr(h, 1, 8)) hi_h
+               FROM r GROUP BY 1),
+        hm AS (SELECT CAST({_u16_sql(f"CONCAT('{SHARD_SEED}', CAST(doc_id AS VARCHAR))")} % {SHARD_COUNT} AS INT) shard,
+                      CAST(COUNT(*) AS BIGINT) hm_docs,
+                      CAST(SUM(tokens) AS BIGINT) hm_tokens
+               FROM b GROUP BY 1),
+        tot AS (SELECT SUM(tokens) tt FROM b)
+        SELECT rr.shard, rr.n_docs, rr.n_tokens, rr.lo_h, rr.hi_h,
+               ROUND(ROUND(rr.n_tokens * {SHARD_COUNT} / tt, 9) + 1e-12, 6)
+                   + 0.0 rr_skew,
+               CAST(COALESCE(hm.hm_docs, 0) AS BIGINT) hm_docs,
+               CAST(COALESCE(hm.hm_tokens, 0) AS BIGINT) hm_tokens,
+               ROUND(ROUND(COALESCE(hm.hm_tokens, 0) * {SHARD_COUNT} / tt, 9)
+                     + 1e-12, 6) + 0.0 hm_skew
+        FROM rr LEFT JOIN hm USING (shard) CROSS JOIN tot
+        ORDER BY rr.shard"""
+
+
+ZRATIO_LEVEL = 6  # zlib level CCNet/Dolma-style pipelines use
+ZRATIO_REPETITIVE = 450  # comp*1000 < 450*raw  -> template/repeated text
+ZRATIO_INCOMPRESSIBLE = 900  # comp*1000 >= 900*raw -> junk/near-random
+
+
+def compression_signal(docs: "DataFrame") -> "DataFrame":
+    """Per-document zlib compressed/raw byte counts — the
+    compression-ratio quality signal web-corpus pipelines (CCNet,
+    Dolma, RedPajama-v2 `ccnet_*` signals) compute for every page:
+    highly compressible text is template/repeated boilerplate, nearly
+    incompressible text is encoded junk; both tails get filtered or
+    down-weighted before training.
+
+    Arrow-batched ``mapInPandas`` (the declared §2.11 surface — zlib
+    is genuinely outside SQL); everything downstream of the two
+    integer byte counts stays in exact BIGINT arithmetic, so the
+    per-source report is bit-deterministic despite the Python hop."""
+
+    def _z(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, ZRATIO_LEVEL)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_b": pd.Series(raw, dtype="int64"),
+                    "comp_b": pd.Series(comp, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        _z, "doc_id long, source string, raw_b long, comp_b long"
+    )
+
+
+def t36_compression_quality(spark, sf_dir):
+    """Per-source compression-ratio quality report: corpus-level
+    ratio (SUM(comp)/SUM(raw) — integer sums, order-independent) and
+    the two filter-tail counts, classified by exact integer
+    comparison (comp*1000 vs cutoff*raw — no float thresholding).
+    zlib is outside DuckDB -> rows-only driver check; bit-determinism
+    and the planted repetitive/junk tails are pinned in
+    tests/test_curation_ops.py (pure-Python recompute + monotonicity
+    on constructed docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    z = compression_signal(d)
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    rep = (F.col("comp_b") * 1000 < ZRATIO_REPETITIVE * F.col("raw_b"))
+    junk = (F.col("comp_b") * 1000 >= ZRATIO_INCOMPRESSIBLE * F.col("raw_b"))
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("raw_b").cast("long").alias("raw_bytes"),
+            F.sum("comp_b").cast("long").alias("comp_bytes"),
+            F.sum(rep.cast("long")).cast("long").alias("n_repetitive"),
+            F.sum(junk.cast("long")).cast("long").alias("n_incompressible"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_bytes",
+            "comp_bytes",
+            # all-empty source -> NULL ratio, not an ANSI zero-division
+            stab(
+                F.when(
+                    F.col("raw_bytes") > 0,
+                    F.col("comp_bytes") / F.col("raw_bytes"),
+                )
+            ).alias("corpus_ratio"),
+            "n_repetitive",
+            "n_incompressible",
+            stab(F.col("n_repetitive") / F.col("n_docs")).alias("rep_share"),
+            stab(F.col("n_incompressible") / F.col("n_docs")).alias("junk_share"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_QUERIES["t36_compression_quality"] = t36_compression_quality

@@ -2834,3 +2834,141 @@ EXTENDED_ORACLE_SQL["h21_holt_winters"] = f"""
                ROUND(ROUND(s.f, 9) + 1e-12, 4) + 0.0 AS forecast
         FROM s JOIN v ON v.skey = s.skey AND v.rn = s.rn
         ORDER BY s.skey, v.d, v.y"""
+
+
+NMI_DEPENDENT_THRESHOLD = 0.02
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual-information dependence audit between two categorical
+    columns: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), entropies H(X)/H(Y),
+    and the normalized score NMI = MI/√(H(X)·H(Y)) — the *soft*
+    complement of v12's functional-dependency audit (FD says "Y is a
+    function of X"; MI measures HOW MUCH knowing X tells you about Y,
+    catching the partial couplings an exact FD check calls simply
+    "violated"). A data-curation team runs this before stratifying or
+    splitting on a column: a split key with high NMI against the
+    label leaks the label across splits.
+
+    Scale shape: ONE shuffle — the (x, y) contingency aggregate
+    (map-side combinable counts); the marginals derive from that
+    k_x·k_y-row table, never from a second corpus scan, and every
+    join after the first aggregate is over category-cardinality
+    tables (broadcast). Determinism: all probabilities are ratios of
+    exact BIGINT counts; ln terms are summed once and the outputs
+    stabilized with the double-round discipline; the n > 0 guard
+    makes the empty-input answer zero rows on both engines (the
+    ADVICE r7 degenerate-input rule)."""
+    joint = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint()  # k_x*k_y rows; read by marginals + terms
+    )
+    mx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = joint.agg(
+        F.sum("cxy").alias("n"),
+        F.count(F.lit(1)).alias("k_xy"),
+    )
+
+    def stab(c: F.Column, dp: int = 6) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), dp) + F.lit(0.0)
+
+    # H terms from the marginal tables (ln over exact counts; the
+    # n-division happens once, after the sums)
+    hx_sum = mx.agg(
+        F.sum(F.col("cx").cast("double") * F.log(F.col("cx").cast("double"))).alias("sx"),
+        F.count(F.lit(1)).alias("k_x"),
+    )
+    hy_sum = my.agg(
+        F.sum(F.col("cy").cast("double") * F.log(F.col("cy").cast("double"))).alias("sy"),
+        F.count(F.lit(1)).alias("k_y"),
+    )
+    mi_sum = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(
+            F.sum(
+                F.col("cxy").cast("double")
+                * F.log(
+                    F.col("cxy").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("sm")
+        )
+    )
+    nd = F.col("n").cast("double")
+    h_x = F.log(nd) - F.col("sx") / nd
+    h_y = F.log(nd) - F.col("sy") / nd
+    mi = F.col("sm") / nd
+    nmi = F.when(
+        (h_x > F.lit(0.0)) & (h_y > F.lit(0.0)), mi / F.sqrt(h_x * h_y)
+    ).otherwise(F.lit(0.0))
+    return (
+        tot.crossJoin(F.broadcast(hx_sum))
+        .crossJoin(F.broadcast(hy_sum))
+        .crossJoin(F.broadcast(mi_sum))
+        .where(F.col("n") > 0)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k_x").cast("long").alias("k_x"),
+            F.col("k_y").cast("long").alias("k_y"),
+            F.col("k_xy").cast("long").alias("k_xy"),
+            stab(h_x).alias("h_x"),
+            stab(h_y).alias("h_y"),
+            stab(mi).alias("mi"),
+            stab(nmi).alias("nmi"),
+            (stab(nmi) > F.lit(NMI_DEPENDENT_THRESHOLD)).alias("dependent"),
+        )
+    )
+
+
+def v17_mutual_information(spark, sf_dir):
+    """MI/NMI dependence audit of documents.lang vs documents.source
+    — the pre-split leakage check (is the language mix independent of
+    the source mix?). Fully oracled by the identical contingency
+    arithmetic in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source").orderBy("n")
+
+
+EXTENDED_QUERIES["v17_mutual_information"] = v17_mutual_information
+
+EXTENDED_ORACLE_SQL["v17_mutual_information"] = f"""
+        WITH joint AS (SELECT lang x, source y, COUNT(*) cxy
+                       FROM documents GROUP BY 1, 2),
+        mx AS (SELECT x, SUM(cxy) cx FROM joint GROUP BY x),
+        my AS (SELECT y, SUM(cxy) cy FROM joint GROUP BY y),
+        tot AS (SELECT SUM(cxy) n, COUNT(*) k_xy FROM joint),
+        hx AS (SELECT SUM(CAST(cx AS DOUBLE) * LN(CAST(cx AS DOUBLE))) sx,
+                      COUNT(*) k_x FROM mx),
+        hy AS (SELECT SUM(CAST(cy AS DOUBLE) * LN(CAST(cy AS DOUBLE))) sy,
+                      COUNT(*) k_y FROM my),
+        ms AS (SELECT SUM(CAST(cxy AS DOUBLE)
+                          * LN(CAST(cxy AS DOUBLE) * n
+                               / (CAST(cx AS DOUBLE) * cy))) sm
+               FROM joint JOIN mx USING (x) JOIN my USING (y)
+                    CROSS JOIN tot),
+        raw AS (SELECT CAST(n AS BIGINT) n, CAST(k_x AS BIGINT) k_x,
+                       CAST(k_y AS BIGINT) k_y, CAST(k_xy AS BIGINT) k_xy,
+                       LN(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE) h_x,
+                       LN(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE) h_y,
+                       sm / CAST(n AS DOUBLE) mi
+                FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN ms
+                WHERE n > 0),
+        fin AS (SELECT n, k_x, k_y, k_xy,
+                       ROUND(ROUND(h_x, 9) + 1e-12, 6) + 0.0 h_x,
+                       ROUND(ROUND(h_y, 9) + 1e-12, 6) + 0.0 h_y,
+                       ROUND(ROUND(mi, 9) + 1e-12, 6) + 0.0 mi,
+                       ROUND(ROUND(CASE WHEN h_x > 0.0 AND h_y > 0.0
+                                        THEN mi / SQRT(h_x * h_y)
+                                        ELSE 0.0 END, 9) + 1e-12, 6)
+                           + 0.0 nmi
+                FROM raw)
+        SELECT n, k_x, k_y, k_xy, h_x, h_y, mi, nmi,
+               nmi > {NMI_DEPENDENT_THRESHOLD} AS dependent
+        FROM fin ORDER BY n"""

@@ -45,6 +45,11 @@ _DRIVER_SAMPLE_PREFIX = (
     "d27_simhash_recall_audit", "d28_srp_recall_audit",
     "h21_holt_winters", "g13_weighted_shortest_path",
     "t34_token_budget_mix",
+    # r8 late additions — same-commit rotation: v17/t35/st21 displace
+    # their r7-hashed, since-unchanged twins v08/t10/st02
+    "v17_mutual_information", "t35_shard_manifest",
+    "st21_late_data_audit", "d29_lsh_param_planner",
+    "t36_compression_quality",
     # round-7 additions keep one more round of hash continuity
     # (st19/st20 kept despite r7 hashes: their state store switched
     # to the bucketed MERGE this round — re-hash the new path)
@@ -55,16 +60,14 @@ _DRIVER_SAMPLE_PREFIX = (
     # text pipeline — t24/t26 never driver-hashed; t10/t15/t18/t19
     # (first hashed r7) keep continuity
     "t24_ngram_novelty", "t26_sentence_dedup",
-    "t10_pii_scrub", "t15_split_assign", "t18_corpus_build",
-    "t19_token_stats",
+    "t15_split_assign", "t18_corpus_build",
     "t21_stratified_sample", "t33_tokenizer_fertility",
     # similarity / ANN — s09/s19 never driver-hashed
     "s09_pq_topk", "s19_hard_negatives", "s23_matryoshka_eval",
     # validation — v05/v12 never driver-hashed
     "v05_gopher_rules", "v12_fd_audit",
     # time-series / scalar-fn extensions
-    "h19_forecast_backtest", "h09_lttb_downsample",
-    "v08_referential_integrity",
+    "h09_lttb_downsample",
     # graph — g06 never driver-hashed; g04 stays
     "g06_labelprop_communities", "g04_kcore",
     # multimodal — m07 never driver-hashed; m10 keeps continuity
@@ -74,7 +77,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # streaming — st09/st13 never driver-hashed; the 8 first hashed
     # in r7 keep continuity
     "st09_snapshot_merge_stream", "st13_stream_quality",
-    "st02_stream_sliding", "st03_session_window", "st05_stream_static",
+    "st03_session_window", "st05_stream_static",
     "st07_stream_upsert", "st08_stream_dedup", "st12_stream_matview",
     "st15_stream_anomaly", "st17_stream_funnel",
 )

@@ -945,3 +945,174 @@ from crossfire_spark.operators.extended import (  # noqa: E402
 STREAMING_ORACLE_SQL["st20_stream_scd2"] = _EXT_ORACLE_SQL[
     "h18_scd2_intervals"
 ]
+
+
+LATE_ARRIVAL_BATCHES = 6
+LATE_DELAY_US = 12 * 3600 * 1_000_000  # 12-hour allowed lateness
+LATE_JITTER_MOD = 7  # every 7th event arrives one batch late
+
+
+def st21_late_data_audit(spark, sf_dir):
+    """Watermark late-data audit — the observability layer every
+    event-time pipeline runs NEXT TO its windowed aggregations: per
+    event type, how many rows arrived behind the watermark (and how
+    far behind), i.e. the data a `withWatermark(ts, delay)` operator
+    would silently drop. Production teams audit this in
+    ``foreachBatch`` precisely because the engine's own drops are
+    visible only as counters (``numRowsDroppedByWatermark``), not as
+    rows you can attribute to a source.
+
+    The replay is deterministic end to end: arrival micro-batch =
+    event-time bucket (integer µs arithmetic, the h-family bucket
+    formula) with every ``LATE_JITTER_MOD``-th event displaced one
+    batch later (the delayed-delivery channel); one file per arrival
+    batch, mtimes spaced so the file source replays them in arrival
+    order; the watermark recursion is the standard one — watermark
+    before batch b = max event time over batches < b minus
+    ``LATE_DELAY_US``. The audit is therefore a pure function of the
+    table and carries a full DuckDB oracle replaying the same
+    recursion with a running-max window.
+
+    Scale shape: per batch ONE map-side-combinable aggregate per
+    event type (counts + max lateness + max event time — a handful of
+    rows to the driver per batch, never events); watermark state is
+    a single µs scalar. O(batch) per batch, flat in history size."""
+    import shutil
+
+    from crossfire_spark.catalog import load_table
+
+    work = _session_workdir("st21_")
+    watch = os.path.join(work, "in")
+    os.makedirs(watch)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("tsu")
+    )
+    mn, mx = ev.agg(F.min("tsu"), F.max("tsu")).first()
+    out_schema = (
+        "event_type string, n_total long, n_late long, n_ontime long,"
+        " max_late_s long, late_share double"
+    )
+    if mn is None:
+        return spark.createDataFrame([], out_schema)
+    nb = LATE_ARRIVAL_BATCHES
+    # integer DIV, never float division: (tsu-mn)*nb is ~6e15 at this
+    # epoch — above 2^53, where a double quotient truncates wrong
+    b0 = F.expr(f"((tsu - {mn}L) * {nb}) DIV ({mx}L - {mn}L + 1)")
+    arr = F.when(
+        F.pmod("event_id", F.lit(LATE_JITTER_MOD)) == 0,
+        F.least(b0 + 1, F.lit(nb - 1)),
+    ).otherwise(b0)
+    tagged = ev.withColumn("arrival", arr.cast("int"))
+    t_base = 1_700_000_000
+    n_files = 0
+    for b in range(nb):
+        part = tagged.where(F.col("arrival") == b).drop("arrival")
+        tmp = os.path.join(work, f"tmp_{b}")
+        part.coalesce(1).write.parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if files:  # empty arrival batch writes no file
+            dst = os.path.join(watch, f"arrival_{b}.parquet")
+            shutil.move(os.path.join(tmp, files[0]), dst)
+            os.utime(dst, (t_base + 60 * b, t_base + 60 * b))
+            n_files += 1
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, tsu long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+    )
+    state = {"max_tsu": None}
+    acc: dict[str, list] = {}  # event_type -> [n, n_late, max_late_us]
+
+    def audit(batch_df, _batch_id):
+        wm = (
+            state["max_tsu"] - LATE_DELAY_US
+            if state["max_tsu"] is not None
+            else None
+        )
+        late = (
+            (F.col("tsu") < F.lit(wm)) if wm is not None else F.lit(False)
+        )
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(late.cast("long")).alias("n_late"),
+                F.max(F.when(late, F.lit(wm) - F.col("tsu"))).alias("ml"),
+                F.max("tsu").alias("mt"),
+            )
+            .collect()
+        )
+        for r in rows:
+            a = acc.setdefault(r.event_type, [0, 0, None])
+            a[0] += r.n
+            a[1] += r.n_late or 0
+            if r.ml is not None and (a[2] is None or r.ml > a[2]):
+                a[2] = r.ml
+            if state["max_tsu"] is None or r.mt > state["max_tsu"]:
+                state["max_tsu"] = r.mt
+
+    q = (
+        stream.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.createDataFrame(
+        [
+            (et, a[0], a[1], a[0] - a[1], a[2])
+            for et, a in sorted(acc.items())
+        ],
+        "event_type string, n_total long, n_late long, n_ontime long,"
+        " max_late_us long",
+    )
+    return out.select(
+        "event_type",
+        "n_total",
+        "n_late",
+        "n_ontime",
+        F.expr("max_late_us DIV 1000000").alias("max_late_s"),
+        (
+            F.round(
+                F.round(F.col("n_late") / F.col("n_total"), 9) + F.lit(1e-12),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("late_share"),
+    ).orderBy("event_type")
+
+
+STREAMING_QUERIES["st21_late_data_audit"] = st21_late_data_audit
+
+STREAMING_ORACLE_SQL["st21_late_data_audit"] = f"""
+        WITH sp AS (SELECT epoch_us(MIN(ts)) mn, epoch_us(MAX(ts)) mx
+                    FROM events),
+        e AS (SELECT event_type, epoch_us(ts) tsu,
+                     CASE WHEN event_id % {LATE_JITTER_MOD} = 0
+                          THEN LEAST((epoch_us(ts) - sp.mn) * {LATE_ARRIVAL_BATCHES}
+                                     // (sp.mx - sp.mn + 1) + 1,
+                                     {LATE_ARRIVAL_BATCHES - 1})
+                          ELSE (epoch_us(ts) - sp.mn) * {LATE_ARRIVAL_BATCHES}
+                               // (sp.mx - sp.mn + 1) END arr
+              FROM events, sp),
+        bm AS (SELECT arr, MAX(tsu) m FROM e GROUP BY arr),
+        wm AS (SELECT arr, MAX(m) OVER (ORDER BY arr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - {LATE_DELAY_US} w
+               FROM bm),
+        f AS (SELECT e.event_type, e.tsu, wm.w,
+                     (wm.w IS NOT NULL AND e.tsu < wm.w) late
+              FROM e JOIN wm USING (arr))
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) n_total,
+               CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) n_late,
+               CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) n_ontime,
+               CAST(MAX(CASE WHEN late THEN w - tsu END) // 1000000
+                    AS BIGINT) max_late_s,
+               ROUND(ROUND(SUM(CASE WHEN late THEN 1 ELSE 0 END)
+                           / COUNT(*), 9) + 1e-12, 6) + 0.0 late_share
+        FROM f GROUP BY event_type ORDER BY event_type"""

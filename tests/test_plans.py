@@ -111,10 +111,11 @@ def test_registry_contract_consistency():
         "s16_ann_recall_audit",
         "s17_knn_graph_ann",
         "st14_index_maintenance",
+        "t36_compression_quality",
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 247 and len(osql) == 232
+    assert len(qs) == 252 and len(osql) == 236
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
