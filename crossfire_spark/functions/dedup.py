@@ -2501,3 +2501,134 @@ def _d29_oracle() -> str:
 
 
 DEDUP_ORACLE_SQL["d29_lsh_param_planner"] = _d29_oracle()
+
+
+GUTTED_NUM = 1  # a doc is "gutted" when removed*2 > n_tokens (>50%)
+
+
+def span_removal_plan(d: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
+    """Exact-substring REMOVAL plan with keep-first survivor
+    semantics — the APPLY step of Lee et al. 2022's substring dedup
+    (d20 is the measurement: how much of each doc is duplicated; this
+    is the decision: what a keep-one-copy pass would actually cut,
+    rolled up per source). The declared rule: a token position is
+    removed iff it is covered by an L-gram occurrence whose gram
+    FIRST appears in a lower doc_id — the first document keeps its
+    copy (all later cross-document copies of the passage go), and
+    intra-document repetition is untouched (that axis is t11's).
+
+    Scale shape — the d20 discipline, NO pair join: grams reduce to
+    per-hash (min_doc) by one map-side-combinable aggregate; the
+    removable set is a broadcast-friendly semi-join shape on the gram
+    hash; coverage explodes L rows per removable occurrence and
+    dedups positions inside the doc partition. Per-source rollup is an
+    |sources|-row aggregate. Fully oracled (same md5-prefix gram hash
+    both engines)."""
+    base = (
+        spread(d)
+        .select("doc_id", "source", F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            "doc_id", "source", F.size("w").alias("n_tokens"), "w"
+        )
+        .localCheckpoint()  # consumed by grams AND the rollup join
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {L - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {L})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    first_doc = grams.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    removed = (
+        grams.join(first_doc, "h")
+        .where(F.col("doc_id") > F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {L - 1})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    per_doc = (
+        base.select("doc_id", "source", "n_tokens")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("cut").cast("long").alias("tokens_removed"),
+            F.sum(
+                (F.col("cut") * 2 > F.col("n_tokens")).cast("long")
+            ).cast("long").alias("n_docs_gutted"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "tokens_removed",
+            stab(F.col("tokens_removed") / F.col("tokens_total")).alias(
+                "removal_frac"
+            ),
+            "n_docs_gutted",
+        )
+    )
+
+
+def d30_span_removal_plan(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return span_removal_plan(d).orderBy("source")
+
+
+DEDUP_QUERIES["d30_span_removal_plan"] = d30_span_removal_plan
+
+DEDUP_ORACLE_SQL["d30_span_removal_plan"] = f"""
+        WITH wds AS (SELECT doc_id, source, string_split(lower(text), ' ') w
+                     FROM documents),
+        base AS (SELECT doc_id, source, len(w) n_tokens, w FROM wds),
+        g AS (SELECT doc_id, i pos,
+                     CAST(concat('0x', substr(md5(array_to_string(w[i:i+{DUP_SPAN_L - 1}], ' ')), 1, 8)) AS BIGINT) h
+              FROM base, unnest(range(1, len(w) - {DUP_SPAN_L - 1} + 1)) t(i)
+              WHERE n_tokens >= {DUP_SPAN_L}),
+        fd AS (SELECT h, MIN(doc_id) keeper FROM g GROUP BY h),
+        cov AS (SELECT DISTINCT g.doc_id, p
+                FROM g JOIN fd USING (h),
+                     unnest(range(pos, pos + {DUP_SPAN_L})) c(p)
+                WHERE g.doc_id > fd.keeper),
+        cut AS (SELECT doc_id, COUNT(*) cut FROM cov GROUP BY doc_id),
+        pd AS (SELECT b.doc_id, b.source, b.n_tokens,
+                      COALESCE(c.cut, 0) cut
+               FROM base b LEFT JOIN cut c USING (doc_id))
+        SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) tokens_total,
+               CAST(SUM(cut) AS BIGINT) tokens_removed,
+               ROUND(ROUND(SUM(cut) / CAST(SUM(n_tokens) AS DOUBLE), 9)
+                     + 1e-12, 6) + 0.0 removal_frac,
+               CAST(SUM(CASE WHEN cut * 2 > n_tokens THEN 1 ELSE 0 END)
+                    AS BIGINT) n_docs_gutted
+        FROM pd GROUP BY source ORDER BY source"""

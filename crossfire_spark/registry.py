@@ -49,7 +49,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # their r7-hashed, since-unchanged twins v08/t10/st02
     "v17_mutual_information", "t35_shard_manifest",
     "st21_late_data_audit", "d29_lsh_param_planner",
-    "t36_compression_quality",
+    "t36_compression_quality", "d30_span_removal_plan",
     # round-7 additions keep one more round of hash continuity
     # (st19/st20 kept despite r7 hashes: their state store switched
     # to the bucketed MERGE this round — re-hash the new path)
@@ -67,7 +67,6 @@ _DRIVER_SAMPLE_PREFIX = (
     # validation — v05/v12 never driver-hashed
     "v05_gopher_rules", "v12_fd_audit",
     # time-series / scalar-fn extensions
-    "h09_lttb_downsample",
     # graph — g06 never driver-hashed; g04 stays
     "g06_labelprop_communities", "g04_kcore",
     # multimodal — m07 never driver-hashed; m10 keeps continuity

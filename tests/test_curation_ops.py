@@ -1141,3 +1141,28 @@ def test_compression_quality_recompute_and_planted_tails(spark, sf_dir):
     rows = t36_compression_quality(spark, sf_dir).collect()
     assert all(r.n_repetitive + r.n_incompressible <= r.n_docs for r in rows)
     assert all(0.0 < r.corpus_ratio < 2.0 for r in rows)
+
+
+def test_span_removal_plan_is_keep_first_subset_of_d20(spark, sf_dir):
+    """d30's keep-first cut is a strict subset of d20's symmetric
+    duplicated-position measure (the first copy survives), and the
+    per-source rollup reconciles with the corpus totals."""
+    from crossfire_spark.functions.dedup import (
+        d30_span_removal_plan,
+        dup_span_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = d30_span_removal_plan(spark, sf_dir).collect()
+    d20 = dup_span_report(d).agg(
+        F.sum("dup_tokens").alias("dup"), F.sum("n_tokens").alias("tot")
+    ).first()
+    removed = sum(r.tokens_removed for r in plan)
+    assert removed <= d20.dup
+    if d20.dup:
+        assert removed < d20.dup  # the keeper copies are protected
+        assert removed > 0  # and the cut is not vacuous
+    assert sum(r.tokens_total for r in plan) == d20.tot
+    for r in plan:
+        assert 0.0 <= r.removal_frac < 1.0
+        assert r.n_docs_gutted <= r.n_docs
