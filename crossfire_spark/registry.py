@@ -50,6 +50,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "v17_mutual_information", "t35_shard_manifest",
     "st21_late_data_audit", "d29_lsh_param_planner",
     "t36_compression_quality", "d30_span_removal_plan",
+    "st22_stateful_sessions",
     # round-7 additions keep one more round of hash continuity
     # (st19/st20 kept despite r7 hashes: their state store switched
     # to the bucketed MERGE this round — re-hash the new path)
@@ -77,7 +78,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # in r7 keep continuity
     "st09_snapshot_merge_stream", "st13_stream_quality",
     "st03_session_window", "st05_stream_static",
-    "st07_stream_upsert", "st08_stream_dedup", "st12_stream_matview",
+    "st08_stream_dedup", "st12_stream_matview",
     "st15_stream_anomaly", "st17_stream_funnel",
 )
 

@@ -947,6 +947,27 @@ STREAMING_ORACLE_SQL["st20_stream_scd2"] = _EXT_ORACLE_SQL[
 ]
 
 
+def _write_arrival_files(tagged, nb: int, work: str, watch: str) -> None:
+    """One parquet file per ``arrival`` batch value, mtimes spaced 60 s
+    apart so the file stream source replays them in arrival order
+    (FileStreamSource lists oldest-modified first). Empty arrival
+    batches write no file — the downstream watermark recursion is
+    unaffected (an empty batch contributes no event-time max)."""
+    import shutil
+
+    t_base = 1_700_000_000
+    for b in range(nb):
+        part = tagged.where(F.col("arrival") == b).drop("arrival")
+        tmp = os.path.join(work, f"tmp_{b}")
+        part.coalesce(1).write.parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if files:
+            dst = os.path.join(watch, f"arrival_{b}.parquet")
+            shutil.move(os.path.join(tmp, files[0]), dst)
+            os.utime(dst, (t_base + 60 * b, t_base + 60 * b))
+        shutil.rmtree(tmp)
+
+
 LATE_ARRIVAL_BATCHES = 6
 LATE_DELAY_US = 12 * 3600 * 1_000_000  # 12-hour allowed lateness
 LATE_JITTER_MOD = 7  # every 7th event arrives one batch late
@@ -1004,19 +1025,7 @@ def st21_late_data_audit(spark, sf_dir):
         F.least(b0 + 1, F.lit(nb - 1)),
     ).otherwise(b0)
     tagged = ev.withColumn("arrival", arr.cast("int"))
-    t_base = 1_700_000_000
-    n_files = 0
-    for b in range(nb):
-        part = tagged.where(F.col("arrival") == b).drop("arrival")
-        tmp = os.path.join(work, f"tmp_{b}")
-        part.coalesce(1).write.parquet(tmp)
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if files:  # empty arrival batch writes no file
-            dst = os.path.join(watch, f"arrival_{b}.parquet")
-            shutil.move(os.path.join(tmp, files[0]), dst)
-            os.utime(dst, (t_base + 60 * b, t_base + 60 * b))
-            n_files += 1
-        shutil.rmtree(tmp)
+    _write_arrival_files(tagged, nb, work, watch)
 
     stream = (
         spark.readStream.schema("event_id long, event_type string, tsu long")
@@ -1116,3 +1125,154 @@ STREAMING_ORACLE_SQL["st21_late_data_audit"] = f"""
                ROUND(ROUND(SUM(CASE WHEN late THEN 1 ELSE 0 END)
                            / COUNT(*), 9) + 1e-12, 6) + 0.0 late_share
         FROM f GROUP BY event_type ORDER BY event_type"""
+
+
+SESSION_ARRIVAL_BATCHES = 6
+SESSION_WM_DELAY_MS = 60_000  # 1-minute allowed lateness
+
+
+def st22_stateful_sessions(spark, sf_dir):
+    """Stateful sessionization with EVENT-TIME TIMEOUTS — the
+    ``applyInPandasWithState`` surface st04/st15/st17 exercise, plus
+    the piece none of them needed: ``GroupStateTimeout.EventTimeTimeout``
+    with ``setTimeoutTimestamp``, so a user's trailing session is
+    EVICTED and emitted when the watermark passes last_event + gap
+    (the unbounded-key state-leak fix every production sessionizer
+    needs — without timeouts, one state entry per ever-seen user
+    lives forever). Sessions closed by witnessing the successor event
+    emit immediately; the no-data final micro-batch (availableNow
+    runs one after the last file) fires the remaining timeouts whose
+    deadline the final watermark passed; any session still open at
+    the final watermark stays unemitted — exactly the append-mode
+    contract of a session window.
+
+    Deterministic end to end: time-bucketed arrival files in mtime
+    order (the st21 replay, no jitter), exact integer µs session
+    arithmetic inside the state function, integer-cents value sums
+    (order-independent — the h21 discipline). The DuckDB oracle is
+    the h05 gaps-and-islands CTE with the closure predicate: a
+    session emits iff it has a successor session (same user) OR
+    final_watermark_ms > last_event_ms + gap_ms, where
+    final_watermark_ms = floor(max event µs / 1000) − delay.
+
+    Scale shape: state = ONE (start, last, n, cents) tuple per ACTIVE
+    user (timeouts bound it — evicted keys cost nothing); per batch
+    the state operator shuffles only the batch's keys; the state
+    function is Arrow-batched. O(batch + touched keys), and unlike
+    the NoTimeout jobs the key set cannot grow monotonically."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.operators.extended import SESSION_GAP_US
+
+    work = _session_workdir("st22_")
+    watch = os.path.join(work, "in")
+    os.makedirs(watch)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsu"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mn, mx = ev.agg(F.min("tsu"), F.max("tsu")).first()
+    out_schema = (
+        "user_id long, n_events long, t_start timestamp,"
+        " t_end timestamp, sum_value double"
+    )
+    if mn is None:
+        return spark.createDataFrame([], out_schema)
+    nb = SESSION_ARRIVAL_BATCHES
+    tagged = ev.withColumn(
+        "arrival",
+        F.expr(f"CAST(((tsu - {mn}L) * {nb}) DIV ({mx}L - {mn}L + 1) AS INT)"),
+    )
+    _write_arrival_files(tagged, nb, work, watch)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, tsu long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+        .withColumn("ts", F.timestamp_micros("tsu"))
+        .withWatermark("ts", f"{SESSION_WM_DELAY_MS // 1000} seconds")
+    )
+    gap_us = SESSION_GAP_US
+    gap_ms = SESSION_GAP_US // 1000
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start, last, n, cents = state.get
+            closed.append((key[0], n, start, last, cents))
+            state.remove()
+        else:
+            ev_pd = pd.concat(list(pdfs)).sort_values(["tsu", "event_id"])
+            if state.exists:
+                start, last, n, cents = state.get
+            else:
+                start = None
+            for tsu, c in zip(ev_pd["tsu"], ev_pd["cents"]):
+                tsu, c = int(tsu), int(c)
+                if start is None:
+                    start, last, n, cents = tsu, tsu, 1, c
+                elif tsu - last > gap_us:
+                    closed.append((key[0], n, start, last, cents))
+                    start, last, n, cents = tsu, tsu, 1, c
+                else:
+                    last, n, cents = tsu, n + 1, cents + c
+            state.update((start, last, n, cents))
+            state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "n_events", "start_us", "end_us", "cents"],
+        )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, start_us long, end_us long,"
+            " cents long"
+        ),
+        stateStructType="start long, last long, n long, cents long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = run_stream_to_memory(sessions, mode="append")
+    return sink.select(
+        "user_id",
+        "n_events",
+        F.timestamp_micros("start_us").alias("t_start"),
+        F.timestamp_micros("end_us").alias("t_end"),
+        (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+    ).orderBy("user_id", "t_start", "t_end", "n_events", "sum_value")
+
+
+STREAMING_QUERIES["st22_stateful_sessions"] = st22_stateful_sessions
+
+STREAMING_ORACLE_SQL["st22_stateful_sessions"] = f"""
+        WITH b AS (SELECT user_id, ts, event_id,
+                CAST(FLOOR(value * 100) AS BIGINT) cents,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END boundary
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id, cents,
+                SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+            FROM b),
+        g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) n_events,
+                     MIN(ts) t_start, MAX(ts) t_end,
+                     CAST(SUM(cents) AS DOUBLE) / 100.0 sum_value,
+                     MAX(sess) OVER (PARTITION BY user_id) last_sess
+              FROM s GROUP BY user_id, sess),
+        wm AS (SELECT epoch_us(MAX(ts)) // 1000 - {SESSION_WM_DELAY_MS} w_ms
+               FROM events)
+        SELECT user_id, n_events, t_start, t_end, sum_value
+        FROM g CROSS JOIN wm
+        WHERE sess < last_sess
+           OR wm.w_ms > epoch_us(t_end) // 1000 + 1800000
+        ORDER BY user_id, t_start, t_end, n_events, sum_value"""

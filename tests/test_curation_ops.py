@@ -1166,3 +1166,32 @@ def test_span_removal_plan_is_keep_first_subset_of_d20(spark, sf_dir):
     for r in plan:
         assert 0.0 <= r.removal_frac < 1.0
         assert r.n_docs_gutted <= r.n_docs
+
+
+def test_mutual_information_numpy_recompute(spark, sf_dir):
+    """Second-implementation pin for v17: numpy contingency-matrix MI
+    over the same fixture agrees with the engine to the stabilizer's
+    6 dp (the seeded-recompute discipline, applied to information
+    arithmetic)."""
+    import numpy as np
+
+    from crossfire_spark.operators.extended import mutual_information
+
+    d = load_table(spark, sf_dir, "documents")
+    row = mutual_information(d, "lang", "source").first()
+    pairs = d.groupBy("lang", "source").count().collect()
+    langs = sorted({r.lang for r in pairs})
+    srcs = sorted({r.source for r in pairs})
+    C = np.zeros((len(langs), len(srcs)), dtype=np.int64)
+    for r in pairs:
+        C[langs.index(r.lang), srcs.index(r.source)] = r["count"]
+    n = C.sum()
+    px, py = C.sum(1) / n, C.sum(0) / n
+    P = C / n
+    nz = P > 0
+    mi = float((P[nz] * np.log(P[nz] / np.outer(px, py)[nz])).sum())
+    hx = float(-(px * np.log(px)).sum())
+    hy = float(-(py * np.log(py)).sum())
+    assert abs(row.mi - mi) < 2e-6
+    assert abs(row.h_x - hx) < 2e-6 and abs(row.h_y - hy) < 2e-6
+    assert abs(row.nmi - (mi / np.sqrt(hx * hy) if hx > 0 and hy > 0 else 0.0)) < 2e-6

@@ -115,7 +115,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 253 and len(osql) == 237
+    assert len(qs) == 254 and len(osql) == 238
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

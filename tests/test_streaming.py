@@ -625,3 +625,30 @@ def test_stream_scd2_batching_independent(spark, sf_dir, tmp_path):
             open_per_user[u] = open_per_user.get(u, 0) + 1
             assert vt is None
     assert set(open_per_user.values()) == {1}
+
+
+def test_st22_timeout_path_and_state_eviction(spark, sf_dir):
+    """st22's two emission channels are both exercised by the
+    fixture: sessions closed by a successor (every non-last session
+    per user) and sessions closed by the EventTimeTimeout (trailing
+    sessions whose deadline the final watermark passed). The emitted
+    set must sit between 'all non-last sessions' (timeouts add more)
+    and the full gaps-and-islands census (open trailers withheld)."""
+    from pyspark.sql import functions as SF
+
+    from crossfire_spark.operators.extended import h05_sessionize
+    from crossfire_spark.streaming.jobs import st22_stateful_sessions
+
+    got = st22_stateful_sessions(spark, sf_dir)
+    n_emitted = got.count()
+    census = h05_sessionize(spark, sf_dir).select("user_id", "sess")
+    n_sessions = census.count()
+    n_users = census.select("user_id").distinct().count()
+    n_nonlast = n_sessions - n_users
+    assert n_nonlast <= n_emitted <= n_sessions
+    assert n_emitted > n_nonlast, "timeout channel never fired"
+    # per-session invariants
+    bad = got.where(
+        (SF.col("n_events") <= 0) | (SF.col("t_end") < SF.col("t_start"))
+    ).count()
+    assert bad == 0
