@@ -952,20 +952,32 @@ def _write_arrival_files(tagged, nb: int, work: str, watch: str) -> None:
     apart so the file stream source replays them in arrival order
     (FileStreamSource lists oldest-modified first). Empty arrival
     batches write no file — the downstream watermark recursion is
-    unaffected (an empty batch contributes no event-time max)."""
+    unaffected (an empty batch contributes no event-time max).
+
+    ONE Spark job (dynamic ``partitionBy`` + a 1-file-per-partition
+    repartition), not nb sequential coalesce(1) writes — the nb
+    job-submission round-trips dominated the replay setup."""
     import shutil
 
     t_base = 1_700_000_000
+    tmp = os.path.join(work, "tmp_arrivals")
+    (
+        tagged.repartition(nb, "arrival")
+        .write.partitionBy("arrival")
+        .parquet(tmp)
+    )
     for b in range(nb):
-        part = tagged.where(F.col("arrival") == b).drop("arrival")
-        tmp = os.path.join(work, f"tmp_{b}")
-        part.coalesce(1).write.parquet(tmp)
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        pdir = os.path.join(tmp, f"arrival={b}")
+        if not os.path.isdir(pdir):
+            continue
+        files = sorted(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
         if files:
             dst = os.path.join(watch, f"arrival_{b}.parquet")
-            shutil.move(os.path.join(tmp, files[0]), dst)
+            shutil.move(os.path.join(pdir, files[0]), dst)
             os.utime(dst, (t_base + 60 * b, t_base + 60 * b))
-        shutil.rmtree(tmp)
+    shutil.rmtree(tmp)
 
 
 LATE_ARRIVAL_BATCHES = 6
@@ -1131,6 +1143,119 @@ SESSION_ARRIVAL_BATCHES = 6
 SESSION_WM_DELAY_MS = 60_000  # 1-minute allowed lateness
 
 
+def stateful_sessions(
+    stream: DataFrame, evict: bool = True, n_buckets: int = 64
+) -> DataFrame:
+    """The st22 state operator on an arbitrary pre-watermarked stream
+    of (user_id, event_id, tsu, cents): gaps-and-islands sessions in
+    exact integer µs arithmetic.
+
+    State is BUCKETED (``pmod(xxhash64(user_id), n_buckets)`` — the
+    st04/st15 lesson: per-GROUP Python dispatch, not arithmetic, is
+    what bounds ``applyInPandasWithState`` at high key cardinality,
+    so each bucket carries its users' (start, last, n, cents) tuples
+    as flat parallel arrays and one batch costs ≤ n_buckets Python
+    invocations, not |users|). Eviction is therefore MANUAL against
+    ``getCurrentWatermarkMs()`` on every invocation, with the
+    bucket's ``setTimeoutTimestamp`` at the MIN remaining deadline so
+    idle buckets still get woken (including by the availableNow
+    no-data final batch) — per-user deadline semantics are exactly
+    the unbucketed form's: a session emits iff some invocation sees
+    watermark_ms > last_ms + gap_ms, i.e. the same strict predicate
+    the DuckDB oracle states. ``evict=False`` is the NoTimeout
+    contrast the state-curve harness measures (state grows with every
+    user ever seen; trailing sessions never emit)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from crossfire_spark.operators.extended import SESSION_GAP_US
+
+    gap_us = SESSION_GAP_US
+    gap_ms = SESSION_GAP_US // 1000
+
+    def update(key, pdfs, state: GroupState):
+        sess: dict[int, list[int]] = {}
+        if state.exists:
+            us, st0, la, nn, ce = state.get
+            for u, a, b, c, d in zip(us, st0, la, nn, ce):
+                sess[int(u)] = [int(a), int(b), int(c), int(d)]
+        closed = []
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs)).sort_values(["tsu", "event_id"])
+            for u, g in batch.groupby("user_id", sort=False):
+                u = int(u)
+                cur = sess.get(u)
+                for tsu, c in zip(g["tsu"], g["cents"]):
+                    tsu, c = int(tsu), int(c)
+                    if cur is None:
+                        cur = [tsu, tsu, 1, c]
+                    elif tsu - cur[1] > gap_us:
+                        closed.append((u, cur[2], cur[0], cur[1], cur[3]))
+                        cur = [tsu, tsu, 1, c]
+                    else:
+                        cur[1], cur[2], cur[3] = tsu, cur[2] + 1, cur[3] + c
+                sess[u] = cur
+        if evict:
+            wm = state.getCurrentWatermarkMs()
+            for u in sorted(sess):
+                cur = sess[u]
+                if wm > cur[1] // 1000 + gap_ms:  # the oracle's strict >
+                    closed.append((u, cur[2], cur[0], cur[1], cur[3]))
+                    del sess[u]
+        if sess:
+            us = sorted(sess)
+            state.update(
+                (
+                    us,
+                    [sess[u][0] for u in us],
+                    [sess[u][1] for u in us],
+                    [sess[u][2] for u in us],
+                    [sess[u][3] for u in us],
+                )
+            )
+            if evict:
+                # min remaining deadline; the +1 clamp only engages on
+                # an exact ms tie with the current watermark (post-
+                # eviction deadlines are >= wm by construction)
+                state.setTimeoutTimestamp(
+                    max(
+                        min(sess[u][1] // 1000 + gap_ms for u in us),
+                        wm + 1,
+                    )
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "n_events", "start_us", "end_us", "cents"],
+        )
+
+    bucketed = stream.withColumn(
+        "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, start_us long, end_us long,"
+                " cents long"
+            ),
+            stateStructType=(
+                "users array<long>, starts array<long>, lasts array<long>,"
+                " ns array<long>, cents array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if evict
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def st22_stateful_sessions(spark, sf_dir):
     """Stateful sessionization with EVENT-TIME TIMEOUTS — the
     ``applyInPandasWithState`` surface st04/st15/st17 exercise, plus
@@ -1160,12 +1285,7 @@ def st22_stateful_sessions(spark, sf_dir):
     the state operator shuffles only the batch's keys; the state
     function is Arrow-batched. O(batch + touched keys), and unlike
     the NoTimeout jobs the key set cannot grow monotonically."""
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from crossfire_spark.catalog import load_table
-    from crossfire_spark.operators.extended import SESSION_GAP_US
 
     work = _session_workdir("st22_")
     watch = os.path.join(work, "in")
@@ -1200,47 +1320,7 @@ def st22_stateful_sessions(spark, sf_dir):
         .withColumn("ts", F.timestamp_micros("tsu"))
         .withWatermark("ts", f"{SESSION_WM_DELAY_MS // 1000} seconds")
     )
-    gap_us = SESSION_GAP_US
-    gap_ms = SESSION_GAP_US // 1000
-
-    def update(key, pdfs, state: GroupState):
-        closed = []
-        if state.hasTimedOut:
-            start, last, n, cents = state.get
-            closed.append((key[0], n, start, last, cents))
-            state.remove()
-        else:
-            ev_pd = pd.concat(list(pdfs)).sort_values(["tsu", "event_id"])
-            if state.exists:
-                start, last, n, cents = state.get
-            else:
-                start = None
-            for tsu, c in zip(ev_pd["tsu"], ev_pd["cents"]):
-                tsu, c = int(tsu), int(c)
-                if start is None:
-                    start, last, n, cents = tsu, tsu, 1, c
-                elif tsu - last > gap_us:
-                    closed.append((key[0], n, start, last, cents))
-                    start, last, n, cents = tsu, tsu, 1, c
-                else:
-                    last, n, cents = tsu, n + 1, cents + c
-            state.update((start, last, n, cents))
-            state.setTimeoutTimestamp(last // 1000 + gap_ms)
-        yield pd.DataFrame(
-            closed,
-            columns=["user_id", "n_events", "start_us", "end_us", "cents"],
-        )
-
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=(
-            "user_id long, n_events long, start_us long, end_us long,"
-            " cents long"
-        ),
-        stateStructType="start long, last long, n long, cents long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    sessions = stateful_sessions(stream)
     sink = run_stream_to_memory(sessions, mode="append")
     return sink.select(
         "user_id",

@@ -287,8 +287,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--st22", action="store_true",
+                    help="measure the st22 state-eviction curve instead")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    if args.st22:
+        return st22_main(scales)
 
     from crossfire_spark import get_spark
 
@@ -367,6 +371,132 @@ def main():
             "batch_rows": BATCH_ROWS, "batch_keys": BATCH_KEYS,
             "reps": args.reps,
         }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+
+
+# ---------------------------------------------------------------------------
+# st22: state-store EVICTION curve (run as its own mode: --st22)
+# ---------------------------------------------------------------------------
+
+ST22_ROWS_PER_BATCH = 4_000
+ST22_POOL = 2_000  # active users per 2-batch block
+ST22_STEP_US = 43_000_000  # ~43 s between events -> ~2 days per batch
+
+
+def bench_session_eviction(spark, work, mult):
+    """st22's claim is about the OTHER store — Spark's own state
+    store, not a parquet table: with EventTimeTimeout eviction, state
+    rows track the ACTIVE-user window; with NoTimeout they grow with
+    every user ever seen. Synthesize mult x 6 arrival batches of a
+    churning population (user block advances every 2 batches), run
+    the identical stateful_sessions operator both ways, and read
+    numRowsTotal from the last progress event of each run.
+
+    Returns (evict_state_rows, noevict_state_rows, distinct_users,
+    last_batch_ms_evict)."""
+    from pyspark.sql import functions as F
+
+    from crossfire_spark.streaming.jobs import (
+        SESSION_WM_DELAY_MS,
+        _write_arrival_files,
+        stateful_sessions,
+    )
+
+    nb = 6 * mult
+    n = nb * ST22_ROWS_PER_BATCH
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(1_700_000_000_000_000) + F.col("id") * ST22_STEP_US).alias(
+            "tsu"
+        ),
+        (
+            (F.col("id") / (2 * ST22_ROWS_PER_BATCH)).cast("long") * ST22_POOL
+            + F.pmod(F.xxhash64("id"), F.lit(ST22_POOL))
+        ).alias("user_id"),
+        F.pmod(F.col("id"), F.lit(997)).alias("cents"),
+        (F.col("id") / ST22_ROWS_PER_BATCH).cast("int").alias("arrival"),
+    )
+    distinct_users = ev.select("user_id").distinct().count()
+
+    out = {}
+    for evict in (True, False):
+        sub = os.path.join(work, f"st22_{mult}_{int(evict)}")
+        watch = os.path.join(sub, "in")
+        os.makedirs(watch)
+        _write_arrival_files(
+            ev.select("user_id", "event_id", "tsu", "cents", "arrival"),
+            nb,
+            sub,
+            watch,
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, tsu long, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watch)
+            .withColumn("ts", F.timestamp_micros("tsu"))
+            .withWatermark("ts", f"{SESSION_WM_DELAY_MS // 1000} seconds")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stateful_sessions(stream, evict=evict)
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(sub, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            state_rows, state_bytes, last_ms = 0, 0, 0.0
+            for p in q.recentProgress:
+                ops = p.get("stateOperators") or []
+                if ops:
+                    state_rows = ops[0].get("numRowsTotal", 0)
+                    state_bytes = ops[0].get("memoryUsedBytes", 0)
+                    last_ms = (p.get("durationMs") or {}).get(
+                        "triggerExecution", 0
+                    )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out[evict] = (state_rows, state_bytes, last_ms)
+    return out[True], out[False], distinct_users
+
+
+def st22_main(scales):
+    from crossfire_spark import get_spark
+
+    spark = get_spark(app_name="crossfire-st22-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="st22_curve_")
+    try:
+        lines = [
+            "| history | batches | distinct users | state KiB (evict)"
+            " | state KiB (NoTimeout contrast) | last-batch ms (evict)"
+            " |",
+            "|---|---|---|---|---|---|",
+        ]
+        summary = {}
+        for mult in scales:
+            ev, no, users = bench_session_eviction(spark, work, mult)
+            lines.append(
+                f"| x{mult} | {6 * mult} | {users} | {ev[1] // 1024} |"
+                f" {no[1] // 1024} | {ev[2]} |"
+            )
+            summary[f"x{mult}"] = {
+                "users": users,
+                "evict_state_bytes": ev[1],
+                "noevict_state_bytes": no[1],
+                "evict_buckets": ev[0],
+                "last_batch_ms": ev[2],
+            }
+            print(f"x{mult}: {summary[f'x{mult}']}", file=sys.stderr)
+        print("\n".join(lines))
+        print(json.dumps({"metric": "st22_state_eviction", **summary}))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
