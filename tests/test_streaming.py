@@ -652,3 +652,32 @@ def test_st22_timeout_path_and_state_eviction(spark, sf_dir):
         (SF.col("n_events") <= 0) | (SF.col("t_end") < SF.col("t_start"))
     ).count()
     assert bad == 0
+
+
+def test_arrival_writer_one_file_per_batch_in_mtime_order(spark, tmp_path):
+    """The st21/st22 replay determinism rests on _write_arrival_files'
+    contract: exactly one parquet file per non-empty arrival value,
+    strictly increasing mtimes in arrival order, rows partitioned
+    exactly by the arrival column."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from crossfire_spark.streaming.jobs import _write_arrival_files
+
+    work = str(tmp_path / "w")
+    watch = str(tmp_path / "w" / "in")
+    os.makedirs(watch)
+    df = spark.range(1000).select(
+        SF.col("id").alias("event_id"),
+        (SF.col("id") * 7).alias("tsu"),
+        SF.pmod("id", SF.lit(5)).cast("int").alias("arrival"),
+    ).where(SF.col("arrival") != 3)  # one deliberately empty batch
+    _write_arrival_files(df, 6, work, watch)
+    files = sorted(os.listdir(watch))
+    assert files == [f"arrival_{b}.parquet" for b in (0, 1, 2, 4)]
+    mtimes = [os.path.getmtime(os.path.join(watch, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    back = spark.read.parquet(os.path.join(watch, "arrival_2.parquet"))
+    got = {r.event_id % 5 for r in back.select("event_id").collect()}
+    assert got == {2} and back.count() == 200
