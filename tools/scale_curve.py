@@ -185,7 +185,7 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
-def run(reps: int, scales=SCALES) -> None:
+def run(reps: int, scales=SCALES, only=None) -> None:
     from crossfire_spark import get_spark
     from crossfire_spark.registry import all_queries
 
@@ -200,7 +200,14 @@ def run(reps: int, scales=SCALES) -> None:
         "s22_ivf_pq_residual",
         "d24_bloom_decontam",
         "s23_matryoshka_eval",
+        # round-8 additions: the planner's exact pair pass, the
+        # keep-first span cut, and the distributed-rank shard deal
+        "d29_lsh_param_planner",
+        "d30_span_removal_plan",
+        "t35_shard_manifest",
     ]
+    if only:
+        targets = [t for t in targets if t in only]
     spark = get_spark(app_name="crossfire-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -280,11 +287,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["gen", "run"])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--targets", default=None,
+                    help="comma-separated subset of the target list")
     args = ap.parse_args()
     if args.cmd == "gen":
         gen()
     else:
-        run(args.reps)
+        run(args.reps, only=args.targets.split(",") if args.targets else None)
 
 
 if __name__ == "__main__":
