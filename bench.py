@@ -22,13 +22,28 @@ Methodology (round-7 hygiene, after r6's 176-236 s host-noise swing):
   when REPS >= 3; with REPS < 3 one UNTIMED warmup rep runs first so
   a quick REPS=1 spot check still measures steady state. The emitted
   JSON carries "warmup_rep" so artifacts are self-describing.
-- CALIBRATION ANCHOR (round-8, after r7's 1.5x ambient host swing):
-  a fixed seeded CPU-bound query (10^7-row xxhash64 + mod-1024
-  group-agg, plan shape never changes across rounds) is timed
-  median-of-3 BEFORE and AFTER the sweep. "anchor_sec" is the mean
-  of the two; "normalized_value" = value / anchor_sec is the
-  host-speed-independent total to compare across rounds. A large
-  before/after anchor delta means the host shifted MID-run.
+- CALIBRATION ANCHOR BASKET (round-9, after r8 measured that the
+  single-query anchor OVER-corrects: three identical-code runs read
+  307/329/354 s raw — a 1.15x spread — but 692/471/819 normalized, a
+  1.74x spread; one small query's latency does not linearly predict
+  a 254-query suite). The r8 cpu anchor (10^7-row xxhash64 +
+  mod-1024 group-agg) is kept verbatim as the basket's cpu component
+  and still drives the anchor_before/after mid-run host-shift
+  diagnostic, but "normalized_value" is now value / basket_sec where
+  basket_sec is the mean of BEFORE and AFTER timings of a
+  THREE-shape basket, each component sized so timing noise is
+  relatively small:
+    * cpu    — the r8 anchor plan, unchanged (shuffle-heavy too:
+               a 1024-group exchange over 10^7 rows);
+    * scan   — full scan + filter + agg over a fixed 8M-row
+               6-column parquet written once per process from
+               spark.range (no SF dependence, byte-stable);
+    * python — Arrow Python-worker round-trip: mapInPandas over 2M
+               rows with a numpy transform, then an agg.
+  The normalized series restarts at r9 — r8's single-anchor values
+  are NOT comparable to it. Validation protocol (VERDICT r8 task 2):
+  two back-to-back same-code runs must show a normalized-total ratio
+  no further from 1.0 than the raw ratio; recorded in PERFORMANCE.md.
 
 Timing is end-to-end per query (plan + execute + noop-write); the
 noop sink executes the FULL plan (count() would let Catalyst elide
@@ -75,6 +90,81 @@ def _anchor_sec(spark) -> float:
     return round(statistics.median(_run() for _ in range(3)), 4)
 
 
+_SCAN_FIXTURE: list[str] = []  # one-per-process path memo
+
+
+def _basket_sec(spark) -> dict[str, float]:
+    """Median-of-3 wall time for each basket component (see module
+    docstring). Each plan is fixed-shape and engine-code-independent
+    so its cost tracks the HOST (CPU, page cache / IO, Python worker
+    fork+Arrow throughput), never the code under test."""
+    import tempfile
+
+    import pandas as pd_mod
+    from pyspark.sql import functions as F
+
+    if not _SCAN_FIXTURE:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="bench_anchor_"), "scan8m"
+        )
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(
+                "id",
+                (F.col("id") % 977).alias("k"),
+                (F.col("id") * 0.5).alias("x"),
+                (F.col("id") % 13).cast("double").alias("y"),
+                F.concat(F.lit("r"), F.col("id") % 10_000).alias("s"),
+                (F.col("id") % 2 == 0).alias("flag"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SCAN_FIXTURE.append(path)
+
+    def _scan() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(_SCAN_FIXTURE[0])
+            .where("flag AND k < 900")
+            .groupBy("s")
+            .agg(F.sum("x").alias("sx"), F.avg("y").alias("ay"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    def _py_batch(it):
+        import numpy as np
+
+        for pdf in it:
+            v = pdf["id"].to_numpy(dtype="float64")
+            yield pd_mod.DataFrame(
+                {"z": np.sqrt(v) + np.log1p(v % 4096)}
+            )
+
+    def _python() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .mapInPandas(_py_batch, "z double")
+            .agg(F.sum("z"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    out: dict[str, float] = {}
+    for name, fn in (("scan", _scan), ("python", _python)):
+        fn()  # untimed warm-up: codegen + (for python) worker pool
+        out[name] = round(
+            statistics.median(fn() for _ in range(3)), 4
+        )
+    return out
+
+
 def _loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -96,6 +186,7 @@ def main() -> None:
     qs = all_queries()
     load_before = _loadavg()
     anchor_before = _anchor_sec(spark)
+    basket_before = _basket_sec(spark)
     warmup = REPS < 3
 
     timings: dict[str, float] = {}
@@ -125,11 +216,20 @@ def main() -> None:
             timings[name] = -1.0
 
     anchor_after = _anchor_sec(spark)
+    basket_after = _basket_sec(spark)
     load_after = _loadavg()
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
     anchor = round((anchor_before + anchor_after) / 2.0, 4)
-    normalized = round(total / anchor, 2) if anchor > 0 else None
+    # Basket normalization (r9): cpu component = the anchor itself;
+    # basket_sec = mean of the before/after basket SUMS. normalized
+    # series restarts at r9 (see module docstring).
+    bsum_before = anchor_before + sum(basket_before.values())
+    bsum_after = anchor_after + sum(basket_after.values())
+    basket_sec = round((bsum_before + bsum_after) / 2.0, 4)
+    normalized = (
+        round(total / basket_sec, 2) if basket_sec > 0 else None
+    )
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -142,7 +242,11 @@ def main() -> None:
         "anchor_sec": anchor,
         "anchor_before": anchor_before,
         "anchor_after": anchor_after,
+        "basket_before": {"cpu": anchor_before, **basket_before},
+        "basket_after": {"cpu": anchor_after, **basket_after},
+        "basket_sec": basket_sec,
         "normalized_value": normalized,
+        "normalized_basis": "basket_r9",
         "spread_min_max": spreads,
         "load_before": load_before,
         "load_after": load_after,
@@ -180,7 +284,9 @@ def main() -> None:
                 "rep_stat": "median",
                 "warmup_rep": warmup,
                 "anchor_sec": anchor,
+                "basket_sec": basket_sec,
                 "normalized_value": normalized,
+                "normalized_basis": "basket_r9",
                 "load_before": load_before,
                 "load_after": load_after,
                 "queries": {**slowest, **failed},

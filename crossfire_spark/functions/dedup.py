@@ -2503,7 +2503,10 @@ def _d29_oracle() -> str:
 DEDUP_ORACLE_SQL["d29_lsh_param_planner"] = _d29_oracle()
 
 
-GUTTED_NUM = 1  # a doc is "gutted" when removed*2 > n_tokens (>50%)
+# A doc is "gutted" when the plan removes a strict majority of its
+# tokens: cut * GUTTED_MULT > n_tokens.  Single source of truth for
+# both the engine predicate and the oracle SQL (ADVICE r8).
+GUTTED_MULT = 2
 
 
 def span_removal_plan(d: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
@@ -2584,7 +2587,8 @@ def span_removal_plan(d: DataFrame, L: int = DUP_SPAN_L) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_total"),
             F.sum("cut").cast("long").alias("tokens_removed"),
             F.sum(
-                (F.col("cut") * 2 > F.col("n_tokens")).cast("long")
+                (F.col("cut") * GUTTED_MULT > F.col("n_tokens"))
+                .cast("long")
             ).cast("long").alias("n_docs_gutted"),
         )
         .select(
@@ -2629,6 +2633,146 @@ DEDUP_ORACLE_SQL["d30_span_removal_plan"] = f"""
                CAST(SUM(cut) AS BIGINT) tokens_removed,
                ROUND(ROUND(SUM(cut) / CAST(SUM(n_tokens) AS DOUBLE), 9)
                      + 1e-12, 6) + 0.0 removal_frac,
-               CAST(SUM(CASE WHEN cut * 2 > n_tokens THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN cut * {GUTTED_MULT} > n_tokens
+                             THEN 1 ELSE 0 END)
                     AS BIGINT) n_docs_gutted
         FROM pd GROUP BY source ORDER BY source"""
+
+
+# ------------------------------------------ cross-shard dup leakage
+# t35 plans the shards and d01/d02/q25 find the duplicates; this is
+# the audit that connects them: if the training pipeline dedups
+# SHARD-LOCALLY (the cheap, embarrassingly-parallel default), how
+# many duplicate documents slip through because their group straddles
+# shards? Exact-duplicate groups (full-text md5) x the t35 hash-mod
+# shard assignment -> per-shard leakage report. The decision output:
+# leak_share ~ 0 means shard-local dedup is safe; anything else
+# prices the global dedup pass.
+
+
+def shard_leakage_audit(docs: DataFrame) -> DataFrame:
+    """Per-shard cross-shard duplicate leakage (8 rows):
+
+    - n_docs          docs hash-assigned to the shard (t35 hm tier)
+    - n_dup_docs      docs in a full-text-md5 group with >= 2 members
+    - n_leaked        dup docs whose group KEEPER (min doc_id) hashes
+                      to a different shard — exactly the docs a
+                      shard-local keep-min pass keeps but a global
+                      pass would drop
+    - groups_rooted   dup groups whose keeper lives in this shard
+    - leak_share      n_leaked / n_dup_docs (NULL when no dup docs)
+
+    Scale shape: one fingerprint aggregate (map-side combinable
+    min/count per md5), one broadcast-sized join back on fp? No — the
+    group table is corpus-sized at worst, so the join is fp-keyed
+    shuffle-to-shuffle (both sides already hash-partitioned by the
+    groupBy), then ONE 8-row aggregate. All counts BIGINT; one final
+    division."""
+    from crossfire_spark.functions.text import SHARD_COUNT, SHARD_SEED, _hash_u16
+
+    base = spread(docs).select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (
+            F.pmod(
+                _hash_u16(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string"))),
+                F.lit(SHARD_COUNT),
+            )
+        ).cast("int").alias("shard"),
+    )
+    groups = base.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.min("doc_id").alias("keeper"),
+    )
+    keeper_shard = base.select(
+        F.col("doc_id").alias("keeper"), F.col("shard").alias("kshard")
+    )
+    tagged = (
+        base.join(groups, "fp")
+        .join(keeper_shard, "keeper")
+        .select(
+            "shard",
+            (F.col("gsize") > 1).alias("is_dup"),
+            ((F.col("gsize") > 1) & (F.col("shard") != F.col("kshard"))).alias(
+                "is_leak"
+            ),
+            ((F.col("gsize") > 1) & (F.col("shard") == F.col("kshard"))
+             & (F.col("doc_id") == F.col("keeper"))).alias("is_root"),
+        )
+    )
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+            F.sum(F.col("is_leak").cast("long")).alias("n_leaked"),
+            F.sum(F.col("is_root").cast("long")).alias("groups_rooted"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_dup_docs",
+            "n_leaked",
+            "groups_rooted",
+            stab(
+                F.when(
+                    F.col("n_dup_docs") > 0,
+                    F.col("n_leaked") / F.col("n_dup_docs"),
+                )
+            ).alias("leak_share"),
+        )
+    )
+
+
+def d31_shard_leakage_audit(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return shard_leakage_audit(d).orderBy(
+        "shard", "n_docs", "n_dup_docs", "n_leaked", "groups_rooted",
+        "leak_share",
+    )
+
+
+DEDUP_QUERIES["d31_shard_leakage_audit"] = d31_shard_leakage_audit
+
+
+def _d31_oracle() -> str:
+    from crossfire_spark.functions.text import SHARD_COUNT, SHARD_SEED, _u16_sql
+
+    operand = f"CONCAT('{SHARD_SEED}', CAST(doc_id AS VARCHAR))"
+    shard_expr = f"CAST({_u16_sql(operand)} % {SHARD_COUNT} AS INT)"
+    return f"""
+        WITH base AS (SELECT doc_id, md5(text) fp, {shard_expr} shard
+                      FROM documents),
+        groups AS (SELECT fp, COUNT(*) gsize, MIN(doc_id) keeper
+                   FROM base GROUP BY fp),
+        ks AS (SELECT doc_id keeper, shard kshard FROM base),
+        tagged AS (
+            SELECT b.shard,
+                   g.gsize > 1 is_dup,
+                   g.gsize > 1 AND b.shard != k.kshard is_leak,
+                   g.gsize > 1 AND b.shard = k.kshard
+                       AND b.doc_id = g.keeper is_root
+            FROM base b JOIN groups g USING (fp)
+                 JOIN ks k ON k.keeper = g.keeper)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   n_dup_docs,
+               CAST(SUM(CASE WHEN is_leak THEN 1 ELSE 0 END) AS BIGINT)
+                   n_leaked,
+               CAST(SUM(CASE WHEN is_root THEN 1 ELSE 0 END) AS BIGINT)
+                   groups_rooted,
+               ROUND(ROUND(CASE WHEN SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) > 0
+                                THEN CAST(SUM(CASE WHEN is_leak THEN 1 ELSE 0 END)
+                                          AS DOUBLE)
+                                     / SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                           END, 9) + 1e-12, 6) + 0.0 leak_share
+        FROM tagged GROUP BY shard
+        ORDER BY shard, n_docs, n_dup_docs, n_leaked, groups_rooted,
+                 leak_share"""
+
+
+DEDUP_ORACLE_SQL["d31_shard_leakage_audit"] = _d31_oracle()

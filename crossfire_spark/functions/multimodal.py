@@ -1119,3 +1119,86 @@ MULTIMODAL_ORACLE_SQL["m10_image_patches"] = f"""
                SUM(b) / {PATCH_H * PATCH_W}.0 m_b
         FROM pix GROUP BY doc_id, py, px
         ORDER BY media_id, py, px, m_r, m_g, m_b"""
+
+
+# --------------------------------------------- spectral band energy
+# m05 reports time-domain stats (RMS/peak/ZC); this is the frequency-
+# domain sibling every audio-curation pipeline wants next: per-clip
+# energy split across fixed bands. Implemented with the GOERTZEL
+# single-bin DFT recurrence (Goertzel 1958; the standard DTMF-decoder
+# algorithm) — O(n) per probed frequency, no FFT dependency, and the
+# whole kernel is scalar float64 arithmetic so a pure-Python
+# recompute pins it bit-for-bit (zlib/t36 discipline: Python-side
+# signal -> rows-only driver check + recompute test).
+GOERTZEL_FREQS = (250, 500, 1000, 2000)  # Hz at AUDIO_SR=8000
+
+
+def _goertzel_power(samples, freq: int, sr: int) -> float:
+    """Goertzel bin power at ``freq`` over centered 8-bit samples.
+    Plain Python floats end to end — the recompute test re-runs this
+    exact arithmetic; IEEE doubles make it equal bit-for-bit."""
+    import math
+
+    coeff = 2.0 * math.cos(2.0 * math.pi * freq / sr)
+    s1 = 0.0
+    s2 = 0.0
+    for x in samples:
+        s0 = float(x) - 128.0 + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
+    return s1 * s1 + s2 * s2 - coeff * s1 * s2
+
+
+def audio_band_energy(media: DataFrame) -> DataFrame:
+    """REAL decode → Goertzel band powers at GOERTZEL_FREQS, plus the
+    dominant band index (ties → lowest band). Powers are normalized
+    by n^2 (Goertzel magnitude scales with window length) and
+    stab-rounded to 6 dp."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, sr = decode_wav(bytes(content))
+                n = len(samples)
+                xs = [float(v) for v in samples]
+                powers = []
+                for fq in GOERTZEL_FREQS:
+                    p = _goertzel_power(xs, fq, sr) / float(n * n)
+                    powers.append(round(round(p, 9) + 1e-12, 6) + 0.0)
+                dom = max(
+                    range(len(GOERTZEL_FREQS)), key=lambda i: (powers[i], -i)
+                )
+                rows.append((mid, n, *powers, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples",
+                    *[f"e{fq}" for fq in GOERTZEL_FREQS],
+                    "dominant",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, n_samples long, "
+        + ", ".join(f"e{fq} double" for fq in GOERTZEL_FREQS)
+        + ", dominant int",
+    )
+
+
+def m11_goertzel_bands(spark, sf_dir):
+    """Frequency-domain audio features over real WAV bytes: synthesize
+    the m05 clips, decode, and probe four fixed bands with the
+    Goertzel recurrence. Python-side DSP -> rows-only driver check;
+    pinned by a pure-Python recompute test plus a planted-tone test
+    (a synthesized 1 kHz sine must dominate e1000) in
+    tests/test_multimodal_bands.py."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_band_energy(synthesize_wav_audio(docs)).orderBy(
+        "media_id", "n_samples", *[f"e{fq}" for fq in GOERTZEL_FREQS],
+        "dominant",
+    )
+
+
+MULTIMODAL_QUERIES["m11_goertzel_bands"] = m11_goertzel_bands

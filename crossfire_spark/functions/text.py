@@ -2613,3 +2613,105 @@ def t36_compression_quality(spark, sf_dir):
 
 
 TEXT_QUERIES["t36_compression_quality"] = t36_compression_quality
+
+
+# ------------------------------------------- vocabulary coverage curve
+# t25 lists the heavy hitters and t27 fits the Zipf exponent; the
+# question a tokenizer/vocab designer actually asks sits between
+# them: "what fraction of the corpus TOKEN MASS do the top-N types
+# cover?" (the coverage curve behind every vocab-size ablation —
+# e.g. SentencePiece's vocab sweeps). Four fixed N cut points, one
+# curve row each.
+COVERAGE_NS = (100, 300, 1000, 3000)
+
+
+def vocab_coverage(d: DataFrame) -> DataFrame:
+    """Top-N type coverage of corpus token mass at the COVERAGE_NS
+    cut points: (top_n, vocab_n, covered_tokens, total_tokens,
+    coverage). vocab_n < top_n when the vocabulary is smaller than
+    the cut point.
+
+    Scale shape: ONE vocab-keyed count aggregate (map-side
+    combinable), then ``orderBy(c desc, w).limit(max_n)`` — Spark
+    plans sort+limit as a distributed TakeOrdered (per-partition
+    top-k + driver merge of max_n rows), NOT a global sort; the
+    ranking window after it runs over <= max_n rows (bounded, single
+    partition by declaration). Counts stay BIGINT end to end; the
+    single division happens per output row. Deterministic tiebreak
+    (c DESC, w ASC) everywhere."""
+    toks = spread(d).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total_tokens"))
+    top = counts.orderBy(F.col("c").desc(), "w").limit(max(COVERAGE_NS))
+    from pyspark.sql import Window
+
+    ranked = top.select(
+        "w",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rn"),
+    )
+    ns = F.array(*[F.lit(n) for n in COVERAGE_NS])
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return (
+        ranked.select(
+            "c", "rn", F.explode(ns).alias("top_n")
+        )
+        .where(F.col("rn") <= F.col("top_n"))
+        .groupBy("top_n")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_n"),
+            F.sum("c").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .where(F.col("total_tokens") > 0)
+        .select(
+            "top_n",
+            "vocab_n",
+            "covered_tokens",
+            "total_tokens",
+            stab(F.col("covered_tokens") / F.col("total_tokens")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def t37_vocab_coverage(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d).orderBy(
+        "top_n", "vocab_n", "covered_tokens", "total_tokens", "coverage"
+    )
+
+
+TEXT_QUERIES["t37_vocab_coverage"] = t37_vocab_coverage
+
+TEXT_ORACLE_SQL["t37_vocab_coverage"] = f"""
+        WITH counts AS (
+            SELECT w, COUNT(*) c
+            FROM (SELECT unnest(string_split(lower(text), ' ')) w
+                  FROM documents)
+            GROUP BY w),
+        tot AS (SELECT SUM(c) total_tokens FROM counts),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) rn
+            FROM counts QUALIFY rn <= {max(COVERAGE_NS)}),
+        cuts AS (SELECT unnest(ARRAY{list(COVERAGE_NS)}) top_n)
+        SELECT r.top_n, CAST(r.vocab_n AS BIGINT) vocab_n,
+               CAST(r.covered_tokens AS BIGINT) covered_tokens,
+               CAST(t.total_tokens AS BIGINT) total_tokens,
+               ROUND(ROUND(CAST(r.covered_tokens AS DOUBLE)
+                           / CAST(t.total_tokens AS DOUBLE), 9)
+                     + 1e-12, 6) + 0.0 coverage
+        FROM (SELECT cuts.top_n, COUNT(*) vocab_n, SUM(c) covered_tokens
+              FROM ranked JOIN cuts ON ranked.rn <= cuts.top_n
+              GROUP BY cuts.top_n) r
+        CROSS JOIN tot t
+        WHERE t.total_tokens > 0
+        ORDER BY top_n, vocab_n, covered_tokens, total_tokens, coverage"""

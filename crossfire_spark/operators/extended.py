@@ -2972,3 +2972,150 @@ EXTENDED_ORACLE_SQL["v17_mutual_information"] = f"""
         SELECT n, k_x, k_y, k_xy, h_x, h_y, mi, nmi,
                nmi > {NMI_DEPENDENT_THRESHOLD} AS dependent
         FROM fin ORDER BY n"""
+
+
+# ------------------------------------- classical seasonal decomposition
+# h11 profiles hour-of-day SHARES and h21 smooths with Holt-Winters;
+# neither answers the decomposition question a capacity planner asks
+# first: "after removing the trend, what is each hour's additive
+# seasonal effect?" (classical additive decomposition, the
+# moving-average method of Hyndman & Athanasopoulos, *Forecasting:
+# Principles and Practice* §3.4 — STL's loess is replaced by the
+# textbook centered 2x24 MA, which IS the classical method for an
+# even period).
+
+SD_PERIOD = 24  # hourly phase; centered 2x24 moving average
+SD_HALF = SD_PERIOD // 2
+
+
+def seasonal_decompose(e: DataFrame) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-event-type
+    HOURLY value series: trend = centered 2x24 MA, detrended = y -
+    trend, seasonal(hod) = mean detrended at that hour-of-day phase,
+    plus the centered variant (seasonal - overall mean detrended).
+    Gaps collapse to observation rank (the MA slides over observed
+    hours) — declared, deterministic, and what a rank-indexed audit
+    wants; phase still comes from the real wall-clock hour.
+
+    EXACT-ARITHMETIC SHAPE (the h21 integer-cents lesson, taken one
+    step further): the hourly level is an integer-cents BIGINT; both
+    MA half-window sums stay BIGINT inside the window frames (window
+    SUM over DOUBLE is summation-order-dependent and DuckDB's
+    segment-tree order differs from Spark's frame iteration); the
+    detrended value is held as the EXACT integer numerator
+    det4800 = 48*cents - (S1+S2) over the common denominator 4800,
+    so the per-phase group sums are again order-independent BIGINTs.
+    Exactly TWO float divisions happen, both last. No sum of squares
+    anywhere: det4800^2 would overflow BIGINT around hourly sums of
+    ~2e8 cents, so variance-explained is deliberately NOT reported.
+
+    Scale shape: one shuffle to hourly grain (map-side combinable),
+    one window per series key (a series is one partition's worth of
+    hourly rows — years fit in memory), one 24-row-per-key aggregate.
+    Output is k_types x 24 rows."""
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("skey").orderBy("b")
+    s1 = w.rowsBetween(-SD_HALF, SD_HALF - 1)
+    s2 = w.rowsBetween(-(SD_HALF - 1), SD_HALF)
+    framed = hourly.select(
+        "skey",
+        F.hour("b").alias("hod"),
+        "cents",
+        F.sum("cents").over(s1).alias("s1"),
+        F.count("cents").over(s1).alias("c1"),
+        F.sum("cents").over(s2).alias("s2"),
+        F.count("cents").over(s2).alias("c2"),
+    )
+    det = framed.where(
+        (F.col("c1") == SD_PERIOD) & (F.col("c2") == SD_PERIOD)
+    ).select(
+        "skey",
+        "hod",
+        (
+            F.col("cents") * (2 * SD_PERIOD) - (F.col("s1") + F.col("s2"))
+        ).alias("det4800"),
+    )
+    per_hod = det.groupBy("skey", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("det4800").alias("dsum"),
+    )
+    overall = det.groupBy("skey").agg(
+        F.count(F.lit(1)).alias("tn"),
+        F.sum("det4800").alias("tsum"),
+    )
+    denom = float(2 * SD_PERIOD * 100)  # 4800: cents x 2x24-MA scale
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    raw = F.col("dsum") / (F.lit(denom) * F.col("n_obs"))
+    mean_all = F.col("tsum") / (F.lit(denom) * F.col("tn"))
+    return per_hod.join(overall, "skey").select(
+        "skey",
+        "hod",
+        "n_obs",
+        stab(raw).alias("seasonal"),
+        stab(raw - mean_all).alias("seasonal_centered"),
+    )
+
+
+def h22_seasonal_decompose(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_decompose(e).orderBy(
+        "skey", "hod", "n_obs", "seasonal", "seasonal_centered"
+    )
+
+
+EXTENDED_QUERIES["h22_seasonal_decompose"] = h22_seasonal_decompose
+
+EXTENDED_ORACLE_SQL["h22_seasonal_decompose"] = f"""
+        WITH hourly AS (
+            SELECT event_type skey,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) cents
+            FROM events GROUP BY 1, 2),
+        framed AS (
+            SELECT skey, CAST(HOUR(b) AS INT) hod, cents,
+                   SUM(cents) OVER (PARTITION BY skey ORDER BY b
+                       ROWS BETWEEN {SD_HALF} PRECEDING
+                                AND {SD_HALF - 1} FOLLOWING) s1,
+                   COUNT(cents) OVER (PARTITION BY skey ORDER BY b
+                       ROWS BETWEEN {SD_HALF} PRECEDING
+                                AND {SD_HALF - 1} FOLLOWING) c1,
+                   SUM(cents) OVER (PARTITION BY skey ORDER BY b
+                       ROWS BETWEEN {SD_HALF - 1} PRECEDING
+                                AND {SD_HALF} FOLLOWING) s2,
+                   COUNT(cents) OVER (PARTITION BY skey ORDER BY b
+                       ROWS BETWEEN {SD_HALF - 1} PRECEDING
+                                AND {SD_HALF} FOLLOWING) c2
+            FROM hourly),
+        det AS (
+            SELECT skey, hod,
+                   cents * {2 * SD_PERIOD} - (s1 + s2) det4800
+            FROM framed
+            WHERE c1 = {SD_PERIOD} AND c2 = {SD_PERIOD}),
+        per_hod AS (
+            SELECT skey, hod, CAST(COUNT(*) AS BIGINT) n_obs,
+                   SUM(det4800) dsum
+            FROM det GROUP BY skey, hod),
+        overall AS (
+            SELECT skey, CAST(COUNT(*) AS BIGINT) tn, SUM(det4800) tsum
+            FROM det GROUP BY skey)
+        SELECT p.skey, p.hod, p.n_obs,
+               ROUND(ROUND(CAST(p.dsum AS DOUBLE)
+                           / ({2 * SD_PERIOD * 100}.0 * p.n_obs), 9)
+                     + 1e-12, 6) + 0.0 seasonal,
+               ROUND(ROUND(CAST(p.dsum AS DOUBLE)
+                           / ({2 * SD_PERIOD * 100}.0 * p.n_obs)
+                           - CAST(o.tsum AS DOUBLE)
+                             / ({2 * SD_PERIOD * 100}.0 * o.tn), 9)
+                     + 1e-12, 6) + 0.0 seasonal_centered
+        FROM per_hod p JOIN overall o USING (skey)
+        ORDER BY skey, hod, n_obs, seasonal, seasonal_centered"""

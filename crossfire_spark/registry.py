@@ -24,62 +24,76 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # driver's sample spans the whole engine; remaining keys follow in
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
-    # r8 rotation (VERDICT r7 task 1): the 16 slots with >=3 driver
-    # hashes (q07 x6, q50 x5, j01/a01/r01 x4, s15/g08/h11/v11/v06/
-    # t23/g05/a03/t13/s11/m04 x3) rotate OUT for 14 oracled keys the
-    # driver has NEVER hashed plus the two new r8 recall audits
-    # (rows-only, same-commit rotation discipline).
-    # relational — q56 (grouping-sets tier) never driver-hashed
-    "q56",
-    # as-of extension — a02 never driver-hashed
+    # r9 rotation (VERDICT r8 task 1). Ledger correction first
+    # (ADVICE r8): the r8 comment understated its own rotation — the
+    # full displaced set in r8 was SEVEN keys: v08, t10, st02 (as
+    # stated) plus t19_token_stats, h19_forecast_backtest,
+    # h09_lttb_downsample, st07_stream_upsert (displaced by
+    # d29/t36/d30/st22).
+    #
+    # r9 rotation proper: 23 keys with >=2 driver hashes each and no
+    # code change since their last hash rotate OUT —
+    #   d24_bloom_decontam(x2) d13_build_index(x2)
+    #   s22_ivf_pq_residual(x2) st19_stream_cdc_apply(x2)
+    #   h18_scd2_intervals(x2) st20_stream_scd2(x2) v16_ks_test(x2)
+    #   h20_forecast_anomaly(x2) t15_split_assign(x2)
+    #   t18_corpus_build(x2) t21_stratified_sample(x3)
+    #   t33_tokenizer_fertility(x2) s23_matryoshka_eval(x2)
+    #   g04_kcore(x3) m10_image_patches(x2) p01_verify_placement(x4)
+    #   p04_verify_fast(x4) st03_session_window(x2)
+    #   st05_stream_static(x2) st08_stream_dedup(x2)
+    #   st12_stream_matview(x2) st15_stream_anomaly(x2)
+    #   st17_stream_funnel(x2)
+    # — for 23 oracled keys the driver has NEVER hashed (r1-r8),
+    # family-interleaved per the VERDICT r8 priority list. Keys first
+    # hashed in r8 keep one round of continuity; d26 stays because
+    # its rep-materialization changed this round (VERDICT r8 task 5)
+    # and the new path needs a driver hash.
+    #
+    # relational — q61/q64/q65 never driver-hashed
+    "q61", "q64", "q65",
+    # as-of — a02 continuity
     "a02_asof_forward",
-    # dedup family: exact weighted tier + shared-span, never hashed;
-    # d24/d13/d26 keep their single-hash continuity
-    "d15_sparse_cosine", "d23_longest_shared_span",
-    "d24_bloom_decontam", "d13_build_index",
+    # dedup — d14/d17/d19/d22 never hashed; d15/d23/d26-d30 stay
+    "d14_containment", "d17_hashed_decontam",
+    "d19_dedup_keep_best", "d22_anchor_positives",
+    "d31_shard_leakage_audit",  # r9 addition, displaces d15
+    "d23_longest_shared_span",
     "d26_threshold_sweep",
-    # r8 additions — every new operator enters the sample in the
-    # round it ships (VERDICT r6 task 8); d27/d28 rows-only driver
-    # check; h21/g13/t34 fully oracled (they displace their r7-hashed
-    # unchanged twins h17/g12/v15)
     "d27_simhash_recall_audit", "d28_srp_recall_audit",
+    "d29_lsh_param_planner", "d30_span_removal_plan",
+    # r9 additions enter the sample in their shipping round (r6 task
+    # 8 discipline), each displacing a single-r8-hashed, unchanged
+    # key: h22 displaces q56
+    "h22_seasonal_decompose",
+    # time-series / graph / text r8 additions keep continuity
     "h21_holt_winters", "g13_weighted_shortest_path",
-    "t34_token_budget_mix",
-    # r8 late additions — same-commit rotation: v17/t35/st21 displace
-    # their r7-hashed, since-unchanged twins v08/t10/st02
-    "v17_mutual_information", "t35_shard_manifest",
-    "st21_late_data_audit", "d29_lsh_param_planner",
-    "t36_compression_quality", "d30_span_removal_plan",
-    "st22_stateful_sessions",
-    # round-7 additions keep one more round of hash continuity
-    # (st19/st20 kept despite r7 hashes: their state store switched
-    # to the bucketed MERGE this round — re-hash the new path)
-    "s22_ivf_pq_residual",
-    "st19_stream_cdc_apply",
-    "h18_scd2_intervals", "st20_stream_scd2", "v16_ks_test",
-    "h20_forecast_anomaly",
-    # text pipeline — t24/t26 never driver-hashed; t10/t15/t18/t19
-    # (first hashed r7) keep continuity
-    "t24_ngram_novelty", "t26_sentence_dedup",
-    "t15_split_assign", "t18_corpus_build",
-    "t21_stratified_sample", "t33_tokenizer_fertility",
-    # similarity / ANN — s09/s19 never driver-hashed
-    "s09_pq_topk", "s19_hard_negatives", "s23_matryoshka_eval",
-    # validation — v05/v12 never driver-hashed
-    "v05_gopher_rules", "v12_fd_audit",
-    # time-series / scalar-fn extensions
-    # graph — g06 never driver-hashed; g04 stays
-    "g06_labelprop_communities", "g04_kcore",
-    # multimodal — m07 never driver-hashed; m10 keeps continuity
-    "m07_image_neardup", "m10_image_patches",
-    # placement domain
-    "p01_verify_placement", "p04_verify_fast",
-    # streaming — st09/st13 never driver-hashed; the 8 first hashed
-    # in r7 keep continuity
+    "t34_token_budget_mix", "t35_shard_manifest",
+    "t36_compression_quality",
+    # validation — v13/v14 never hashed; v05/v12/v17 continuity
+    "v13_split_drift", "v14_dup_label_consistency",
+    "v05_gopher_rules", "v12_fd_audit", "v17_mutual_information",
+    # text — t25/t27/t28 never hashed; t26 continuity; r9 addition
+    # t37 displaces t24 (single r8 hash, unchanged)
+    "t25_heavy_hitters", "t27_zipf_fit", "t28_readability",
+    "t37_vocab_coverage", "t26_sentence_dedup",
+    # similarity / ANN — s12/s18/s20/s21 never hashed; s09/s19 stay
+    "s12_range_search", "s18_density_clusters",
+    "s20_ivf_pq_topk", "s21_ivf_pq_index",
+    "s09_pq_topk", "s19_hard_negatives",
+    # graph — g10/g11 never hashed; g06 continuity
+    "g10_assortativity", "g11_clustering_coefficient",
+    "g06_labelprop_communities",
+    # multimodal — m08/m09 never hashed; r9 addition m11 (rows-only
+    # driver check, the d27/d28 mold) displaces m07 (single r8 hash,
+    # unchanged)
+    "m08_audio_neardup", "m09_audio_vad_trim", "m11_goertzel_bands",
+    # streaming — st11/st16/st18 never hashed; st09/st13/st21/st22
+    # continuity
+    "st11_stream_pii", "st16_stream_topk",
+    "st18_stream_interval_merge",
     "st09_snapshot_merge_stream", "st13_stream_quality",
-    "st03_session_window", "st05_stream_static",
-    "st08_stream_dedup", "st12_stream_matview",
-    "st15_stream_anomaly", "st17_stream_funnel",
+    "st21_late_data_audit", "st22_stateful_sessions",
 )
 
 

@@ -973,6 +973,15 @@ def _write_arrival_files(tagged, nb: int, work: str, watch: str) -> None:
         files = sorted(
             f for f in os.listdir(pdir) if f.endswith(".parquet")
         )
+        # repartition(nb, "arrival") puts each arrival value in
+        # exactly one task, so each arrival dir must hold exactly one
+        # part-file; a task retry / speculative duplicate would leave
+        # more and silently drop rows from the replay if we took [0].
+        if len(files) > 1:
+            raise AssertionError(
+                f"arrival dir {pdir} has {len(files)} part-files; "
+                "replay fixture would drop rows"
+            )
         if files:
             dst = os.path.join(watch, f"arrival_{b}.parquet")
             shutil.move(os.path.join(pdir, files[0]), dst)
@@ -1279,6 +1288,16 @@ def st22_stateful_sessions(spark, sf_dir):
     session emits iff it has a successor session (same user) OR
     final_watermark_ms > last_event_ms + gap_ms, where
     final_watermark_ms = floor(max event µs / 1000) − delay.
+    Known 1 ms tie window vs that predicate (ADVICE r8): the engine
+    registers ``max(deadline, wm + 1)`` because Spark rejects a
+    timeout <= the current watermark; if a deadline ties the current
+    watermark exactly AND the final watermark lands at exactly wm+1,
+    Spark's strict ``watermark > timeout`` never fires while the
+    oracle emits. Unreachable on this fixture — event times are µs
+    ticks with second-scale gaps, so a deadline/watermark ms tie
+    combined with a 1 ms terminal advance does not occur — but real
+    deployments with ms-granular events should register the raw
+    deadline and rely on Spark's own >current-watermark validation.
 
     Scale shape: state = ONE (start, last, n, cents) tuple per ACTIVE
     user (timeouts bound it — evicted keys cost nothing); per batch

@@ -105,6 +105,7 @@ def test_registry_contract_consistency():
         "d25_dedup_recall_audit",
         "d27_simhash_recall_audit",
         "d28_srp_recall_audit",
+        "m11_goertzel_bands",
         "p02_deletion_drain",
         "p03_choose_targets",
         "s02_lsh_topk",
@@ -115,7 +116,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 254 and len(osql) == 238
+    assert len(qs) == 258 and len(osql) == 241
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):
