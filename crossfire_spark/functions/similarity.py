@@ -2668,3 +2668,177 @@ def _d26_oracle() -> str:
 
 SIMILARITY_QUERIES["d26_threshold_sweep"] = d26_threshold_sweep
 SIMILARITY_ORACLE_SQL["d26_threshold_sweep"] = _d26_oracle()
+
+
+# ------------------------------------------ IVF probe-recall curve
+# d26 sweeps the dedup threshold and s23 sweeps MRL dims; this is the
+# third design curve an ANN deployment reads before fixing its
+# serving config: recall@k as a function of nprobe (the IVF
+# speed/recall knob — Johnson et al. 2019, "Billion-scale similarity
+# search with GPUs" ablate exactly this). Deterministic first-N
+# centroids (the fully-oracled s03 index variant) so every tier is
+# DuckDB-replayable end to end.
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_probe_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    sweep: tuple[int, ...] = PROBE_SWEEP,
+) -> DataFrame:
+    """Recall@k vs nprobe over the s03 IVF index: one row per tier
+    (n_probes, n_queries, n_hits, recall).
+
+    Scale shape: the exact top-k (the one O(N·|Q|) pass), the
+    assignment table, and the query→centroid ranking are each
+    materialized ONCE (``localCheckpoint`` — the d26/s23 shared-tier
+    discipline); every tier then reuses them, filtering the probe
+    ranking to rn <= p. Ranking keys identical to ``ivf_topk``
+    (dist 6 dp + cid tiebreak, sim 4 dp + vec_id tiebreak)."""
+    exact = (
+        cosine_topk(embeddings, queries, k=k)
+        .select(F.col("qid").alias("eqid"), F.col("vec_id").alias("ev"))
+        .localCheckpoint()
+    )
+    n_q = queries.count()
+    if n_q == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "n_probes int, n_queries long, n_hits long, recall double"
+        )
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist("embedding", "ce"), 6), F.col("cid")
+    )
+    assign = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+        .localCheckpoint()
+    )
+    qw = Window.partitionBy("qid").orderBy(
+        F.round(_sqdist("qe", "ce"), 6), F.col("cid")
+    )
+    pranked = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("prn", F.row_number().over(qw))
+        .where(F.col("prn") <= max(sweep))
+        .select("qid", "qe", "cid", "prn")
+        .localCheckpoint()
+    )
+    out = None
+    for p in sweep:
+        cand = (
+            assign.join(
+                pranked.where(F.col("prn") <= p), "cid"
+            )
+            .where(F.col("vec_id") != F.col("qid"))
+        )
+        scored = cand.select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")),
+                4,
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        approx = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+        hits = approx.join(
+            exact,
+            (F.col("qid") == F.col("eqid"))
+            & (F.col("vec_id") == F.col("ev")),
+        ).count()
+        row = embeddings.sparkSession.createDataFrame(
+            [(p, n_q, hits)], "n_probes int, n_queries long, n_hits long"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "n_probes",
+        "n_queries",
+        "n_hits",
+        (
+            F.round(
+                F.round(
+                    F.col("n_hits") / (F.lit(float(k)) * F.col("n_queries")),
+                    9,
+                )
+                + F.lit(1e-12),
+                6,
+            )
+        ).alias("recall"),
+    )
+
+
+def s24_probe_recall_curve(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_probe_recall(em, _query_set(em)).orderBy(
+        "n_probes", "n_queries", "n_hits", "recall"
+    )
+
+
+def _s24_oracle() -> str:
+    tiers = []
+    for p in PROBE_SWEEP:
+        tiers.append(f"""
+        SELECT {p} n_probes, (SELECT COUNT(*) FROM q) n_queries,
+               (SELECT COUNT(*) FROM (
+                   SELECT a2.qid, a2.vec_id FROM (
+                       SELECT qid, vec_id FROM (
+                           SELECT pr.qid, a.vec_id,
+                                  ROW_NUMBER() OVER (PARTITION BY pr.qid
+                                      ORDER BY ROUND(list_cosine_similarity(
+                                          a.embedding::DOUBLE[], pr.qe), 4)
+                                          DESC, a.vec_id) rn
+                           FROM assign a JOIN pr
+                                ON a.cid = pr.cid AND pr.rn <= {p}
+                           WHERE a.vec_id != pr.qid)
+                       WHERE rn <= {TOPK}) a2
+                   JOIN ex ON ex.qid = a2.qid AND ex.vec_id = a2.vec_id))
+                   n_hits
+        WHERE EXISTS (SELECT 1 FROM q)""")
+    body = "\n        UNION ALL\n".join(tiers)
+    return f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe
+                   FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce
+                 FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+        assign AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_distance(e.embedding::DOUBLE[],
+                                                    c.ce) ^ 2, 6), c.cid) rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        pr AS (SELECT qid, qe, cid, rn FROM (
+            SELECT q.qid, q.qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ROUND(list_distance(q.qe, c.ce) ^ 2, 6),
+                                c.cid) rn
+            FROM q, cent c) WHERE rn <= {max(PROBE_SWEEP)}),
+        ex AS (SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qe), 4) DESC,
+                           e.vec_id) rn
+            FROM embeddings e, q WHERE e.vec_id != q.qid)
+            WHERE rn <= {TOPK}),
+        t AS ({body})
+        SELECT n_probes, n_queries, n_hits,
+               ROUND(ROUND(n_hits / ({TOPK}.0 * n_queries), 9) + 1e-12, 6)
+                   recall
+        FROM t ORDER BY n_probes, n_queries, n_hits, recall"""
+
+
+SIMILARITY_QUERIES["s24_probe_recall_curve"] = s24_probe_recall_curve
+SIMILARITY_ORACLE_SQL["s24_probe_recall_curve"] = _s24_oracle()

@@ -3119,3 +3119,203 @@ EXTENDED_ORACLE_SQL["h22_seasonal_decompose"] = f"""
                      + 1e-12, 6) + 0.0 seasonal_centered
         FROM per_hod p JOIN overall o USING (skey)
         ORDER BY skey, hod, n_obs, seasonal, seasonal_centered"""
+
+
+# --------------------------------------------- Spearman rank audit
+# v16 tests distribution equality and q46/g10 report PEARSON
+# correlation; the monotonicity audit between them is Spearman's
+# rank rho: rho_s >> rho_p flags a nonlinear-but-monotone relation,
+# rho_p >> rho_s flags outlier-driven correlation. Tie handling is
+# the textbook average-rank (fractional) form, carried as the exact
+# INTEGER 2*avg_rank = 2*rank_min + ties - 1 — correlation is
+# affine-invariant, so corr(r2x, r2y) IS rho_s with no float rank
+# arithmetic anywhere before the one corr() aggregate (rounded to
+# 4 dp with the g10 epsilon — the corr accumulator is the only
+# engine-specific float path).
+
+
+def spearman_audit(li: DataFrame) -> DataFrame:
+    """Per-returnflag Spearman vs Pearson correlation of
+    (l_quantity, l_extendedprice): n, rho_s, rho_p, and the
+    monotonicity gap rho_s - rho_p.
+
+    Scale shape: two window ranks per group key (each one sort within
+    the group's partitions — the same cost class as every ranked
+    window in the suite) + ONE corr/count aggregate. The integer
+    2*avg_rank keeps rank arithmetic exact; only corr() touches
+    floats."""
+    from pyspark.sql import Window
+
+    def r2(col: str) -> F.Column:
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 2
+        )
+
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        r2("l_quantity").alias("r2q"),
+        r2("l_extendedprice").alias("r2p"),
+    )
+
+    def stab4(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 6) + F.lit(1e-9), 4) + F.lit(0.0)
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.corr("r2q", "r2p").alias("rho_s_raw"),
+            F.corr("l_quantity", "l_extendedprice").alias("rho_p_raw"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            stab4(F.col("rho_s_raw")).alias("rho_s"),
+            stab4(F.col("rho_p_raw")).alias("rho_p"),
+            stab4(F.col("rho_s_raw") - F.col("rho_p_raw")).alias(
+                "monotone_gap"
+            ),
+        )
+    )
+
+
+def v18_spearman_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_audit(li).orderBy(
+        "l_returnflag", "n", "rho_s", "rho_p", "monotone_gap"
+    )
+
+
+EXTENDED_QUERIES["v18_spearman_audit"] = v18_spearman_audit
+
+EXTENDED_ORACLE_SQL["v18_spearman_audit"] = """
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity, l_extendedprice,
+                   2 * RANK() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity)
+                     + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                      l_quantity) - 2 r2q,
+                   2 * RANK() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice)
+                     + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                      l_extendedprice) - 2 r2p
+            FROM lineitem)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) n,
+               ROUND(ROUND(corr(r2q, r2p), 6) + 1e-9, 4) + 0.0 rho_s,
+               ROUND(ROUND(corr(l_quantity, l_extendedprice), 6)
+                     + 1e-9, 4) + 0.0 rho_p,
+               ROUND(ROUND(corr(r2q, r2p)
+                           - corr(l_quantity, l_extendedprice), 6)
+                     + 1e-9, 4) + 0.0 monotone_gap
+        FROM ranked GROUP BY l_returnflag
+        ORDER BY l_returnflag, n, rho_s, rho_p, monotone_gap"""
+
+
+# ---------------------------------------------------- SAX symbols
+# h22 decomposes the hourly series; h23 DISCRETIZES it: Piecewise
+# Aggregate Approximation + symbol assignment (SAX — Lin, Keogh,
+# Lonardi & Chiu 2003, "A Symbolic Representation of Time Series").
+# Classic SAX z-normalizes and uses Gaussian breakpoints; the
+# z-norm's sum-of-squares is an engine-specific float accumulation,
+# so this variant uses per-series QUARTILE breakpoints over the PAA
+# means instead (DATA-adaptive breakpoints are a standard SAX
+# variant, and quartiles ride the proven v07 percentile ≡
+# quantile_cont equivalence). Everything before the one PAA division
+# and the quartile interpolation is exact BIGINT.
+
+SAX_SEG_HOURS = 4  # PAA segment length (hours per symbol)
+
+
+def sax_symbols(e: DataFrame) -> DataFrame:
+    """PAA + quartile-SAX over the per-event-type hourly cents
+    series: one row per (skey, seg) with the segment's hour count,
+    PAA mean (stab 6 dp) and symbol a/b/c/d (a = lowest quartile).
+    Rank-indexed like h22 (gaps collapse); segments are full by
+    construction except each series' tail.
+
+    Scale shape: hourly rollup shuffle, one rank window per series,
+    one segment aggregate, one 3-number-per-series quartile table
+    broadcast back. Symbols compare UNROUNDED doubles against the
+    quartiles — both are bit-identical across engines because their
+    inputs (exact integer sums, one division, linear interpolation)
+    are."""
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("skey").orderBy("b")
+    seg = hourly.select(
+        "skey",
+        "cents",
+        ((F.row_number().over(w) - 1) / F.lit(SAX_SEG_HOURS))
+        .cast("long")
+        .alias("seg"),
+    )
+    paa = seg.groupBy("skey", "seg").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1)))).alias("paa"),
+    )
+    bp = paa.groupBy("skey").agg(
+        F.expr("percentile(paa, array(0.25, 0.5, 0.75))").alias("q")
+    )
+
+    def stab(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return paa.join(F.broadcast(bp), "skey").select(
+        "skey",
+        "seg",
+        "n_hours",
+        stab(F.col("paa")).alias("paa"),
+        F.when(F.col("paa") < F.col("q")[0], F.lit("a"))
+        .when(F.col("paa") < F.col("q")[1], F.lit("b"))
+        .when(F.col("paa") < F.col("q")[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )
+
+
+def h23_sax_symbols(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return sax_symbols(e).orderBy("skey", "seg", "n_hours", "paa", "symbol")
+
+
+EXTENDED_QUERIES["h23_sax_symbols"] = h23_sax_symbols
+
+EXTENDED_ORACLE_SQL["h23_sax_symbols"] = f"""
+        WITH hourly AS (
+            SELECT event_type skey,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) cents
+            FROM events GROUP BY 1, 2),
+        seg AS (
+            SELECT skey, cents,
+                   -- '//' (integer floor division): bare '/' is float
+                   -- division in DuckDB and CAST(double AS BIGINT)
+                   -- ROUNDS, splitting segments 3/5 instead of 4/4
+                   CAST((ROW_NUMBER() OVER (PARTITION BY skey ORDER BY b)
+                         - 1) // {SAX_SEG_HOURS} AS BIGINT) seg
+            FROM hourly),
+        paa AS (
+            SELECT skey, seg, CAST(COUNT(*) AS BIGINT) n_hours,
+                   CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) paa
+            FROM seg GROUP BY skey, seg),
+        bp AS (
+            SELECT skey, quantile_cont(paa, [0.25, 0.5, 0.75]) q
+            FROM paa GROUP BY skey)
+        SELECT p.skey, p.seg, p.n_hours,
+               ROUND(ROUND(p.paa, 9) + 1e-12, 6) + 0.0 paa,
+               CASE WHEN p.paa < q[1] THEN 'a'
+                    WHEN p.paa < q[2] THEN 'b'
+                    WHEN p.paa < q[3] THEN 'c'
+                    ELSE 'd' END symbol
+        FROM paa p JOIN bp USING (skey)
+        ORDER BY skey, seg, n_hours, paa, symbol"""

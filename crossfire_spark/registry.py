@@ -58,7 +58,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "d14_containment", "d17_hashed_decontam",
     "d19_dedup_keep_best", "d22_anchor_positives",
     "d31_shard_leakage_audit",  # r9 addition, displaces d15
-    "d23_longest_shared_span",
+    "h23_sax_symbols",  # r9 addition, displaces d23 (1 r8 hash)
     "d26_threshold_sweep",
     "d27_simhash_recall_audit", "d28_srp_recall_audit",
     "d29_lsh_param_planner", "d30_span_removal_plan",
@@ -70,17 +70,19 @@ _DRIVER_SAMPLE_PREFIX = (
     "h21_holt_winters", "g13_weighted_shortest_path",
     "t34_token_budget_mix", "t35_shard_manifest",
     "t36_compression_quality",
-    # validation — v13/v14 never hashed; v05/v12/v17 continuity
+    # validation — v13/v14 never hashed; v12/v17 continuity; r9
+    # addition v18 displaces v05 (single r8 hash, unchanged)
     "v13_split_drift", "v14_dup_label_consistency",
-    "v05_gopher_rules", "v12_fd_audit", "v17_mutual_information",
+    "v18_spearman_audit", "v12_fd_audit", "v17_mutual_information",
     # text — t25/t27/t28 never hashed; t26 continuity; r9 addition
     # t37 displaces t24 (single r8 hash, unchanged)
     "t25_heavy_hitters", "t27_zipf_fit", "t28_readability",
     "t37_vocab_coverage", "t26_sentence_dedup",
-    # similarity / ANN — s12/s18/s20/s21 never hashed; s09/s19 stay
+    # similarity / ANN — s12/s18/s20/s21 never hashed; s09 stays; r9
+    # addition s24 displaces s19 (single r8 hash, unchanged)
     "s12_range_search", "s18_density_clusters",
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
-    "s09_pq_topk", "s19_hard_negatives",
+    "s09_pq_topk", "s24_probe_recall_curve",
     # graph — g10/g11 never hashed; g06 continuity
     "g10_assortativity", "g11_clustering_coefficient",
     "g06_labelprop_communities",
