@@ -518,7 +518,11 @@ def g06_labelprop_communities(spark, sf_dir):
     return label_propagation(doc_link_graph(d)).orderBy("node", "community")
 
 
-def _lp_oracle() -> str:
+def _lp_chain() -> tuple[str, str]:
+    """The shared label-propagation CTE chain (graph build + LP_ROUNDS
+    unrolled synchronous rounds) and the name of its final label CTE —
+    used verbatim by BOTH the g06 oracle and the g14 modularity oracle
+    so the two statements can never disagree about the partition."""
     rounds = ""
     prev = "l0"
     for i in range(1, LP_ROUNDS + 1):
@@ -529,7 +533,7 @@ def _lp_oracle() -> str:
                  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
                                             ORDER BY c DESC, lbl) = 1)"""
         prev = f"l{i}"
-    return f"""
+    chain = f"""
         WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
         edges AS (
             SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
@@ -538,7 +542,13 @@ def _lp_oracle() -> str:
         und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
                 FROM edges WHERE src <> dst),
         adj AS (SELECT a node, b nbr FROM und UNION ALL SELECT b, a FROM und),
-        l0 AS (SELECT DISTINCT node, node lbl FROM adj){rounds}
+        l0 AS (SELECT DISTINCT node, node lbl FROM adj){rounds}"""
+    return chain, prev
+
+
+def _lp_oracle() -> str:
+    chain, prev = _lp_chain()
+    return f"""{chain}
         SELECT node, lbl community FROM {prev}
         ORDER BY node, community"""
 
@@ -1126,3 +1136,119 @@ GRAPH_ORACLE_SQL["g13_weighted_shortest_path"] = f"""
             WHERE p.hops < {G13_HOPS})
         SELECT node, CAST(MIN(dist) AS BIGINT) dist FROM paths
         GROUP BY node ORDER BY node, dist"""
+
+
+# --------------------------------------------------- g14 modularity
+# g06 produces a community partition; g14 AUDITS it — the design-curve
+# discipline of d26/s23/s24 applied to the graph family. Newman
+# modularity (Newman & Girvan 2004, "Finding and evaluating community
+# structure in networks", Phys. Rev. E 69) decomposes as
+#   Q = sum_c [ e_c / m  -  (D_c / 2m)^2 ]
+# where e_c = intra-community edge count, D_c = total degree of the
+# community's nodes, m = |edges|. Everything is exact BIGINT until the
+# two divisions per output row, so the per-community contribution is
+# engine-deterministic under the suite's 9->6 dp stab.
+
+
+def modularity(edges: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition of the g06
+    label-propagation partition: (community, n_nodes, intra_edges,
+    deg_sum, q_contrib) with sum(q_contrib) = Newman's Q.
+
+    Scale shape: the LP rounds are g06's cost (node/label-keyed
+    shuffles); the audit itself adds one edge->label equi-join per
+    endpoint (edge-keyed shuffles), one degree aggregate, and two
+    community-keyed aggregates — no windows, no pair explosion. m
+    rides in as a 1-row broadcast aggregate (never a cartesian). The
+    undirected closure is recomputed from the closed-form edge
+    projection rather than threaded out of ``label_propagation`` —
+    one extra distinct over edge cardinality, the price of leaving
+    g06's proven code path untouched."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # reused by m, intra, and the degree table
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = label_propagation(edges)
+    m1 = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    degc = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("deg_sum"))
+    )
+
+    def stab6(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    half = F.col("deg_sum") / (F.lit(2.0) * F.col("m"))
+    return (
+        degc.join(intra, "community", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("intra_edges").cast("long").alias("intra_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            stab6(F.col("intra_edges") / F.col("m") - half * half).alias(
+                "q_contrib"
+            ),
+        )
+    )
+
+
+def g14_modularity(spark, sf_dir):
+    """Modularity audit of g06's label-propagation communities over
+    the synthetic document link graph — the oracle reuses g06's exact
+    CTE chain (same partition by construction) and states the same
+    e_c/m - (D_c/2m)^2 arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return modularity(doc_link_graph(d)).orderBy(
+        "community", "n_nodes", "intra_edges", "deg_sum", "q_contrib"
+    )
+
+
+def _modularity_oracle() -> str:
+    chain, prev = _lp_chain()
+    return f"""{chain},
+        labels AS (SELECT node, lbl community FROM {prev}),
+        m1 AS (SELECT COUNT(*) m FROM und),
+        deg AS (SELECT node, COUNT(*) deg FROM adj GROUP BY node),
+        intra AS (SELECT la.community community, COUNT(*) intra_edges
+                  FROM und JOIN labels la ON und.a = la.node
+                           JOIN labels lb ON und.b = lb.node
+                  WHERE la.community = lb.community
+                  GROUP BY 1),
+        degc AS (SELECT l.community, COUNT(*) n_nodes, SUM(d.deg) deg_sum
+                 FROM deg d JOIN labels l ON d.node = l.node
+                 GROUP BY 1)
+        SELECT dc.community,
+               CAST(dc.n_nodes AS BIGINT) n_nodes,
+               CAST(COALESCE(i.intra_edges, 0) AS BIGINT) intra_edges,
+               CAST(dc.deg_sum AS BIGINT) deg_sum,
+               ROUND(ROUND(COALESCE(i.intra_edges, 0) / CAST(m AS DOUBLE)
+                           - (dc.deg_sum / (2.0 * m))
+                             * (dc.deg_sum / (2.0 * m)), 9)
+                     + 1e-12, 6) + 0.0 q_contrib
+        FROM degc dc LEFT JOIN intra i USING (community) CROSS JOIN m1
+        ORDER BY community, n_nodes, intra_edges, deg_sum, q_contrib"""
+
+
+GRAPH_QUERIES["g14_modularity"] = g14_modularity
+GRAPH_ORACLE_SQL["g14_modularity"] = _modularity_oracle()

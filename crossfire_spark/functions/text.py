@@ -2715,3 +2715,190 @@ TEXT_ORACLE_SQL["t37_vocab_coverage"] = f"""
         CROSS JOIN tot t
         WHERE t.total_tokens > 0
         ORDER BY top_n, vocab_n, covered_tokens, total_tokens, coverage"""
+
+
+# ------------------------------------------------ t38 Stupid Backoff
+# The distributed-scale LM score (Brants, Popat, Xu, Och & Dean 2007,
+# "Large Language Models in Machine Translation" — Stupid Backoff is
+# THE smoothing designed for MapReduce-scale count tables: no
+# discounting pass, just raw-count ratios with a fixed 0.4 backoff
+# penalty). One order up from t14's add-one bigram: held-out trigram
+# scoring with genuine backoff — the model trains on the EVEN half of
+# the corpus (doc_id % 2 = 0) and scores the ODD half, so unseen
+# trigrams/bigrams actually occur and the backoff cascade is
+# exercised, not dead code:
+#   S(w|u,v) = c(uvw)/c(uv)        if c(uvw) > 0
+#            = 0.4  * c(vw)/c(v)   else if c(vw) > 0
+#            = 0.16 * c(w)/N       else if c(w) > 0   (0.4^2, literal)
+#            = OOV (excluded from the mean, counted exactly)
+
+
+def _trigram_instances(df, text_col: str = "text"):
+    """(doc_id, u, v, w3) word-trigram instances via the indexed
+    ``transform`` lambda — array-side build, no positional self-join
+    (the t14 bigram pattern one order up)."""
+    words = F.split(F.lower(text_col), " ")
+    tris = F.transform(
+        F.slice(words, 1, F.size(words) - 2),
+        lambda w, i: F.struct(
+            w.alias("u"),
+            F.get(words, i + 1).alias("v"),
+            F.get(words, i + 2).alias("w3"),
+        ),
+    )
+    return (
+        df.where(F.size(words) >= 3)
+        .select("doc_id", F.explode(tris).alias("tg"))
+        .select(
+            "doc_id",
+            F.col("tg.u").alias("u"),
+            F.col("tg.v").alias("v"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+
+
+def stupid_backoff_scores(docs: "DataFrame") -> "DataFrame":
+    """Per held-out document: trigram count, exact BIGINT backoff-level
+    hit counts (tri/bi/uni/oov) and the mean ln S over non-OOV
+    trigrams (stab 6 -> 2 dp, the t08/t14 float discipline).
+
+    Scale shape: the model is three count aggregates over the train
+    half (trigram/bigram/unigram — map-side combinable) joined into
+    three model tables at model cardinality; scoring left-joins the
+    held-out instance stream to each on its own key — one shuffle per
+    order, the t14 plan one order up. At 100 TB the model is a capped
+    top-K table per order (the long tail backs off anyway, by
+    construction of Stupid Backoff), which broadcasts; here it
+    shuffle-joins. All ratios are BIGINT/BIGINT with the 0.4 / 0.16
+    penalties as decimal literals (0.16 is NOT written 0.4*0.4 — that
+    float product is 0.16000000000000003 and would diverge from the
+    oracle's literal)."""
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1)
+
+    tri = (
+        _trigram_instances(train)
+        .groupBy("u", "v", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi = (
+        _bigram_instances(train)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()  # feeds tri_model's denominator AND bi_model
+    )
+    uni = (
+        train.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()  # feeds bi_model's denominator AND uni_model
+    )
+    n_tok = uni.agg(F.sum("c1").alias("n"))
+
+    tri_model = tri.join(
+        bi.select(F.col("prev").alias("u"), F.col("cur").alias("v"), "c2"),
+        ["u", "v"],
+    ).select(
+        "u", "v", "w3", F.log(F.col("c3") * F.lit(1.0) / F.col("c2")).alias("lp3")
+    )
+    bi_model = bi.join(
+        uni.select(F.col("word").alias("prev"), "c1"), "prev"
+    ).select(
+        F.col("prev").alias("v"),
+        F.col("cur").alias("w3"),
+        F.log(F.lit(0.4) * F.col("c2") / F.col("c1")).alias("lp2"),
+    )
+    uni_model = uni.crossJoin(F.broadcast(n_tok)).select(
+        F.col("word").alias("w3"),
+        F.log(F.lit(0.16) * F.col("c1") / F.col("n")).alias("lp1"),
+    )
+
+    scored = (
+        _trigram_instances(held)
+        .join(tri_model, ["u", "v", "w3"], "left")
+        .join(bi_model, ["v", "w3"], "left")
+        .join(uni_model, ["w3"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("lp3", "lp2", "lp1").alias("lp"),
+            F.when(F.col("lp3").isNotNull(), 3)
+            .when(F.col("lp2").isNotNull(), 2)
+            .when(F.col("lp1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("lvl"),
+        )
+    )
+
+    def hits(level: int, name: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("lvl") == level, 1).otherwise(0)
+        ).cast("long").alias(name)
+
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        hits(3, "tri_hits"),
+        hits(2, "bi_hits"),
+        hits(1, "uni_hits"),
+        hits(0, "oov"),
+        F.round(F.round(F.avg("lp"), 6) + F.lit(1e-9), 2).alias("lp"),
+    )
+
+
+def t38_stupid_backoff(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return stupid_backoff_scores(d).orderBy(
+        "doc_id", "n_tri", "tri_hits", "bi_hits", "uni_hits", "oov", "lp"
+    )
+
+
+TEXT_QUERIES["t38_stupid_backoff"] = t38_stupid_backoff
+
+TEXT_ORACLE_SQL["t38_stupid_backoff"] = """
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        tr AS (SELECT doc_id, w FROM t WHERE doc_id % 2 = 0),
+        tri3 AS (SELECT tg.u u, tg.v v, tg.w3 w3
+                 FROM (SELECT unnest(list_transform(range(1, len(w) - 1),
+                                     i -> struct_pack(u := w[i], v := w[i+1],
+                                                      w3 := w[i+2]))) tg
+                       FROM tr WHERE len(w) >= 3)),
+        c3t AS (SELECT u, v, w3, COUNT(*) c3 FROM tri3 GROUP BY 1, 2, 3),
+        bi2 AS (SELECT bg.p p, bg.c c
+                FROM (SELECT unnest(list_transform(range(1, len(w)),
+                                    i -> struct_pack(p := w[i], c := w[i+1]))) bg
+                      FROM tr WHERE len(w) >= 2)),
+        c2t AS (SELECT p, c, COUNT(*) c2 FROM bi2 GROUP BY 1, 2),
+        c1t AS (SELECT word, COUNT(*) c1
+                FROM (SELECT unnest(w) word FROM tr) GROUP BY 1),
+        nt AS (SELECT SUM(c1) n FROM c1t),
+        tri_model AS (SELECT c3t.u, c3t.v, c3t.w3, ln(c3 * 1.0 / c2) lp3
+                      FROM c3t JOIN c2t ON c3t.u = c2t.p AND c3t.v = c2t.c),
+        bi_model AS (SELECT p v, c w3, ln(0.4 * c2 / c1) lp2
+                     FROM c2t JOIN c1t ON c2t.p = c1t.word),
+        uni_model AS (SELECT word w3, ln(0.16 * c1 / n) lp1
+                      FROM c1t CROSS JOIN nt),
+        sc AS (SELECT doc_id, tg.u u, tg.v v, tg.w3 w3
+               FROM (SELECT doc_id,
+                            unnest(list_transform(range(1, len(w) - 1),
+                                   i -> struct_pack(u := w[i], v := w[i+1],
+                                                    w3 := w[i+2]))) tg
+                     FROM t WHERE doc_id % 2 = 1 AND len(w) >= 3)),
+        scored AS (SELECT s.doc_id,
+                          COALESCE(t3.lp3, b2.lp2, u1.lp1) lp,
+                          CASE WHEN t3.lp3 IS NOT NULL THEN 3
+                               WHEN b2.lp2 IS NOT NULL THEN 2
+                               WHEN u1.lp1 IS NOT NULL THEN 1
+                               ELSE 0 END lvl
+                   FROM sc s
+                   LEFT JOIN tri_model t3
+                     ON s.u = t3.u AND s.v = t3.v AND s.w3 = t3.w3
+                   LEFT JOIN bi_model b2 ON s.v = b2.v AND s.w3 = b2.w3
+                   LEFT JOIN uni_model u1 ON s.w3 = u1.w3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tri,
+               CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) tri_hits,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) bi_hits,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) uni_hits,
+               CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) oov,
+               ROUND(ROUND(AVG(lp), 6) + 1e-9, 2) lp
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id, n_tri, tri_hits, bi_hits, uni_hits, oov, lp"""

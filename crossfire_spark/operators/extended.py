@@ -3290,7 +3290,10 @@ def h23_sax_symbols(spark, sf_dir):
 
 EXTENDED_QUERIES["h23_sax_symbols"] = h23_sax_symbols
 
-EXTENDED_ORACLE_SQL["h23_sax_symbols"] = f"""
+# the PAA/quartile CTE chain, shared verbatim by the h23 oracle and
+# the h24 motif oracle so the two statements can never disagree about
+# the discretization
+_SAX_CTE = f"""
         WITH hourly AS (
             SELECT event_type skey,
                    CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
@@ -3310,7 +3313,9 @@ EXTENDED_ORACLE_SQL["h23_sax_symbols"] = f"""
             FROM seg GROUP BY skey, seg),
         bp AS (
             SELECT skey, quantile_cont(paa, [0.25, 0.5, 0.75]) q
-            FROM paa GROUP BY skey)
+            FROM paa GROUP BY skey)"""
+
+EXTENDED_ORACLE_SQL["h23_sax_symbols"] = f"""{_SAX_CTE}
         SELECT p.skey, p.seg, p.n_hours,
                ROUND(ROUND(p.paa, 9) + 1e-12, 6) + 0.0 paa,
                CASE WHEN p.paa < q[1] THEN 'a'
@@ -3319,3 +3324,89 @@ EXTENDED_ORACLE_SQL["h23_sax_symbols"] = f"""
                     ELSE 'd' END symbol
         FROM paa p JOIN bp USING (skey)
         ORDER BY skey, seg, n_hours, paa, symbol"""
+
+
+# ------------------------------------------------- h24 SAX motifs
+# h23 discretizes the series; h24 MINES it: motif discovery over the
+# SAX word stream (Lin, Keogh, Lonardi & Chiu 2003 §5 / Chiu, Keogh
+# & Lonardi 2003, "Probabilistic Discovery of Time Series Motifs" —
+# repeated symbolic words locate recurring raw-series patterns).
+# Words are TUMBLING (4 consecutive segments, stride 4), which is
+# also how the motif literature excludes "trivial matches": a sliding
+# word trivially repeats against its own neighbors one offset over.
+
+MOTIF_W = 4  # SAX symbols per word
+
+
+def sax_motifs(e: DataFrame) -> DataFrame:
+    """Per (series, SAX word): occurrence count, first/last word
+    position, and the motif flag (word seen >= 2 times). Every word is
+    reported — never an empty result — with ``is_motif`` as an exact
+    0/1 BIGINT so the oracle compare stays integer.
+
+    Scale shape: h23's rollup + rank window per series, then three
+    LEADs over the SAME window (no extra shuffle — one sort serves
+    rank and leads), a modulo filter, and one (skey, word)-keyed
+    aggregate. Strings and BIGINTs end to end; the only floats are
+    inside h23's proven-bit-exact symbol assignment."""
+    from pyspark.sql import Window
+
+    sym = sax_symbols(e)
+    w = Window.partitionBy("skey").orderBy("seg")
+    words = (
+        sym.select(
+            "skey",
+            "seg",
+            "symbol",
+            F.lead("symbol", 1).over(w).alias("s1"),
+            F.lead("symbol", 2).over(w).alias("s2"),
+            F.lead("symbol", 3).over(w).alias("s3"),
+        )
+        .where((F.col("seg") % MOTIF_W == 0) & F.col("s3").isNotNull())
+        .select(
+            "skey",
+            (F.col("seg") / MOTIF_W).cast("long").alias("wseg"),
+            F.concat("symbol", "s1", "s2", "s3").alias("word"),
+        )
+    )
+    return words.groupBy("skey", "word").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("wseg").alias("first_wseg"),
+        F.max("wseg").alias("last_wseg"),
+        (F.count(F.lit(1)) >= 2).cast("long").alias("is_motif"),
+    )
+
+
+def h24_sax_motifs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return sax_motifs(e).orderBy(
+        "skey", "word", "n_occ", "first_wseg", "last_wseg", "is_motif"
+    )
+
+
+EXTENDED_QUERIES["h24_sax_motifs"] = h24_sax_motifs
+
+EXTENDED_ORACLE_SQL["h24_sax_motifs"] = f"""{_SAX_CTE},
+        sym AS (
+            SELECT p.skey, p.seg,
+                   CASE WHEN p.paa < q[1] THEN 'a'
+                        WHEN p.paa < q[2] THEN 'b'
+                        WHEN p.paa < q[3] THEN 'c'
+                        ELSE 'd' END symbol
+            FROM paa p JOIN bp USING (skey)),
+        lw AS (
+            SELECT skey, seg, symbol,
+                   LEAD(symbol, 1) OVER (PARTITION BY skey ORDER BY seg) s1,
+                   LEAD(symbol, 2) OVER (PARTITION BY skey ORDER BY seg) s2,
+                   LEAD(symbol, 3) OVER (PARTITION BY skey ORDER BY seg) s3
+            FROM sym),
+        words AS (
+            SELECT skey, CAST(seg // {MOTIF_W} AS BIGINT) wseg,
+                   symbol || s1 || s2 || s3 word
+            FROM lw WHERE seg % {MOTIF_W} = 0 AND s3 IS NOT NULL)
+        SELECT skey, word, CAST(COUNT(*) AS BIGINT) n_occ,
+               CAST(MIN(wseg) AS BIGINT) first_wseg,
+               CAST(MAX(wseg) AS BIGINT) last_wseg,
+               CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) is_motif
+        FROM words GROUP BY skey, word
+        ORDER BY skey, word, n_occ, first_wseg, last_wseg, is_motif"""

@@ -66,9 +66,16 @@ _DRIVER_SAMPLE_PREFIX = (
     # 8 discipline), each displacing a single-r8-hashed, unchanged
     # key: h22 displaces q56
     "h22_seasonal_decompose",
-    # time-series / graph / text r8 additions keep continuity
-    "h21_holt_winters", "g13_weighted_shortest_path",
-    "t34_token_budget_mix", "t35_shard_manifest",
+    # time-series / graph / text: late-r9 additions enter in their
+    # shipping round (r6 task 8 discipline), each displacing a
+    # single-r8-hashed, code-unchanged key — h24 displaces
+    # h21_holt_winters (h22/h23 keep the family covered), t38
+    # displaces t34_token_budget_mix, g14 displaces
+    # g06_labelprop_communities (g14 recomputes g06's full
+    # label-propagation chain as its input, so the displaced
+    # computation stays driver-covered through g14)
+    "h24_sax_motifs", "g13_weighted_shortest_path",
+    "t38_stupid_backoff", "t35_shard_manifest",
     "t36_compression_quality",
     # validation — v13/v14 never hashed; v12/v17 continuity; r9
     # addition v18 displaces v05 (single r8 hash, unchanged)
@@ -83,9 +90,9 @@ _DRIVER_SAMPLE_PREFIX = (
     "s12_range_search", "s18_density_clusters",
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
     "s09_pq_topk", "s24_probe_recall_curve",
-    # graph — g10/g11 never hashed; g06 continuity
+    # graph — g10/g11 never hashed; g14 audits (and recomputes) g06
     "g10_assortativity", "g11_clustering_coefficient",
-    "g06_labelprop_communities",
+    "g14_modularity",
     # multimodal — m08/m09 never hashed; r9 addition m11 (rows-only
     # driver check, the d27/d28 mold) displaces m07 (single r8 hash,
     # unchanged)
