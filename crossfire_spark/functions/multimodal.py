@@ -1202,3 +1202,93 @@ def m11_goertzel_bands(spark, sf_dir):
 
 
 MULTIMODAL_QUERIES["m11_goertzel_bands"] = m11_goertzel_bands
+
+
+# ---------------------------------------------------- m12 pHash DCT
+# m07's dHash compares adjacent pixels; m12 is the OTHER canonical
+# perceptual hash: pHash (Zauner 2010, "Implementation and
+# Benchmarking of Perceptual Image Hash Functions"; the pHash.org
+# algorithm) — resize to 32x32, 2D DCT-II, keep the low-frequency
+# 8x8 block minus the DC term, threshold each coefficient at the
+# block median. Brightness-invariant by construction: a uniform
+# offset moves ONLY the DC coefficient (the AC basis rows sum to
+# zero), and DC is excluded — so brightness-shifted renders of one
+# pattern hash identically and the cluster report equals GROUP BY
+# ``doc_id % DHASH_PATTERNS``, the same closed-form DuckDB oracle as
+# m07 over a genuinely different decode→DCT→threshold pipeline.
+
+PHASH_N = 32   # DCT input grid (pHash.org's 32)
+PHASH_LOW = 8  # low-frequency block kept (8x8 - DC = 63 bits)
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """(media_id, ph) — DCT perceptual hash over a binary image
+    column: REAL decode, nearest resize to 32x32, unnormalized 2D
+    DCT-II via two basis matmuls (closed-form cosine basis, no scipy),
+    63 low-frequency sign-vs-median bits as a hex string.
+
+    Determinism: coefficients are rounded to 6 dp before the median /
+    comparison so the ~1e-13 numerical residue of the (mathematically
+    zero) brightness leakage into AC terms can never flip a bit.
+
+    Scale shape: mapInPandas Arrow batches — blobs never shuffle; the
+    corpus reduces to (id, 16-hex-char hash) before any exchange,
+    identical to m07's discipline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = PHASH_N
+        x = np.arange(n)
+        basis = np.cos(np.pi * (2 * x[None, :] + 1) * x[:, None] / (2 * n))
+        for pdf in batches:
+            mids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                gray = arr.mean(axis=2)
+                small = resize_nearest(gray, n, n)
+                coef = basis @ small @ basis.T
+                low = np.round(
+                    coef[:PHASH_LOW, :PHASH_LOW].flatten()[1:], 6
+                )
+                med = np.median(low)
+                val = 0
+                for b in low > med:
+                    val = (val << 1) | int(b)
+                mids.append(mid)
+                hashes.append(f"{val:016x}")
+            yield pd.DataFrame({"media_id": mids, "ph": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema="media_id long, ph string"
+    )
+
+
+def m12_phash_dct(spark, sf_dir):
+    """Perceptual image dedup via pHash over the m07 synthetic corpus
+    (pattern + per-doc brightness): decode → 32x32 → DCT-II → 63
+    median-threshold bits → cluster on the hash. Brightness variants
+    of one pattern collapse into one cluster (DC excluded), distinct
+    patterns hash distinctly (deterministic in the construction,
+    pinned by the oracle match at every SF) — so the cluster report
+    equals GROUP BY ``doc_id % DHASH_PATTERNS`` exactly as m07's."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashes = phash_images(synthesize_gradient_images(docs))
+    return (
+        hashes.groupBy("ph")
+        .agg(
+            F.min("media_id").alias("cluster_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cluster_rep", "n_members")
+        .orderBy("cluster_rep", "n_members")
+    )
+
+
+MULTIMODAL_QUERIES["m12_phash_dct"] = m12_phash_dct
+
+MULTIMODAL_ORACLE_SQL["m12_phash_dct"] = f"""
+        SELECT MIN(doc_id) cluster_rep, COUNT(*) n_members
+        FROM documents
+        GROUP BY doc_id % {DHASH_PATTERNS}
+        ORDER BY cluster_rep, n_members"""

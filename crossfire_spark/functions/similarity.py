@@ -2842,3 +2842,118 @@ def _s24_oracle() -> str:
 
 SIMILARITY_QUERIES["s24_probe_recall_curve"] = s24_probe_recall_curve
 SIMILARITY_ORACLE_SQL["s24_probe_recall_curve"] = _s24_oracle()
+
+
+# ---------------------------------------------- s25 PQ distortion
+# The PQ family's missing AUDIT tier (the d26/s23/s24 design-curve
+# discipline): quantization distortion — the per-subspace mean
+# squared error between subvectors and their assigned codebook
+# entry. This is the quality metric Jegou, Douze & Schmid 2011
+# ("Product Quantization for Nearest Neighbor Search", §IV) report
+# for every PQ configuration: distortion is what the code budget
+# (M, K) buys down, and a subspace with outlier distortion is the
+# one that poisons ADC rankings.
+#
+# Float discipline (the h21 integer-cents move, applied to floats):
+# the assigned-code distance is rounded to 9 dp (the SAME rounding
+# s09's encode already applies before its argmin), scaled to exact
+# integer NANOS (x 1e9), and summed as BIGINT — so the cross-row
+# aggregation is order-independent and the only float division is
+# the final mse per subspace.
+
+
+def s25_pq_distortion(spark, sf_dir):
+    """Per PQ subspace: vector count, exact integer total squared
+    error in nanos, and the mean squared error — over the s09/s10
+    deterministic codebooks and the same rounded-argmin assignment.
+
+    Scale shape: ONE corpus pass (an Arrow-batched pandas_udf per
+    vector computes all M assigned distances against the broadcast
+    (M, K, d) codebook — the same closure shape as ``pq_encode``),
+    then posexplode to (s, nanos) and one 16-group aggregate. At
+    100 TB this is exactly the code-table build pass with an extra
+    16-long column; nothing new shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    if books is None:  # empty corpus — empty report, not a crash
+        return spark.createDataFrame(
+            [], "s long, n_vecs long, sq_nanos long, mse double"
+        )
+    B = np.asarray(books, dtype=np.float64)
+    m, _kk, d = B.shape
+
+    @pandas_udf("array<long>")
+    def _dist9(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64).reshape(len(v), m, d)
+        out = np.empty((len(v), m), dtype=np.int64)
+        for s in range(m):
+            diff = V[:, s, None, :] - B[s][None, :, :]
+            dd = np.round((diff * diff).sum(-1), 9).min(axis=1)
+            out[:, s] = np.rint(dd * 1e9).astype(np.int64)
+        return pd.Series(list(out))
+
+    per = emb.select(
+        F.posexplode(_dist9("embedding")).alias("s", "nanos")
+    )
+    return (
+        per.groupBy(F.col("s").cast("long").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("nanos").alias("sq_nanos"),
+        )
+        .select(
+            "s",
+            "n_vecs",
+            "sq_nanos",
+            (
+                F.round(
+                    F.round(
+                        (F.col("sq_nanos").cast("double") / F.lit(1e9))
+                        / F.col("n_vecs"),
+                        9,
+                    )
+                    + F.lit(1e-12),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mse"),
+        )
+        .orderBy("s", "n_vecs", "sq_nanos", "mse")
+    )
+
+
+def _s25_oracle() -> str:
+    """Reuses _pq_oracle's codebook/subspace-distance CTE forms: the
+    same explicit 4-term left-to-right (x-c)*(x-c) sums, the same
+    ROUND(·, 9) before the min — so the assigned-code distance is the
+    bit-identical double on both engines before the nanos scaling."""
+    d = EMBED_DIM // PQ_M
+
+    def d2(v: str) -> str:
+        return " + ".join(
+            f"({v}[s*{d}+{i}]-ce[s*{d}+{i}])*({v}[s*{d}+{i}]-ce[s*{d}+{i}])"
+            for i in range(1, d + 1)
+        )
+
+    return f"""
+        WITH book AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] ce
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+        subs AS (SELECT UNNEST(range({PQ_M})) s),
+        vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        dmin AS (SELECT vec_id, s, MIN(ROUND({d2('e')}, 9)) dd
+                 FROM vx, book, subs GROUP BY vec_id, s),
+        nanos AS (SELECT vec_id, s, CAST(ROUND(dd * 1e9) AS BIGINT) nn
+                  FROM dmin)
+        SELECT CAST(s AS BIGINT) s, CAST(COUNT(*) AS BIGINT) n_vecs,
+               CAST(SUM(nn) AS BIGINT) sq_nanos,
+               ROUND(ROUND((CAST(SUM(nn) AS DOUBLE) / 1e9) / COUNT(*), 9)
+                     + 1e-12, 6) + 0.0 mse
+        FROM nanos GROUP BY s
+        ORDER BY s, n_vecs, sq_nanos, mse"""
+
+
+SIMILARITY_QUERIES["s25_pq_distortion"] = s25_pq_distortion
+SIMILARITY_ORACLE_SQL["s25_pq_distortion"] = _s25_oracle()

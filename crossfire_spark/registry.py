@@ -83,13 +83,18 @@ _DRIVER_SAMPLE_PREFIX = (
     "v18_spearman_audit", "v12_fd_audit", "v17_mutual_information",
     # text — t25/t27/t28 never hashed; t26 continuity; r9 addition
     # t37 displaces t24 (single r8 hash, unchanged)
+    # late-r9 additions m12/s25 enter in their shipping round: m12
+    # displaces t26_sentence_dedup (single r8 hash, unchanged), s25
+    # displaces s09_pq_topk (single r8 hash, unchanged — s25
+    # recomputes s09's codebook+rounded-argmin assignment chain as
+    # its input, so the displaced encode path stays driver-covered)
     "t25_heavy_hitters", "t27_zipf_fit", "t28_readability",
-    "t37_vocab_coverage", "t26_sentence_dedup",
-    # similarity / ANN — s12/s18/s20/s21 never hashed; s09 stays; r9
-    # addition s24 displaces s19 (single r8 hash, unchanged)
+    "t37_vocab_coverage", "m12_phash_dct",
+    # similarity / ANN — s12/s18/s20/s21 never hashed; r9 additions
+    # s24 displaces s19 (single r8 hash, unchanged), s25 displaces s09
     "s12_range_search", "s18_density_clusters",
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
-    "s09_pq_topk", "s24_probe_recall_curve",
+    "s25_pq_distortion", "s24_probe_recall_curve",
     # graph — g10/g11 never hashed; g14 audits (and recomputes) g06
     "g10_assortativity", "g11_clustering_coefficient",
     "g14_modularity",
