@@ -205,6 +205,13 @@ def run(reps: int, scales=SCALES, only=None) -> None:
         "d29_lsh_param_planner",
         "d30_span_removal_plan",
         "t35_shard_manifest",
+        # round-9 additions over the scale-fixture tables (h24 rides
+        # the events table, absent here — its cost class is h23's
+        # rollup+window plus one extra lead over the same sort)
+        "t38_stupid_backoff",
+        "g14_modularity",
+        "m12_phash_dct",
+        "s25_pq_distortion",
     ]
     if only:
         targets = [t for t in targets if t in only]
