@@ -3410,3 +3410,127 @@ EXTENDED_ORACLE_SQL["h24_sax_motifs"] = f"""{_SAX_CTE},
                CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) is_motif
         FROM words GROUP BY skey, word
         ORDER BY skey, word, n_occ, first_wseg, last_wseg, is_motif"""
+
+
+# ------------------------------------------- v19 chi2 independence
+# v17 measures dependence in information units (MI/NMI); v19 is the
+# CLASSICAL test on the same contingency: Pearson's chi-squared
+# statistic + Cramér's V effect size (Cramér 1946, §21.9) with
+# Cohen's conventional tiers. The statistic uses the observed-cells
+# identity chi2 = n * (sum_cells o^2/(cx*cy) - 1) — algebraically
+# equal to sum (o-e)^2/e over the FULL k_x x k_y grid (empty cells'
+# o=0 terms fold into the -1), so the computation never generates
+# the grid: one pass over the observed contingency rows only, the
+# exact shape that survives a high-cardinality column pair at 100 TB.
+
+CRAMERS_TIERS = ((0.5, "strong"), (0.3, "moderate"), (0.1, "weak"))
+
+
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One-row report: n, k_x, k_y, dof, chi2, cramers_v, tier.
+
+    Scale shape is v17's: ONE contingency shuffle (map-side
+    combinable), marginals derived from the contingency (never a
+    second corpus scan), every later join broadcast. All inputs to
+    the one float sum are ratios of exact BIGINTs (cxy^2 < 2^53 up to
+    ~9e7-row cells); chi2 clamps at 0 before the sqrt because the
+    float sum may land a hair under 1 on an independent pair."""
+    joint = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint()  # read by both marginals + the term sum
+    )
+    mx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = joint.agg(F.sum("cxy").alias("n"))
+    kx = mx.agg(F.count(F.lit(1)).alias("k_x"))
+    ky = my.agg(F.count(F.lit(1)).alias("k_y"))
+    s = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .agg(
+            F.sum(
+                (F.col("cxy").cast("double") * F.col("cxy"))
+                / (F.col("cx").cast("double") * F.col("cy"))
+            ).alias("s")
+        )
+    )
+
+    def stab(c: F.Column, dp: int) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), dp) + F.lit(0.0)
+
+    nd = F.col("n").cast("double")
+    chi2 = F.greatest(nd * (F.col("s") - F.lit(1.0)), F.lit(0.0))
+    mind = F.least(F.col("k_x") - 1, F.col("k_y") - 1)
+    v = F.when(
+        mind > 0, F.sqrt(chi2 / (nd * mind.cast("double")))
+    ).otherwise(F.lit(0.0))
+    vs = stab(v, 6)
+    tier = (
+        F.when(vs >= CRAMERS_TIERS[0][0], F.lit(CRAMERS_TIERS[0][1]))
+        .when(vs >= CRAMERS_TIERS[1][0], F.lit(CRAMERS_TIERS[1][1]))
+        .when(vs >= CRAMERS_TIERS[2][0], F.lit(CRAMERS_TIERS[2][1]))
+        .otherwise(F.lit("negligible"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(kx))
+        .crossJoin(F.broadcast(ky))
+        .crossJoin(F.broadcast(s))
+        .where(F.col("n") > 0)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k_x").cast("long").alias("k_x"),
+            F.col("k_y").cast("long").alias("k_y"),
+            ((F.col("k_x") - 1) * (F.col("k_y") - 1))
+            .cast("long")
+            .alias("dof"),
+            stab(chi2, 4).alias("chi2"),
+            vs.alias("cramers_v"),
+            tier.alias("tier"),
+        )
+    )
+
+
+def v19_chi2_independence(spark, sf_dir):
+    """Chi-squared + Cramér's V audit of documents.lang vs
+    documents.source — the classical-statistics twin of v17's MI over
+    the same contingency. Fully oracled by the identical
+    observed-cells arithmetic in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return chi2_independence(d, "lang", "source").orderBy("n")
+
+
+EXTENDED_QUERIES["v19_chi2_independence"] = v19_chi2_independence
+
+EXTENDED_ORACLE_SQL["v19_chi2_independence"] = f"""
+        WITH joint AS (SELECT lang x, source y, COUNT(*) cxy
+                       FROM documents GROUP BY 1, 2),
+        mx AS (SELECT x, SUM(cxy) cx FROM joint GROUP BY x),
+        my AS (SELECT y, SUM(cxy) cy FROM joint GROUP BY y),
+        tot AS (SELECT SUM(cxy) n FROM joint),
+        kx AS (SELECT COUNT(*) k_x FROM mx),
+        ky AS (SELECT COUNT(*) k_y FROM my),
+        ts AS (SELECT SUM((CAST(cxy AS DOUBLE) * cxy)
+                          / (CAST(cx AS DOUBLE) * cy)) s
+               FROM joint JOIN mx USING (x) JOIN my USING (y)),
+        raw AS (SELECT CAST(n AS BIGINT) n, CAST(k_x AS BIGINT) k_x,
+                       CAST(k_y AS BIGINT) k_y,
+                       GREATEST(CAST(n AS DOUBLE) * (s - 1.0), 0.0) chi2
+                FROM tot CROSS JOIN kx CROSS JOIN ky CROSS JOIN ts
+                WHERE n > 0),
+        fin AS (SELECT n, k_x, k_y,
+                       CAST((k_x - 1) * (k_y - 1) AS BIGINT) dof,
+                       ROUND(ROUND(chi2, 9) + 1e-12, 4) + 0.0 chi2,
+                       ROUND(ROUND(CASE WHEN LEAST(k_x - 1, k_y - 1) > 0
+                                        THEN SQRT(chi2 / (CAST(n AS DOUBLE)
+                                             * CAST(LEAST(k_x - 1, k_y - 1)
+                                                    AS DOUBLE)))
+                                        ELSE 0.0 END, 9) + 1e-12, 6)
+                           + 0.0 cramers_v
+                FROM raw)
+        SELECT n, k_x, k_y, dof, chi2, cramers_v,
+               CASE WHEN cramers_v >= {CRAMERS_TIERS[0][0]} THEN '{CRAMERS_TIERS[0][1]}'
+                    WHEN cramers_v >= {CRAMERS_TIERS[1][0]} THEN '{CRAMERS_TIERS[1][1]}'
+                    WHEN cramers_v >= {CRAMERS_TIERS[2][0]} THEN '{CRAMERS_TIERS[2][1]}'
+                    ELSE 'negligible' END tier
+        FROM fin ORDER BY n"""

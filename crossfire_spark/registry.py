@@ -77,10 +77,13 @@ _DRIVER_SAMPLE_PREFIX = (
     "h24_sax_motifs", "g13_weighted_shortest_path",
     "t38_stupid_backoff", "t35_shard_manifest",
     "t36_compression_quality",
-    # validation — v13/v14 never hashed; v12/v17 continuity; r9
-    # addition v18 displaces v05 (single r8 hash, unchanged)
+    # validation — v13/v14 never hashed; v12 continuity; r9 addition
+    # v18 displaces v05 (single r8 hash, unchanged); late-r9 addition
+    # v19 displaces v17_mutual_information (single r8 hash, unchanged
+    # — v19 recomputes v17's contingency + marginal chain as its
+    # input, so the displaced computation stays driver-covered)
     "v13_split_drift", "v14_dup_label_consistency",
-    "v18_spearman_audit", "v12_fd_audit", "v17_mutual_information",
+    "v18_spearman_audit", "v12_fd_audit", "v19_chi2_independence",
     # text — t25/t27/t28 never hashed; t26 continuity; r9 addition
     # t37 displaces t24 (single r8 hash, unchanged)
     # late-r9 additions m12/s25 enter in their shipping round: m12
