@@ -156,3 +156,67 @@ def test_t38_backoff_cascade_recompute(spark):
     assert got[1]["tri_hits"] >= 1
     assert got[3]["bi_hits"] >= 1
     assert got[5]["oov"] >= 1 and got[5]["uni_hits"] >= 1
+
+
+# ------------------------------------------------------------- g14
+
+
+def test_g14_modularity_recompute(spark, sf_dir):
+    """Plain-Python Newman modularity recompute on the closed-form
+    document link graph: rebuild the undirected closure and the
+    synchronous label-propagation rounds with dicts/Counters (no
+    Spark, no SQL), then compare every (community, n_nodes,
+    intra_edges, deg_sum) row and the q_contrib arithmetic."""
+    import duckdb
+
+    from crossfire_spark.functions.graph import LP_ROUNDS
+    from crossfire_spark.registry import all_queries
+
+    got = {
+        r["community"]: r
+        for r in all_queries()["g14_modularity"](spark, sf_dir).collect()
+    }
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    n = max(ids) + 1
+    und = set()
+    for i in ids:
+        for dst in ((i * 7 + 1) % n, (i * 13 + 3) % n):
+            if dst != i:
+                und.add((min(i, dst), max(i, dst)))
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(LP_ROUNDS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            c = Counter(lbl[u] for u in nbrs)
+            # most frequent label, ties -> smallest label
+            nxt[v] = min(((-cnt, l) for l, cnt in c.items()))[1]
+        lbl = nxt
+    m = len(und)
+    n_nodes: Counter = Counter(lbl.values())
+    deg_sum: Counter = Counter()
+    for v, nbrs in adj.items():
+        deg_sum[lbl[v]] += len(nbrs)
+    intra: Counter = Counter()
+    for a, b in und:
+        if lbl[a] == lbl[b]:
+            intra[lbl[a]] += 1
+
+    assert set(got) == set(n_nodes)
+    for c in n_nodes:
+        r = got[c]
+        assert r["n_nodes"] == n_nodes[c], c
+        assert r["deg_sum"] == deg_sum[c], c
+        assert r["intra_edges"] == intra.get(c, 0), c
+        half = deg_sum[c] / (2.0 * m)
+        exp = round(round(intra.get(c, 0) / m - half * half, 9) + 1e-12, 6)
+        assert r["q_contrib"] == pytest.approx(exp, abs=1e-12), c
