@@ -2891,7 +2891,10 @@ def s25_pq_distortion(spark, sf_dir):
         for s in range(m):
             diff = V[:, s, None, :] - B[s][None, :, :]
             dd = np.round((diff * diff).sum(-1), 9).min(axis=1)
-            out[:, s] = np.rint(dd * 1e9).astype(np.int64)
+            # floor(x+0.5) = round-half-AWAY, matching the oracle's
+            # ROUND; np.rint is half-to-even and would diverge on a
+            # tie (ADVICE r9 — dd >= 0 so no negative-half case).
+            out[:, s] = np.floor(dd * 1e9 + 0.5).astype(np.int64)
         return pd.Series(list(out))
 
     per = emb.select(

@@ -115,10 +115,16 @@ _DRIVER_SAMPLE_PREFIX = (
 
 
 def _interleave(out: dict[str, Builder]) -> dict[str, Builder]:
+    # A typo in the rotation prefix must FAIL LOUDLY, not silently
+    # shrink the driver's 50-key correctness sample (ADVICE r9).
+    missing = [k for k in _DRIVER_SAMPLE_PREFIX if k not in out]
+    if missing:
+        raise KeyError(
+            f"_DRIVER_SAMPLE_PREFIX keys absent from registry: {missing}"
+        )
     ordered: dict[str, Builder] = {}
     for k in _DRIVER_SAMPLE_PREFIX:
-        if k in out:
-            ordered[k] = out[k]
+        ordered[k] = out[k]
     for k, v in out.items():
         if k not in ordered:
             ordered[k] = v

@@ -34,9 +34,12 @@ def phash_rows(spark):
         synthesize_gradient_images,
     )
 
-    # doc_ids chosen so patterns 0..4 each appear at 3 brightness
-    # offsets (pattern = id % 50, brightness = (id // 50) % 55)
-    ids = [p + 50 * b for p in range(5) for b in (0, 7, 31)]
+    # doc_ids chosen so ALL 50 patterns appear at 3 brightness
+    # offsets (pattern = id % 50, brightness = (id // 50) % 55) —
+    # the m12 oracle's GROUP BY doc_id % 50 relies on all 50 base
+    # patterns hashing distinctly (ADVICE r9: pin that property for
+    # the full pattern set, not a 5-pattern sample)
+    ids = [p + 50 * b for p in range(50) for b in (0, 7, 31)]
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     rows = phash_images(synthesize_gradient_images(docs)).collect()
     return {r["media_id"]: r["ph"] for r in rows}

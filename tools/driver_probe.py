@@ -55,6 +55,7 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     rows = mod.entry(spark).collect()

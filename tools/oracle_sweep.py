@@ -38,6 +38,10 @@ def make_spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "America/New_York")
+        # \r-rewriting console progress bars can overwrite ok/FAIL
+        # lines in captured sweep logs (VERDICT r9 item 3); keep the
+        # artifact grep-stable: line count of "ok " == key count.
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("oracle-sweep")
         .getOrCreate()
     )
