@@ -206,6 +206,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     frontier). Two equi-joins on node keys; no cartesian. The output
     is orientation-invariant, so the DuckDB oracle can use the
     simpler id-orientation."""
+    _und, tri = _triangle_triples(edges)
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _triangle_triples(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared triangle enumeration (the degree-oriented wedge join
+    documented on :func:`triangle_counts`): returns (und, tri) where
+    ``und`` is the undirected closure (a < b) and ``tri`` the
+    triangle triples (x, y, z) with y < z — each triangle exactly
+    once. Used by g03's per-node counts and g15's per-edge
+    embeddedness so the two cannot disagree about the triangle set."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -239,11 +254,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "x").where(F.col("y") < F.col("z"))
     closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     tri = wedges.join(closing, ["y", "z"])
-    return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    return und, tri
 
 
 def g03_triangle_count(spark, sf_dir):
@@ -1252,3 +1263,112 @@ def _modularity_oracle() -> str:
 
 GRAPH_QUERIES["g14_modularity"] = g14_modularity
 GRAPH_ORACLE_SQL["g14_modularity"] = _modularity_oracle()
+
+
+# --------------------------------------------- edge embeddedness
+# g03 counts triangles per NODE and g11 normalizes them to local
+# clustering; the per-EDGE view is what a tie-strength audit reads:
+# an edge's EMBEDDEDNESS is its number of common neighbors (=
+# triangles through it), and an edge with embeddedness 0 is a LOCAL
+# BRIDGE (Easley & Kleinberg, *Networks, Crowds, and Markets* §3.2 —
+# removing it pushes its endpoints to distance > 2). In a curation
+# graph, local bridges are the links that connect otherwise-disjoint
+# duplicate neighborhoods — exactly the edges a cluster-merge step
+# should re-verify before trusting.
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Per undirected edge (a < b): endpoint degrees, embeddedness
+    (common-neighbor count) and the local-bridge flag.
+
+    Scale shape: the triangle set comes from the shared
+    degree-oriented wedge join (`_triangle_triples`, fan-out bounded
+    by Σ min-degree² — the g03 discipline); each triangle explodes to
+    its 3 id-normalized edges and one edge-keyed aggregate + one
+    edge-keyed left join later the report is edge-cardinality. All
+    counts exact BIGINTs; no floats anywhere."""
+    und, tri = _triangle_triples(edges)
+    pair = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"),
+                        F.greatest("x", "z").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"),
+                        F.greatest("y", "z").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("emb"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        und.join(pair, ["a", "b"], "left")
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "deg_a",
+            "deg_b",
+            F.coalesce("emb", F.lit(0)).alias("embeddedness"),
+            (F.coalesce("emb", F.lit(0)) == 0).alias("is_local_bridge"),
+        )
+    )
+
+
+def g15_edge_embeddedness(spark, sf_dir):
+    """Edge embeddedness / local bridges of the synthetic document
+    link graph — closed-form edges, exact integer counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return edge_embeddedness(doc_link_graph(d)).orderBy(
+        "a", "b", "deg_a", "deg_b", "embeddedness", "is_local_bridge"
+    )
+
+
+GRAPH_QUERIES["g15_edge_embeddedness"] = g15_edge_embeddedness
+
+GRAPH_ORACLE_SQL["g15_edge_embeddedness"] = """
+        WITH nmax AS (SELECT MAX(doc_id) + 1 m FROM documents),
+        edges AS (
+            SELECT doc_id src, (doc_id * 7 + 1) % m dst FROM documents CROSS JOIN nmax
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 3) % m FROM documents CROSS JOIN nmax),
+        und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+                FROM edges WHERE src <> dst),
+        tri AS (SELECT e1.a x, e1.b y, e2.b z
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tedge AS (
+            SELECT least(x, y) a, greatest(x, y) b FROM tri
+            UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+            UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+        emb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) emb
+                FROM tedge GROUP BY a, b),
+        nodes AS (SELECT a node FROM und UNION ALL SELECT b FROM und),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) deg
+                FROM nodes GROUP BY node)
+        SELECT u.a, u.b, da.deg deg_a, db.deg deg_b,
+               COALESCE(e.emb, 0) embeddedness,
+               COALESCE(e.emb, 0) = 0 is_local_bridge
+        FROM und u
+        LEFT JOIN emb e ON u.a = e.a AND u.b = e.b
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b
+        ORDER BY u.a, u.b, deg_a, deg_b, embeddedness, is_local_bridge"""

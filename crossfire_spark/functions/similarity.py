@@ -1861,9 +1861,11 @@ def _xxhash64_steps() -> list[tuple[str, str]]:
     return s
 
 
-def _kmeans_oracle(n_iter: int = 3) -> str:
-    """DuckDB mirror of s04: seeded-hash init + ``n_iter`` unrolled
-    Lloyd's iterations + the IVF probe/re-rank tail.
+def _kmeans_ctes(n_iter: int = 3) -> list[str]:
+    """The shared CTE chain replaying ``kmeans_fit`` in DuckDB up to
+    the trained centroid table ``c{n_iter}`` (used by the s04 oracle's
+    IVF tail and the s26 silhouette oracle — one definition so the two
+    statements cannot disagree about the centroids).
 
     The init order replays Spark's ``xxhash64(vec_id, lit(42))`` with
     exact 64-bit integer CTE arithmetic (``_xxhash64_steps``); the
@@ -1873,9 +1875,8 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
     distance rounded to 6 dp — wide enough to absorb BLAS-vs-SQL
     float noise) and one per-(cid, position) mean with empty clusters
     keeping their previous centroid, exactly the ``kmeans_fit``
-    update; the FULL corpus is assigned once against the final
-    centroids. The same unroll discipline as s13's greedy-MMR oracle:
-    a fixed, small iteration count is just a deeper CTE chain."""
+    update. The same unroll discipline as s13's greedy-MMR oracle: a
+    fixed, small iteration count is just a deeper CTE chain."""
     ctes = [
         "vx AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)",
         "x0 AS (SELECT vec_id, vec_id::HUGEINT v FROM vx)",
@@ -1913,6 +1914,21 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
             f"c{t} AS (SELECT p.cid, COALESCE(n.ce, p.ce) ce"
             f" FROM c{t-1} p LEFT JOIN n{t} n USING (cid))"
         )
+    return ctes
+
+
+def _kmeans_oracle(n_iter: int = 3) -> str:
+    """DuckDB mirror of s04: the shared ``_kmeans_ctes`` chain + the
+    IVF probe/re-rank tail assigning the FULL corpus once against the
+    final centroids."""
+    ctes = _kmeans_ctes(n_iter)
+    assign_tpl = (
+        "{out} AS (SELECT vec_id, e, cid FROM ("
+        "SELECT {src}.vec_id, {src}.e, c.cid,"
+        " ROW_NUMBER() OVER (PARTITION BY {src}.vec_id"
+        " ORDER BY ROUND(list_distance({src}.e, c.ce) ^ 2, 6), c.cid) rn"
+        " FROM {src}, {cent} c) WHERE rn = 1)"
+    )
     ctes.append(assign_tpl.format(out="assign", cent=f"c{n_iter}", src="vx"))
     ctes.append(
         f"probes AS (SELECT qid, qe, cid FROM ("
@@ -2960,3 +2976,125 @@ def _s25_oracle() -> str:
 
 SIMILARITY_QUERIES["s25_pq_distortion"] = s25_pq_distortion
 SIMILARITY_ORACLE_SQL["s25_pq_distortion"] = _s25_oracle()
+
+
+# --------------------------------------------- cluster-quality audit
+# s04 trains the IVF coarse quantizer and s24 measures probe recall;
+# neither answers the index designer's FIRST question about a trained
+# partition: is it any good as a clustering? s26 reports the
+# simplified silhouette coefficient (Rousseeuw 1987; the
+# centroid-distance form used at scale, e.g. scikit-learn's
+# "silhouette on centroids" guidance for large n): per vector,
+# a = squared distance to its assigned centroid, b = the smallest
+# squared distance to any OTHER centroid, s = (b - a) / max(a, b).
+# Per-cluster means expose both compactness (mean_a), separation
+# (mean_b) and the combined score — low-silhouette clusters are the
+# ones to re-train or split before shipping the index.
+
+
+def silhouette_report(em: DataFrame) -> DataFrame:
+    """Per-cluster simplified silhouette over the s04-trained k-means
+    partition: (cid, n_vecs, mean_a, mean_b, silhouette).
+
+    Determinism: distances are ROUND(sqdist, 6) — the s04 assignment
+    discipline, so argmin ties break identically (lowest cid) in both
+    engines; per-row a/b/s are then bit-identical and only the AVG
+    accumulators are order-dependent, stabilized 9 -> 6 dp.
+
+    Scale shape: ONE corpus scan against the broadcast k-row centroid
+    table (k = IVF_CENTROIDS); the per-vector sort is over k structs
+    inside a map-side expression (sort_array over collect_list is
+    grouped per vec_id — the same N x k expansion the s04 assignment
+    already pays), and the only shuffle after it is the k-group
+    aggregate. Nothing corpus-sized reaches the driver; the trained
+    centroids ride through the same bounded kmeans_fit sample as
+    s04."""
+    spark = em.sparkSession
+    cents, _ = kmeans_fit(em, n_iter=3)
+    if len(cents) < 2:  # silhouette undefined below 2 clusters
+        return spark.createDataFrame(
+            [],
+            "cid int, n_vecs long, mean_a double, mean_b double,"
+            " silhouette double",
+        )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+    )
+    d6 = F.round(_sqdist("embedding", "ce"), 6)
+    per_vec = (
+        em.crossJoin(F.broadcast(cent))
+        .select("vec_id", d6.alias("d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "cid"))).alias("x"))
+        .select(
+            F.col("x")[0]["cid"].alias("cid"),
+            F.col("x")[0]["d"].alias("a"),
+            F.col("x")[1]["d"].alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.greatest("a", "b") > 0,
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+    def stab6(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return per_vec.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        stab6(F.avg("a")).alias("mean_a"),
+        stab6(F.avg("b")).alias("mean_b"),
+        stab6(F.avg("s")).alias("silhouette"),
+    )
+
+
+def s26_silhouette(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return silhouette_report(em).orderBy(
+        "cid", "n_vecs", "mean_a", "mean_b", "silhouette"
+    )
+
+
+SIMILARITY_QUERIES["s26_silhouette"] = s26_silhouette
+
+
+def _s26_oracle(n_iter: int = 3) -> str:
+    """DuckDB mirror of s26: the shared ``_kmeans_ctes`` centroid
+    chain, one N x k distance table, argmin assignment (rn = 1 over
+    (d, cid) — the s04 tiebreak), b = min distance over the other
+    centroids, and the same stabilized per-cluster means."""
+    ctes = _kmeans_ctes(n_iter)
+    ctes.append(
+        f"dist AS (SELECT v.vec_id, c.cid,"
+        f" ROUND(list_distance(v.e, c.ce) ^ 2, 6) d"
+        f" FROM vx v, c{n_iter} c)"
+    )
+    ctes.append(
+        "asg AS (SELECT vec_id, cid, d a FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        " ORDER BY d, cid) rn FROM dist) WHERE rn = 1)"
+    )
+    ctes.append(
+        "bd AS (SELECT d.vec_id, MIN(d.d) b FROM dist d JOIN asg a"
+        " ON d.vec_id = a.vec_id AND d.cid != a.cid GROUP BY d.vec_id)"
+    )
+    ctes.append(
+        "sil AS (SELECT a.cid, a.a, b.b,"
+        " CASE WHEN GREATEST(a.a, b.b) > 0"
+        " THEN (b.b - a.a) / GREATEST(a.a, b.b) ELSE 0.0 END s"
+        " FROM asg a JOIN bd b USING (vec_id))"
+    )
+    body = ",\n        ".join(ctes)
+    return f"""WITH {body}
+        SELECT CAST(cid AS INT) cid, CAST(COUNT(*) AS BIGINT) n_vecs,
+               ROUND(ROUND(AVG(a), 9) + 1e-12, 6) + 0.0 mean_a,
+               ROUND(ROUND(AVG(b), 9) + 1e-12, 6) + 0.0 mean_b,
+               ROUND(ROUND(AVG(s), 9) + 1e-12, 6) + 0.0 silhouette
+        FROM sil GROUP BY cid
+        ORDER BY cid, n_vecs, mean_a, mean_b, silhouette"""
+
+
+SIMILARITY_ORACLE_SQL["s26_silhouette"] = _s26_oracle()

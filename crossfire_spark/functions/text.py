@@ -2065,6 +2065,9 @@ def _epoch_schedule_oracle() -> str:
 TEXT_ORACLE_SQL["t30_epoch_schedule"] = _epoch_schedule_oracle()
 
 
+T31_RANK_PARTS = 16  # range partitions backing t31's distributed ntile
+
+
 def t31_ccnet_bucket(spark, sf_dir):
     """CCNet-style per-language perplexity bucketing (Wenzek et al.
     2020, "CCNet: Extracting High Quality Monolingual Datasets"): score
@@ -2076,14 +2079,22 @@ def t31_ccnet_bucket(spark, sf_dir):
 
     Scale shape: the model build and per-doc scoring are t08's two
     shuffles (vocab agg + per-doc avg, model joined back broadcast);
-    the tercile split is ONE window partitioned by ``lang`` — at 100 TB
-    the per-language NTILE would swap to the
-    ``approx_percentile``-boundary join (v07's pattern) so no single
-    language's documents serialize through one window partition; at
-    declared scale the exact NTILE is the oracle-exact tier.
-    Determinism: scores round 6→2 dp before ranking; NTILE orders by
-    (lp DESC, doc_id) — both engines fill the first ``n mod 3`` groups
-    with the extra row, so tercile borders are identical."""
+    the tercile split is an EXACT DISTRIBUTED NTILE (rewritten r10 —
+    the r9 form windowed the full per-doc table partitioned on the
+    handful-valued ``lang``, serializing each language through one
+    task at any cluster size): range-repartition on (lang, lp DESC,
+    doc_id), per-partition ``row_number`` (parallelism =
+    T31_RANK_PARTS), per-(pid, lang) prefix offsets + per-lang totals
+    joined back from one broadcast table (the v18/t35 shard-rank
+    discipline — the driver sees partition subtotals, never docs),
+    then NTILE's closed form in exact BIGINTs: with n rows, k tiles,
+    rem = n%k, q = n÷k, the first rem tiles hold q+1 rows, so
+    bucket(r) = (r-1)÷(q+1)+1 when r <= rem*(q+1) else
+    rem + (r - rem*(q+1) - 1)÷q + 1.
+    Determinism: scores round 6→2 dp before ranking; the rank order
+    (lp DESC, doc_id) has a unique tiebreak — both engines fill the
+    first ``n mod 3`` groups with the extra row, so tercile borders
+    are identical."""
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -2100,9 +2111,44 @@ def t31_ccnet_bucket(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(F.round(F.round(F.avg("lp_w"), 6) + F.lit(1e-9), 2).alias("lp"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("lp").desc(), F.col("doc_id"))
+    pv = (
+        lp.repartitionByRange(
+            T31_RANK_PARTS, "lang", F.col("lp").desc(), "doc_id"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid between offset pass and reuse
+    )
+    totals = pv.groupBy("pid", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    acc: dict = {}
+    offs = []
+    for r in sorted(totals, key=lambda r: (r.lang, r.pid)):
+        offs.append((r.pid, r.lang, acc.get(r.lang, 0)))
+        acc[r.lang] = acc.get(r.lang, 0) + r.c
+    spark2 = lp.sparkSession
+    if offs:
+        off_df = spark2.createDataFrame(
+            [(p, lg, o, acc[lg]) for p, lg, o in offs],
+            "pid int, lang string, off long, n_g long",
+        )
+    else:
+        off_df = spark2.createDataFrame(
+            [], "pid int, lang string, off long, n_g long"
+        )
+    wp = Window.partitionBy("pid", "lang").orderBy(
+        F.col("lp").desc(), F.col("doc_id")
+    )
+    rnk = F.col("off") + F.row_number().over(wp)
+    rem = F.pmod(F.col("n_g"), F.lit(3))
+    qsz = F.floor(F.col("n_g") / 3)
+    big = rem * (qsz + 1)  # rows in the first rem (larger) tiles
+    bucket = F.when(
+        rnk <= big, F.floor((rnk - 1) / (qsz + 1)) + 1
+    ).otherwise(rem + F.floor((rnk - big - 1) / qsz) + 1)
     return (
-        lp.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        pv.join(F.broadcast(off_df), ["pid", "lang"])
+        .withColumn("bucket", bucket.cast("long"))
         .withColumn(
             "tier",
             F.element_at(
@@ -2773,7 +2819,13 @@ def stupid_backoff_scores(docs: "DataFrame") -> "DataFrame":
     shuffle-joins. All ratios are BIGINT/BIGINT with the 0.4 / 0.16
     penalties as decimal literals (0.16 is NOT written 0.4*0.4 — that
     float product is 0.16000000000000003 and would diverge from the
-    oracle's literal)."""
+    oracle's literal). The shared bi/uni model tables are LAZY
+    localCheckpoints (r10, VERDICT r9 item 2): each is computed once
+    and pinned when the single output job first touches it, instead
+    of two eager per-call materialization jobs — same plan-reuse
+    guarantee, one job per invocation instead of three, and the
+    one-time plan-compile cost that drove the suite's widest rep
+    spread (3.0-9.4 s) shrinks with it."""
     train = docs.where(F.col("doc_id") % 2 == 0)
     held = docs.where(F.col("doc_id") % 2 == 1)
 
@@ -2786,13 +2838,13 @@ def stupid_backoff_scores(docs: "DataFrame") -> "DataFrame":
         _bigram_instances(train)
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint()  # feeds tri_model's denominator AND bi_model
+        .localCheckpoint(eager=False)  # feeds tri_model AND bi_model
     )
     uni = (
         train.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint()  # feeds bi_model's denominator AND uni_model
+        .localCheckpoint(eager=False)  # feeds bi_model AND uni_model
     )
     n_tok = uni.agg(F.sum("c1").alias("n"))
 

@@ -3134,31 +3134,90 @@ EXTENDED_ORACLE_SQL["h22_seasonal_decompose"] = f"""
 # engine-specific float path).
 
 
+SPEARMAN_RANK_PARTS = 32
+
+
+def _r2_map(li: DataFrame, vcol: str, out: str) -> DataFrame:
+    """Distributed (l_returnflag, vcol) -> 2*avg_rank - 1 map.
+
+    Identity: avg (fractional) rank of value v within its group is
+    rank_min + (ties-1)/2 where rank_min = 1 + #(rows < v); so
+    2*avg_rank - 1 = 2*#(rows < v) + ties — an exact BIGINT with no
+    float rank arithmetic. Computed WITHOUT a low-cardinality window
+    (VERDICT r9: l_returnflag has 3 values, so a window partitioned
+    on it sorts all of lineitem in 3 tasks at any cluster size):
+    (1) collapse to distinct (group, v) with tie counts — a
+    high-cardinality map-side-combinable shuffle; (2) range-partition
+    the collapsed values on (group, v) and cumulative-sum tie counts
+    per partition (parallelism = SPEARMAN_RANK_PARTS, each window
+    partition is (pid, group)-scoped); (3) add per-(pid, group)
+    prefix offsets joined back from a broadcast parts*groups-row
+    table (the t35 shard-rank discipline — the driver sees partition
+    subtotals, never rows)."""
+    from pyspark.sql import Window
+
+    spark = li.sparkSession
+    vals = li.groupBy("l_returnflag", vcol).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pv = (
+        vals.repartitionByRange(SPEARMAN_RANK_PARTS, "l_returnflag", vcol)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid between the offset pass and reuse
+    )
+    totals = pv.groupBy("pid", "l_returnflag").agg(
+        F.sum("cnt").alias("c")
+    ).collect()
+    acc: dict[str, int] = {}
+    offs = []
+    for r in sorted(totals, key=lambda r: (r.l_returnflag, r.pid)):
+        offs.append((r.pid, r.l_returnflag, acc.get(r.l_returnflag, 0)))
+        acc[r.l_returnflag] = acc.get(r.l_returnflag, 0) + r.c
+    if not offs:
+        return vals.select(
+            "l_returnflag", vcol, F.lit(0).cast("long").alias(out)
+        )
+    off_df = spark.createDataFrame(
+        offs, "pid int, l_returnflag string, off long"
+    )
+    w = (
+        Window.partitionBy("pid", "l_returnflag")
+        .orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pv.withColumn("cum", F.sum("cnt").over(w))
+        .join(F.broadcast(off_df), ["pid", "l_returnflag"])
+        .select(
+            "l_returnflag",
+            vcol,
+            # below = off + cum - cnt; r2 = 2*below + ties
+            (
+                F.lit(2) * (F.col("off") + F.col("cum") - F.col("cnt"))
+                + F.col("cnt")
+            ).alias(out),
+        )
+    )
+
+
 def spearman_audit(li: DataFrame) -> DataFrame:
     """Per-returnflag Spearman vs Pearson correlation of
     (l_quantity, l_extendedprice): n, rho_s, rho_p, and the
     monotonicity gap rho_s - rho_p.
 
-    Scale shape: two window ranks per group key (each one sort within
-    the group's partitions — the same cost class as every ranked
-    window in the suite) + ONE corr/count aggregate. The integer
-    2*avg_rank keeps rank arithmetic exact; only corr() touches
-    floats."""
-    from pyspark.sql import Window
-
-    def r2(col: str) -> F.Column:
-        wr = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
-        return (
-            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 2
-        )
-
-    ranked = li.select(
-        "l_returnflag",
-        "l_quantity",
-        "l_extendedprice",
-        r2("l_quantity").alias("r2q"),
-        r2("l_extendedprice").alias("r2p"),
+    Scale shape (rewritten r10; the r9 form windowed the FULL fact
+    table partitioned on the 3-value l_returnflag — a 3-task sort at
+    any cluster size): two distributed rank maps via ``_r2_map``
+    (collapse -> range-partitioned cumsum -> broadcast offsets), each
+    joined back to lineitem on its high-cardinality (group, value)
+    key, + ONE corr/count aggregate. The integer 2*avg_rank keeps
+    rank arithmetic exact; only corr() touches floats."""
+    rq = _r2_map(li, "l_quantity", "r2q")
+    rp = _r2_map(li, "l_extendedprice", "r2p")
+    ranked = (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(rq, ["l_returnflag", "l_quantity"])
+        .join(rp, ["l_returnflag", "l_extendedprice"])
     )
 
     def stab4(c: F.Column) -> F.Column:
@@ -3534,3 +3593,361 @@ EXTENDED_ORACLE_SQL["v19_chi2_independence"] = f"""
                     WHEN cramers_v >= {CRAMERS_TIERS[2][0]} THEN '{CRAMERS_TIERS[2][1]}'
                     ELSE 'negligible' END tier
         FROM fin ORDER BY n"""
+
+
+# ----------------------------------------- autocorrelation function
+# h22 removes the 24h seasonal effect and h11 profiles phase shares;
+# neither reports the statistic a forecaster checks FIRST: the sample
+# autocorrelation function r_k (Box & Jenkins) of the hourly series,
+# and its portmanteau significance (Ljung-Box 1978). Implemented over
+# the same hourly integer-cents rollup as h22 (windows run over the
+# COLLAPSED series — the declared low-cardinality-window exemption:
+# one series-key partition holds hourly rows, never raw events).
+# Reference parity: the crossfire reference has no time-series tier;
+# these extend the engine's h-family instrument set.
+
+ACF_MAX_LAG = 6
+# chi-square 95th percentile at ACF_MAX_LAG dof (Ljung-Box null)
+LB_CRIT_95 = 12.5916
+
+
+def _acf_components(e: DataFrame):
+    """Shared h25/h26 aggregate: per event-type series, the series
+    length n, the centered denominator den = sum((y-m)^2) and lag
+    numerators num_k = sum((y_t-m)(y_{t-k}-m)) for k=1..ACF_MAX_LAG,
+    over the hourly integer-cents rollup ranked by observed hour
+    (gaps collapse to rank, the h22 declaration).
+
+    Determinism: m = S/n is ONE IEEE division of exact BIGINTs, so
+    every per-row deviation is bit-identical in either engine; only
+    the num/den SUM accumulators are order-dependent, and every
+    consumer stabilizes (round 9 -> +1e-12 -> round out) before
+    comparing. Scale shape: one map-side-combinable shuffle to hourly
+    grain, ONE window over the collapsed series computing all
+    ACF_MAX_LAG lags, one aggregate."""
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("skey").orderBy("b")
+    lagged = hourly.select(
+        "skey",
+        "cents",
+        *[
+            F.lag("cents", k).over(w).alias(f"l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stats = lagged.groupBy("skey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    dev = F.col("cents").cast("double") - m
+    return (
+        lagged.join(F.broadcast(stats), "skey")
+        .groupBy("skey")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(dev * dev).alias("den"),
+            *[
+                F.sum(
+                    (F.col(f"l{k}").cast("double") - m) * dev
+                ).alias(f"num{k}")
+                for k in range(1, ACF_MAX_LAG + 1)
+            ],
+        )
+    )
+
+
+def acf_report(e: DataFrame) -> DataFrame:
+    """h25: per event-type series, sample ACF r_k at lags
+    1..ACF_MAX_LAG over the hourly cents series: (skey, lag, n,
+    n_pairs, r). r is stabilized 9 -> 6 dp; constant series (den=0)
+    report r = 0.0 by declaration."""
+    comp = _acf_components(e)
+    long = comp.select(
+        "skey",
+        "n",
+        "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"num{k}").alias("num"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select("skey", "n", "den", "x.lag", "x.num")
+
+    def stab6(c: F.Column) -> F.Column:
+        return F.round(F.round(c, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    return long.where(F.col("n") > F.col("lag")).select(
+        "skey",
+        "lag",
+        "n",
+        (F.col("n") - F.col("lag")).alias("n_pairs"),
+        stab6(
+            F.when(F.col("den") > 0, F.col("num") / F.col("den")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("r"),
+    )
+
+
+def h25_acf(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return acf_report(e).orderBy("skey", "lag", "n", "n_pairs", "r")
+
+
+EXTENDED_QUERIES["h25_acf"] = h25_acf
+
+
+def _acf_oracle_ctes() -> str:
+    lag_cols = ",\n                   ".join(
+        f"LAG(cents, {k}) OVER (PARTITION BY skey ORDER BY b) l{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    num_cols = ",\n                   ".join(
+        f"SUM((CAST(l{k} AS DOUBLE) - m)"
+        f" * (CAST(cents AS DOUBLE) - m)) num{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type skey,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) cents
+            FROM events GROUP BY 1, 2),
+        lagged AS (
+            SELECT skey, b, cents,
+                   {lag_cols}
+            FROM hourly),
+        stats AS (
+            SELECT skey, CAST(COUNT(*) AS BIGINT) n,
+                   CAST(SUM(cents) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) m
+            FROM lagged GROUP BY skey),
+        comp AS (
+            SELECT l.skey, s.n,
+                   SUM((CAST(cents AS DOUBLE) - m)
+                       * (CAST(cents AS DOUBLE) - m)) den,
+                   {num_cols}
+            FROM lagged l JOIN stats s USING (skey)
+            GROUP BY l.skey, s.n)"""
+
+
+def _acf_oracle() -> str:
+    unions = "\n            UNION ALL ".join(
+        f"SELECT skey, CAST({k} AS BIGINT) lag, n, den, num{k} num"
+        f" FROM comp"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""{_acf_oracle_ctes()},
+        long AS ({unions})
+        SELECT skey, lag, n, n - lag n_pairs,
+               ROUND(ROUND(CASE WHEN den > 0 THEN num / den
+                                ELSE 0.0 END, 9) + 1e-12, 6) + 0.0 r
+        FROM long WHERE n > lag
+        ORDER BY skey, lag, n, n_pairs, r"""
+
+
+EXTENDED_ORACLE_SQL["h25_acf"] = _acf_oracle()
+
+
+def ljung_box(e: DataFrame) -> DataFrame:
+    """h26: Ljung-Box portmanteau statistic per event-type series,
+    Q = n(n+2) * sum_{k=1..K} r_k^2/(n-k), over h25's ACF at
+    K = ACF_MAX_LAG lags. Q is built from the 6-dp-STABILIZED r_k in
+    one EXPLICIT fixed-association expression (r1 term + r2 term +
+    ...), so no order-dependent float aggregation exists between the
+    rounded ACF and the final stabilizer; the 5% chi-square decision
+    compares the 4-dp-rounded Q so both engines see the same
+    boundary. Series shorter than K+1 hours are dropped (Q needs
+    every lag)."""
+    comp = _acf_components(e)
+
+    def r6(k: int) -> F.Column:
+        raw = F.when(
+            F.col("den") > 0, F.col(f"num{k}") / F.col("den")
+        ).otherwise(F.lit(0.0))
+        return F.round(F.round(raw, 9) + F.lit(1e-12), 6) + F.lit(0.0)
+
+    nd = F.col("n").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, ACF_MAX_LAG + 1):
+        q = q + r6(k) * r6(k) / (nd - F.lit(float(k)))
+    q = nd * (nd + F.lit(2.0)) * q
+    q4 = F.round(F.round(q, 9) + F.lit(1e-12), 4) + F.lit(0.0)
+    return comp.where(F.col("n") > ACF_MAX_LAG).select(
+        "skey",
+        "n",
+        F.lit(ACF_MAX_LAG).cast("long").alias("dof"),
+        q4.alias("q_lb"),
+        (q4 > F.lit(LB_CRIT_95)).alias("reject_white_noise"),
+    )
+
+
+def h26_ljung_box(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return ljung_box(e).orderBy("skey", "n", "dof", "q_lb")
+
+
+EXTENDED_QUERIES["h26_ljung_box"] = h26_ljung_box
+
+
+def _lb_oracle() -> str:
+    terms = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        r = (
+            f"(ROUND(ROUND(CASE WHEN den > 0 THEN num{k} / den"
+            f" ELSE 0.0 END, 9) + 1e-12, 6) + 0.0)"
+        )
+        terms.append(f"{r} * {r} / (CAST(n AS DOUBLE) - {k}.0)")
+    qexpr = " + ".join(terms)
+    return f"""{_acf_oracle_ctes()},
+        qv AS (
+            SELECT skey, n,
+                   CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * ({qexpr}) q
+            FROM comp WHERE n > {ACF_MAX_LAG}),
+        fin AS (
+            SELECT skey, n, CAST({ACF_MAX_LAG} AS BIGINT) dof,
+                   ROUND(ROUND(q, 9) + 1e-12, 4) + 0.0 q_lb
+            FROM qv)
+        SELECT skey, n, dof, q_lb, q_lb > {LB_CRIT_95} reject_white_noise
+        FROM fin ORDER BY skey, n, dof, q_lb"""
+
+
+EXTENDED_ORACLE_SQL["h26_ljung_box"] = _lb_oracle()
+
+
+# --------------------------------------------- corpus concentration
+# v10 reports partition-key skew and t25 the heavy-hitter tokens;
+# the corpus-level concentration question between them — "how
+# unequally are TOKENS distributed across documents within each
+# source?" — is the Lorenz/Gini audit a data-mixing plan reads
+# before weighting sources (a source whose token mass sits in a few
+# giant documents packs and dedups very differently from a uniform
+# one). Gini over sorted per-doc token counts x_(1) <= ... <= x_(n):
+# G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n  (the exact
+# discrete form, not a binned approximation).
+
+GINI_RANK_PARTS = 32
+
+
+def token_gini(docs: DataFrame) -> DataFrame:
+    """Per-source Gini coefficient of per-document token counts:
+    (source, n_docs, total_tokens, gini).
+
+    Exact-arithmetic shape: the rank-weighted sum S_w = sum(i * x_i)
+    and totals stay BIGINT; gini performs exactly TWO IEEE divisions
+    in a fixed expression, stabilized 9 -> 6 dp. (At 100 TB, i*x_i
+    reaches ~1e20 and the weighted sum must widen to DECIMAL(38,0) —
+    a one-line change called out here so the overflow is a documented
+    cliff, not a surprise.)
+
+    Scale shape: the global per-source rank uses the v18/t31/t35
+    distributed-rank discipline, NOT a window partitioned on the
+    handful-valued source column: range-repartition on (source,
+    tokens, doc_id) (unique tiebreak), per-partition ``row_number``
+    (parallelism = GINI_RANK_PARTS), per-(pid, source) prefix offsets
+    joined back from one broadcast table — the driver sees partition
+    subtotals, never documents. Equal token counts permute only
+    within a tie group, where sum(i) is order-free, so the rank
+    tiebreak cannot move the statistic."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    pv = (
+        base.repartitionByRange(GINI_RANK_PARTS, "source", "tokens", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid between offset pass and reuse
+    )
+    totals = pv.groupBy("pid", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    acc: dict = {}
+    offs = []
+    for r in sorted(totals, key=lambda r: (r.source, r.pid)):
+        offs.append((r.pid, r.source, acc.get(r.source, 0)))
+        acc[r.source] = acc.get(r.source, 0) + r.c
+    if offs:
+        off_df = spark.createDataFrame(offs, "pid int, source string, off long")
+    else:
+        off_df = spark.createDataFrame([], "pid int, source string, off long")
+    w = Window.partitionBy("pid", "source").orderBy("tokens", "doc_id")
+    ranked = (
+        pv.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), ["pid", "source"])
+        .select(
+            "source",
+            "tokens",
+            (F.col("off") + F.col("rn")).alias("rnk"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.col("rnk") * F.col("tokens")).alias("sw"),
+    )
+    nd = F.col("n_docs").cast("double")
+    gini = F.when(
+        F.col("total_tokens") > 0,
+        F.lit(2.0)
+        * F.col("sw").cast("double")
+        / (F.col("n_docs") * F.col("total_tokens")).cast("double")
+        - (nd + F.lit(1.0)) / nd,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.round(F.round(gini, 9) + F.lit(1e-12), 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )
+
+
+def v20_token_gini(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return token_gini(d).orderBy("source", "n_docs", "total_tokens", "gini")
+
+
+EXTENDED_QUERIES["v20_token_gini"] = v20_token_gini
+
+EXTENDED_ORACLE_SQL["v20_token_gini"] = """
+        WITH base AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) tokens
+            FROM documents),
+        ranked AS (
+            SELECT source, tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY tokens, doc_id) rnk
+            FROM base),
+        agg AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+                   CAST(SUM(tokens) AS BIGINT) total_tokens,
+                   CAST(SUM(rnk * tokens) AS BIGINT) sw
+            FROM ranked GROUP BY source)
+        SELECT source, n_docs, total_tokens,
+               ROUND(ROUND(CASE WHEN total_tokens > 0 THEN
+                   2.0 * CAST(sw AS DOUBLE)
+                     / CAST(n_docs * total_tokens AS DOUBLE)
+                   - (CAST(n_docs AS DOUBLE) + 1.0)
+                     / CAST(n_docs AS DOUBLE)
+                   ELSE 0.0 END, 9) + 1e-12, 6) + 0.0 gini
+        FROM agg ORDER BY source, n_docs, total_tokens, gini"""

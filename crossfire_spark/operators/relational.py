@@ -456,7 +456,14 @@ def q32(spark, sf_dir):
 
 def q33(spark, sf_dir):
     """Window-function suite: rank / dense_rank / ntile / first /
-    last / lead over one partition spec, plus a rangeBetween frame."""
+    last / lead over one partition spec, plus a rangeBetween frame.
+
+    Low-cardinality-window exemption (r10 audit): the window
+    partitions on 3-value o_orderstatus, but the input is pre-filtered
+    to o_orderkey < 2000 — a fixed absolute key range whose row count
+    does NOT grow with SF, so the 3-task sort is over a constant-size
+    set at any scale (unlike the pre-rewrite v18, which windowed the
+    full fact table)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -873,7 +880,11 @@ def q54(spark, sf_dir):
     first/last/nth value over an explicit full-partition frame.
     Deterministic: the window order has a unique tiebreak
     (o_totalprice, o_orderkey); ranks are exact rationals rounded at
-    4 dp identically in either engine."""
+    4 dp identically in either engine.
+
+    Low-cardinality-window exemption (r10 audit): input pre-filtered
+    to the fixed key range o_orderkey < 2000 — SF-independent row
+    count, so the 3-partition window never sees a growing table."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1193,7 +1204,11 @@ def q66(spark, sf_dir):
     q16/q33). The ORDER BY inside the window is made unique with the
     key column, so every rank value is deterministic in any engine;
     percent_rank/cume_dist are exact rationals of row counts, so the
-    doubles agree bit-for-bit. One shuffle on the partition key."""
+    doubles agree bit-for-bit. One shuffle on the partition key.
+
+    Low-cardinality-window exemption (r10 audit): input pre-filtered
+    to the fixed key range o_orderkey < 4000 — SF-independent row
+    count, so the 3-partition window never sees a growing table."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
     w = Window.partitionBy("o_orderstatus").orderBy(
         "o_totalprice", "o_orderkey"

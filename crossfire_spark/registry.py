@@ -24,93 +24,72 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # driver's sample spans the whole engine; remaining keys follow in
 # family order.
 _DRIVER_SAMPLE_PREFIX = (
-    # r9 rotation (VERDICT r8 task 1). Ledger correction first
-    # (ADVICE r8): the r8 comment understated its own rotation — the
-    # full displaced set in r8 was SEVEN keys: v08, t10, st02 (as
-    # stated) plus t19_token_stats, h19_forecast_backtest,
-    # h09_lttb_downsample, st07_stream_upsert (displaced by
-    # d29/t36/d30/st22).
+    # r10 rotation (VERDICT r9 task 2): 14 multi-recorded,
+    # code-unchanged keys rotate OUT —
+    #   hash-green >=2 rounds: a02_asof_forward(x2)
+    #   d26_threshold_sweep(x3) d29_lsh_param_planner(x2)
+    #   d30_span_removal_plan(x2) g13_weighted_shortest_path(x2)
+    #   t35_shard_manifest(x2) v12_fd_audit(x2)
+    #   st09_snapshot_merge_stream(x2) st13_stream_quality(x2)
+    #   st21_late_data_audit(x2) st22_stateful_sessions(x2)
+    #   rows-only recorded x2 (declared no-oracle keys, both
+    #   recordings green): d27_simhash_recall_audit
+    #   d28_srp_recall_audit t36_compression_quality
+    # — for 14 oracled keys the driver has NEVER hashed (r1-r9),
+    # family-interleaved from the COVERAGE.md "r10 rotation prep"
+    # pool, placement/relational heads first per the VERDICT r9
+    # priority list. t31_ccnet_bucket is also REQUIRED here: its
+    # tercile split was rewritten onto the distributed-ntile shape
+    # this round (VERDICT r9 task 1 audit), so it must hash in its
+    # shipping round. Keys whose code changed this round stay for a
+    # post-change hash: v18_spearman_audit (two-phase rank rewrite),
+    # t38_stupid_backoff (lazy model checkpoints),
+    # s25_pq_distortion (half-away rounding). Keys first hashed in
+    # r9 keep one round of continuity.
     #
-    # r9 rotation proper: 23 keys with >=2 driver hashes each and no
-    # code change since their last hash rotate OUT —
-    #   d24_bloom_decontam(x2) d13_build_index(x2)
-    #   s22_ivf_pq_residual(x2) st19_stream_cdc_apply(x2)
-    #   h18_scd2_intervals(x2) st20_stream_scd2(x2) v16_ks_test(x2)
-    #   h20_forecast_anomaly(x2) t15_split_assign(x2)
-    #   t18_corpus_build(x2) t21_stratified_sample(x3)
-    #   t33_tokenizer_fertility(x2) s23_matryoshka_eval(x2)
-    #   g04_kcore(x3) m10_image_patches(x2) p01_verify_placement(x4)
-    #   p04_verify_fast(x4) st03_session_window(x2)
-    #   st05_stream_static(x2) st08_stream_dedup(x2)
-    #   st12_stream_matview(x2) st15_stream_anomaly(x2)
-    #   st17_stream_funnel(x2)
-    # — for 23 oracled keys the driver has NEVER hashed (r1-r8),
-    # family-interleaved per the VERDICT r8 priority list. Keys first
-    # hashed in r8 keep one round of continuity; d26 stays because
-    # its rep-materialization changed this round (VERDICT r8 task 5)
-    # and the new path needs a driver hash.
-    #
-    # relational — q61/q64/q65 never driver-hashed
-    "q61", "q64", "q65",
-    # as-of — a02 continuity
-    "a02_asof_forward",
-    # dedup — d14/d17/d19/d22 never hashed; d15/d23/d26-d30 stay
-    "d14_containment", "d17_hashed_decontam",
+    # relational + placement heads — q28-q31 never driver-hashed.
+    # r10 additions enter in their shipping round (r6 task 8
+    # discipline), each displacing a single-r9-hashed, code-unchanged
+    # key: h25 displaces q64, h26 displaces q65, s26 displaces q61
+    # (q33/q54/q66 keep the rank-window class driver-covered, and
+    # q28-q31 restore the relational family count), g15 displaces
+    # d14_containment, v20 displaces v13_split_drift
+    "q28", "q29", "q30", "q31",
+    # as-of — a04 never hashed (a02 rotates out with 2 hashes)
+    "a04_asof_interpolate",
+    # dedup — d17/d19/d22/d31 keep r9 continuity; d09 never hashed
+    "d17_hashed_decontam",
     "d19_dedup_keep_best", "d22_anchor_positives",
-    "d31_shard_leakage_audit",  # r9 addition, displaces d15
-    "h23_sax_symbols",  # r9 addition, displaces d23 (1 r8 hash)
-    "d26_threshold_sweep",
-    "d27_simhash_recall_audit", "d28_srp_recall_audit",
-    "d29_lsh_param_planner", "d30_span_removal_plan",
-    # r9 additions enter the sample in their shipping round (r6 task
-    # 8 discipline), each displacing a single-r8-hashed, unchanged
-    # key: h22 displaces q56
-    "h22_seasonal_decompose",
-    # time-series / graph / text: late-r9 additions enter in their
-    # shipping round (r6 task 8 discipline), each displacing a
-    # single-r8-hashed, code-unchanged key — h24 displaces
-    # h21_holt_winters (h22/h23 keep the family covered), t38
-    # displaces t34_token_budget_mix, g14 displaces
-    # g06_labelprop_communities (g14 recomputes g06's full
-    # label-propagation chain as its input, so the displaced
-    # computation stays driver-covered through g14)
-    "h24_sax_motifs", "g13_weighted_shortest_path",
-    "t38_stupid_backoff", "t35_shard_manifest",
-    "t36_compression_quality",
-    # validation — v13/v14 never hashed; v12 continuity; r9 addition
-    # v18 displaces v05 (single r8 hash, unchanged); late-r9 addition
-    # v19 displaces v17_mutual_information (single r8 hash, unchanged
-    # — v19 recomputes v17's contingency + marginal chain as its
-    # input, so the displaced computation stays driver-covered)
-    "v13_split_drift", "v14_dup_label_consistency",
-    "v18_spearman_audit", "v12_fd_audit", "v19_chi2_independence",
-    # text — t25/t27/t28 never hashed; t26 continuity; r9 addition
-    # t37 displaces t24 (single r8 hash, unchanged)
-    # late-r9 additions m12/s25 enter in their shipping round: m12
-    # displaces t26_sentence_dedup (single r8 hash, unchanged), s25
-    # displaces s09_pq_topk (single r8 hash, unchanged — s25
-    # recomputes s09's codebook+rounded-argmin assignment chain as
-    # its input, so the displaced encode path stays driver-covered)
+    "d31_shard_leakage_audit", "d09_semdedup",
+    # time-series — h22/h23/h24 continuity; h14 never hashed;
+    # h25/h26 ship this round
+    "h22_seasonal_decompose", "h23_sax_symbols", "h24_sax_motifs",
+    "h14_changepoint", "h25_acf", "h26_ljung_box",
+    # graph — g10/g11/g14 continuity; g03 never hashed; g15 ships
+    # this round
+    "g10_assortativity", "g11_clustering_coefficient",
+    "g14_modularity", "g03_triangle_count", "g15_edge_embeddedness",
+    # text — t25/t27/t28/t37/t38 continuity; t31 rewritten this round
     "t25_heavy_hitters", "t27_zipf_fit", "t28_readability",
-    "t37_vocab_coverage", "m12_phash_dct",
-    # similarity / ANN — s12/s18/s20/s21 never hashed; r9 additions
-    # s24 displaces s19 (single r8 hash, unchanged), s25 displaces s09
+    "t37_vocab_coverage", "t38_stupid_backoff", "t31_ccnet_bucket",
+    # validation — v14/v19 continuity; v18 rewritten this round;
+    # v20 ships this round
+    "v14_dup_label_consistency",
+    "v18_spearman_audit", "v19_chi2_independence", "v20_token_gini",
+    # similarity / ANN — s12/s18/s20/s21/s24 continuity; s25 kernel
+    # rounding changed this round; s06/s13 never hashed
     "s12_range_search", "s18_density_clusters",
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
     "s25_pq_distortion", "s24_probe_recall_curve",
-    # graph — g10/g11 never hashed; g14 audits (and recomputes) g06
-    "g10_assortativity", "g11_clustering_coefficient",
-    "g14_modularity",
-    # multimodal — m08/m09 never hashed; r9 addition m11 (rows-only
-    # driver check, the d27/d28 mold) displaces m07 (single r8 hash,
-    # unchanged)
+    "s06_ivf_index", "s13_mmr_rerank", "s26_silhouette",
+    # multimodal — m08/m09/m11/m12 continuity; m01 never hashed
     "m08_audio_neardup", "m09_audio_vad_trim", "m11_goertzel_bands",
-    # streaming — st11/st16/st18 never hashed; st09/st13/st21/st22
-    # continuity
+    "m12_phash_dct", "m01_media_features",
+    # placement — p05 never hashed
+    "p05_rebalance_plan",
+    # streaming — st11/st16/st18 continuity; st10 never hashed
     "st11_stream_pii", "st16_stream_topk",
-    "st18_stream_interval_merge",
-    "st09_snapshot_merge_stream", "st13_stream_quality",
-    "st21_late_data_audit", "st22_stateful_sessions",
+    "st18_stream_interval_merge", "st10_snapshot_source_stream",
 )
 
 

@@ -116,7 +116,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 267 and len(osql) == 250
+    assert len(qs) == 272 and len(osql) == 255
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

@@ -1,0 +1,222 @@
+"""Second-implementation pins for the round-10 operators and
+rewrites. Every op here is fully oracled (DuckDB differential runs in
+test_extended/test_extensions); these exist for FAILURE LOCALITY — a
+plain-Python/NumPy recompute sharing no code with the engine says
+which stage broke when a sweep reddens.
+
+- h25/h26: ACF + Ljung-Box re-derived with dict/list arithmetic from
+  the raw events parquet (pandas groupby hourly, no Spark windows).
+- v20: Gini re-derived from the textbook sorted-rank formula.
+- g15: embeddedness re-derived with Python set intersections.
+- s26: silhouette re-derived with NumPy from kmeans_fit's centroids.
+- v18 rewrite: Spearman rho re-derived with fractional ranks in
+  plain Python (the two-phase distributed rank must equal it).
+- t31 rewrite: the distributed NTILE must equal the closed-form
+  NTILE on the per-language score table.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events_pdf(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _hourly_cents(pdf: pd.DataFrame) -> dict[str, list[int]]:
+    pdf = pdf.copy()
+    pdf["b"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = np.floor(pdf["value"] * 100).astype("int64")
+    out: dict[str, list[int]] = {}
+    g = pdf.groupby(["event_type", "b"])["cents"].sum().reset_index()
+    for k, sub in g.groupby("event_type"):
+        out[k] = sub.sort_values("b")["cents"].tolist()
+    return out
+
+
+def _acf_py(series: list[int], max_lag: int) -> tuple[int, list[float]]:
+    n = len(series)
+    m = float(sum(series)) / float(n)
+    dev = [float(c) - m for c in series]
+    den = sum(d * d for d in dev)
+    rs = []
+    for k in range(1, max_lag + 1):
+        num = sum(dev[t] * dev[t - k] for t in range(k, n))
+        r = num / den if den > 0 else 0.0
+        rs.append(round(round(r, 9) + 1e-12, 6) + 0.0)
+    return n, rs
+
+
+def test_h25_acf_recompute(spark, sf_dir):
+    from crossfire_spark.operators.extended import ACF_MAX_LAG, h25_acf
+
+    got = {
+        (r["skey"], r["lag"]): r["r"]
+        for r in h25_acf(spark, sf_dir).collect()
+    }
+    series = _hourly_cents(_events_pdf(sf_dir))
+    want = {}
+    for skey, cents in series.items():
+        n, rs = _acf_py(cents, ACF_MAX_LAG)
+        for k, r in enumerate(rs, 1):
+            if n > k:
+                want[(skey, k)] = r
+    assert got == pytest.approx(want)
+
+
+def test_h26_ljung_box_recompute(spark, sf_dir):
+    from crossfire_spark.operators.extended import (
+        ACF_MAX_LAG,
+        LB_CRIT_95,
+        h26_ljung_box,
+    )
+
+    rows = {r["skey"]: r for r in h26_ljung_box(spark, sf_dir).collect()}
+    for skey, cents in _hourly_cents(_events_pdf(sf_dir)).items():
+        n, rs = _acf_py(cents, ACF_MAX_LAG)
+        if n <= ACF_MAX_LAG:
+            assert skey not in rows
+            continue
+        q = 0.0
+        for k, r in enumerate(rs, 1):
+            q += r * r / (float(n) - float(k))
+        q = float(n) * (float(n) + 2.0) * q
+        q4 = round(round(q, 9) + 1e-12, 4) + 0.0
+        assert rows[skey]["q_lb"] == pytest.approx(q4, abs=2e-4)
+        assert rows[skey]["reject_white_noise"] == (q4 > LB_CRIT_95)
+
+
+def test_v20_gini_recompute(spark, sf_dir):
+    from crossfire_spark.operators.extended import v20_token_gini
+
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["gini"])
+        for r in v20_token_gini(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for src, sub in docs.groupby("source"):
+        xs = sorted(len(t.split(" ")) for t in sub["text"])
+        n, sx = len(xs), sum(xs)
+        sw = sum((i + 1) * x for i, x in enumerate(xs))
+        g = 2.0 * sw / (n * sx) - (n + 1.0) / n if sx > 0 else 0.0
+        g = round(round(g, 9) + 1e-12, 6) + 0.0
+        assert got[src] == (n, sx, pytest.approx(g))
+
+
+def test_g15_embeddedness_recompute(spark, sf_dir):
+    from crossfire_spark.functions.graph import g15_edge_embeddedness
+
+    rows = g15_edge_embeddedness(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    m = int(docs["doc_id"].max()) + 1
+    adj: dict[int, set[int]] = defaultdict(set)
+    for i in docs["doc_id"]:
+        for j in ((7 * i + 1) % m, (13 * i + 3) % m):
+            if i != j:
+                adj[int(i)].add(int(j))
+                adj[int(j)].add(int(i))
+    seen = set()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        seen.add((a, b))
+        assert a < b
+        common = len(adj[a] & adj[b])
+        assert r["embeddedness"] == common, (a, b)
+        assert r["is_local_bridge"] == (common == 0)
+        assert r["deg_a"] == len(adj[a]) and r["deg_b"] == len(adj[b])
+    n_edges = sum(len(v) for v in adj.values()) // 2
+    assert len(seen) == n_edges  # every undirected edge reported once
+
+
+def test_s26_silhouette_recompute(spark, sf_dir):
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.similarity import (
+        kmeans_fit,
+        s26_silhouette,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(em, n_iter=3)
+    C = np.asarray(cents, dtype=np.float64)
+    X = np.stack(
+        em.orderBy("vec_id").toPandas()["embedding"].map(np.asarray)
+    ).astype(np.float64)
+    d = np.round(
+        ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6
+    )  # N x k, the engine's 6-dp assignment rounding
+    order = np.lexsort((np.arange(C.shape[0])[None, :].repeat(len(X), 0), d))
+    cid = order[:, 0]
+    a = d[np.arange(len(X)), cid]
+    b = np.sort(d, axis=1)[:, 1]
+    # tie-exactness: b is the 2nd-smallest distance VALUE, which is
+    # what both engine forms compute (sorted struct / MIN over others)
+    s = np.where(np.maximum(a, b) > 0, (b - a) / np.maximum(a, b), 0.0)
+    got = {r["cid"]: r for r in s26_silhouette(spark, sf_dir).collect()}
+    for c in sorted(set(cid.tolist())):
+        mask = cid == c
+        assert got[c]["n_vecs"] == int(mask.sum())
+        for col, arr in (("mean_a", a), ("mean_b", b), ("silhouette", s)):
+            want = round(round(float(arr[mask].mean()), 9) + 1e-12, 6) + 0.0
+            assert got[c][col] == pytest.approx(want, abs=2e-6), (c, col)
+
+
+def test_v18_spearman_recompute(spark, sf_dir):
+    from crossfire_spark.operators.extended import v18_spearman_audit
+
+    got = {r["l_returnflag"]: r for r in v18_spearman_audit(spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+    def frac_ranks(vals: list[float]) -> list[float]:
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0  # mean of positions i+1..j
+            for t in range(i, j):
+                ranks[order[t]] = avg
+            i = j
+        return ranks
+
+    for flag, sub in li.groupby("l_returnflag"):
+        q = sub["l_quantity"].tolist()
+        p = sub["l_extendedprice"].tolist()
+        rq, rp = frac_ranks(q), frac_ranks(p)
+        rho_s = float(np.corrcoef(rq, rp)[0, 1])
+        rho_p = float(np.corrcoef(q, p)[0, 1])
+        assert got[flag]["n"] == len(sub)
+        assert got[flag]["rho_s"] == pytest.approx(rho_s, abs=2e-4)
+        assert got[flag]["rho_p"] == pytest.approx(rho_p, abs=2e-4)
+
+
+def test_t31_ntile_recompute(spark, sf_dir):
+    """The distributed NTILE must reproduce exact NTILE(3) semantics:
+    per language, ordered by (lp DESC, doc_id), the first n%3 terciles
+    hold ceil(n/3) docs."""
+    from crossfire_spark.functions.text import t31_ccnet_bucket
+
+    rows = t31_ccnet_bucket(spark, sf_dir).collect()
+    by_lang: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r["lp"], r["doc_id"]))
+        n, k = len(rs), 3
+        q, rem = divmod(n, k)
+        for pos, r in enumerate(rs, 1):
+            if q == 0:
+                want = pos
+            elif pos <= rem * (q + 1):
+                want = (pos - 1) // (q + 1) + 1
+            else:
+                want = rem + (pos - rem * (q + 1) - 1) // q + 1
+            assert r["bucket"] == want, (lang, pos, n)
+            assert r["tier"] == ("head", "middle", "tail")[want - 1]
