@@ -1437,6 +1437,7 @@ def weighted_srp_pairs(
     coarse_longs: int = SRP_COARSE_LONGS,
     coarse_margin: float | None = None,
     return_candidates: bool = False,
+    sig_join: str = "broadcast",
 ) -> DataFrame:
     """TF-IDF-weighted near-dup pairs at scale — the banded tier d15
     is the oracle of (the d02→d03 relationship, closed for the
@@ -1514,8 +1515,19 @@ def weighted_srp_pairs(
     # stream never shuffles with signature payloads attached
     # (measured 5x). The sig table is |docs| x ~0.5 KiB —
     # broadcastable far beyond this corpus; when it outgrows that,
-    # pre-partition sig and the pair stream on doc_id (bucketed join)
-    # so the signature payload rides each pair row once.
+    # ``sig_join="shuffle"`` switches both attach stages to a
+    # shuffle-hash equi-join on the doc key (pair stream and sig table
+    # co-shuffle; the signature payload rides each pair row exactly
+    # once) — the IMPLEMENTED 100 TB fallback, equality-pinned against
+    # the broadcast path in tests/test_r10_ops.py.
+    if sig_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"sig_join must be broadcast|shuffle: {sig_join}")
+
+    def _attach(pairs: DataFrame, side: DataFrame, key: str) -> DataFrame:
+        if sig_join == "broadcast":
+            return pairs.join(F.broadcast(side), key)
+        return pairs.join(side.hint("shuffle_hash"), key)
+
     sa_c, sb_c = _sig_sides(coarse_longs)
     nb_coarse = 64 * coarse_longs
     coarse_cand = (
@@ -1526,8 +1538,8 @@ def weighted_srp_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .join(F.broadcast(sa_c), "doc_a")
-        .join(F.broadcast(sb_c), "doc_b")
+        .transform(lambda df: _attach(df, sa_c, "doc_a"))
+        .transform(lambda df: _attach(df, sb_c, "doc_b"))
         .where(
             F.cos(F.lit(math.pi / nb_coarse) * _srp_hamming(coarse_longs))
             >= threshold - coarse_margin
@@ -1538,8 +1550,7 @@ def weighted_srp_pairs(
     nbits = 64 * n_longs
     sa, sb = _sig_sides(n_longs)
     candidates = (
-        coarse_cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        _attach(_attach(coarse_cand, sa, "doc_a"), sb, "doc_b")
         .where(
             F.cos(F.lit(math.pi / nbits) * _srp_hamming(n_longs))
             >= threshold - prefilter_margin

@@ -175,6 +175,55 @@ def t05_quality_filter(spark, sf_dir):
 
 
 SEQ_LEN = 256  # tokens per packed training sequence
+PACK_RANK_PARTS = 16  # range partitions backing the packing cumsum
+
+
+def _cum_tokens_before(toks: "DataFrame") -> "DataFrame":
+    """(source, doc_id, n_tok) -> + exact BIGINT ``cum_before`` =
+    tokens of all earlier (by doc_id) docs in the same source — the
+    packing prefix sum, computed WITHOUT a window partitioned on the
+    handful-valued ``source`` (the r10 low-cardinality-window audit:
+    the r9 form serialized each source's documents through one task
+    at any cluster size). Same discipline as v18/t31/t35:
+    range-repartition on (source, doc_id), per-partition running sum
+    (parallelism = PACK_RANK_PARTS), per-(pid, source) prefix TOKEN
+    TOTALS joined back from one broadcast table. Exact integers
+    throughout — the rewrite cannot move a sequence boundary."""
+    from pyspark.sql import Window
+
+    spark = toks.sparkSession
+    pv = (
+        toks.repartitionByRange(PACK_RANK_PARTS, "source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid between offset pass and reuse
+    )
+    totals = pv.groupBy("pid", "source").agg(
+        F.sum("n_tok").alias("s")
+    ).collect()
+    acc: dict = {}
+    offs = []
+    for r in sorted(totals, key=lambda r: (r.source, r.pid)):
+        offs.append((r.pid, r.source, acc.get(r.source, 0)))
+        acc[r.source] = acc.get(r.source, 0) + int(r.s or 0)
+    if offs:
+        off_df = spark.createDataFrame(offs, "pid int, source string, off long")
+    else:
+        off_df = spark.createDataFrame([], "pid int, source string, off long")
+    w = (
+        Window.partitionBy("pid", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pv.withColumn("c0", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .join(F.broadcast(off_df), ["pid", "source"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("off") + F.col("c0")).alias("cum_before"),
+        )
+    )
 
 
 def t06_pack_sequences(spark, sf_dir):
@@ -182,26 +231,17 @@ def t06_pack_sequences(spark, sf_dir):
     prep: concatenate documents in deterministic order and cut every
     ``SEQ_LEN`` tokens; report per-sequence document count and token
     total. A document's sequence = (tokens before it) DIV SEQ_LEN,
-    computed with a running-sum window *partitioned by source shard*
-    — the scale-honest form: one window per shard (no global single-
-    partition sort, the classic packing-at-scale trap), shards pack
-    independently and in parallel, exactly how a 100 TB corpus is
-    packed per input shard. Integer arithmetic only."""
-    from pyspark.sql import Window
-
+    with the prefix sum computed by ``_cum_tokens_before``'s
+    distributed form (r10 rewrite — the r9 per-source window
+    serialized each source through one task; the range-partitioned
+    running sum packs a source across the whole cluster with the
+    same exact integer boundaries). Integer arithmetic only."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        toks.withColumn(
-            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-        )
+        _cum_tokens_before(toks)
         .withColumn("seq_id", F.expr(f"cum_before DIV {SEQ_LEN}"))
         .groupBy("source", "seq_id")
         .agg(
@@ -2192,23 +2232,15 @@ def t32_packing_efficiency(spark, sf_dir):
     documents (docs spanning a sequence boundary — the rows whose
     attention masks and loss boundaries training must special-case).
 
-    Scale shape: identical to t06 — one per-shard running-sum window
-    (no global sort), then a per-shard aggregate; everything is
-    integer until the final fill fraction (non-negative, 9→6 dp)."""
-    from pyspark.sql import Window
-
+    Scale shape: identical to t06 — ``_cum_tokens_before``'s
+    distributed prefix sum (r10 rewrite, no per-source window), then
+    a per-shard aggregate; everything is integer until the final
+    fill fraction (non-negative, 9→6 dp)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = toks.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    ).withColumn(
+    packed = _cum_tokens_before(toks).withColumn(
         "frag",
         (
             (F.col("cum_before") / F.lit(SEQ_LEN)).cast("long")

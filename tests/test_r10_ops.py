@@ -220,3 +220,25 @@ def test_t31_ntile_recompute(spark, sf_dir):
                 want = rem + (pos - rem * (q + 1) - 1) // q + 1
             assert r["bucket"] == want, (lang, pos, n)
             assert r["tier"] == ("head", "middle", "tail")[want - 1]
+
+
+def test_d16_shuffle_sig_join_equals_broadcast(spark, sf_dir):
+    """The implemented 100 TB fallback (sig_join="shuffle": signatures
+    co-shuffled with the pair stream via a shuffle_hash hint instead
+    of broadcast) must produce the IDENTICAL pair set and sims — the
+    join strategy is a physical choice, never a semantic one. (The
+    physical plan itself is truncated by the candidates
+    localCheckpoint, so the pin is value-level equality.)"""
+    from crossfire_spark.catalog import load_table
+    from crossfire_spark.functions.dedup import weighted_srp_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bc = {
+        (r["doc_a"], r["doc_b"]): r["sim"]
+        for r in weighted_srp_pairs(docs).collect()
+    }
+    sh_df = weighted_srp_pairs(docs, sig_join="shuffle")
+    sh = {(r["doc_a"], r["doc_b"]): r["sim"] for r in sh_df.collect()}
+    assert bc == sh and len(bc) > 0
+    with pytest.raises(ValueError):
+        weighted_srp_pairs(docs, sig_join="bogus")

@@ -185,7 +185,7 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
-def run(reps: int, scales=SCALES, only=None) -> None:
+def run(reps: int, scales=SCALES, only=None, candidates=True) -> None:
     from crossfire_spark import get_spark
     from crossfire_spark.registry import all_queries
 
@@ -212,6 +212,14 @@ def run(reps: int, scales=SCALES, only=None) -> None:
         "g14_modularity",
         "m12_phash_dct",
         "s25_pq_distortion",
+        # round-9/10 additions over the fixture tables (VERDICT r9
+        # task 7: every op ships with a measured exponent)
+        "d31_shard_leakage_audit",
+        "t37_vocab_coverage",
+        "s24_probe_recall_curve",
+        "s26_silhouette",
+        "v20_token_gini",
+        "g15_edge_embeddedness",
     ]
     if only:
         targets = [t for t in targets if t in only]
@@ -241,8 +249,9 @@ def run(reps: int, scales=SCALES, only=None) -> None:
             print(
                 f"x{mult} {t}: {results[t][mult]}", file=sys.stderr
             )
-        cand[mult] = _candidate_counts(spark, sf_dir)
-        print(f"x{mult} candidates: {cand[mult]}", file=sys.stderr)
+        if candidates:
+            cand[mult] = _candidate_counts(spark, sf_dir)
+            print(f"x{mult} candidates: {cand[mult]}", file=sys.stderr)
 
     # least-squares slope of log(time) vs log(scale)
     lx = [math.log(m) for m in scales]
@@ -277,30 +286,119 @@ def run(reps: int, scales=SCALES, only=None) -> None:
             + " | ".join(str(r) for r in rws)
             + " |"
         )
-    cand_lines = [
-        "| scale | d03 candidate pairs | d16 candidate pairs |",
-        "|---|---|---|",
-    ] + [
-        f"| x{m} | {cand[m]['d03_candidates']} | {cand[m]['d16_candidates']} |"
-        for m in scales
-    ]
     print("\n".join(lines))
-    print()
-    print("\n".join(cand_lines))
+    if cand:
+        cand_lines = [
+            "| scale | d03 candidate pairs | d16 candidate pairs |",
+            "|---|---|---|",
+        ] + [
+            f"| x{m} | {cand[m]['d03_candidates']} | {cand[m]['d16_candidates']} |"
+            for m in scales
+        ]
+        print()
+        print("\n".join(cand_lines))
     print(json.dumps({"summary": summary, "candidates": {str(k): v for k, v in cand.items()}}))
+
+
+REAL_SCALES = (1, 10, 100)
+REAL_DIRS = {
+    1: "/root/testdata/sf0.001",
+    10: "/root/testdata/sf0.01",
+    100: "/root/testdata/sf0.1",
+}
+# Events/lineitem-backed ops can't run on the doc/vec fixture family;
+# the driver's own testdata scales events and lineitem EXACTLY 10x
+# per SF step (1k/10k/100k events, 6k/60k/600k lineitem — verified
+# row counts), so the three real SFs are a held-generator n-scaling
+# family for them spanning two decades.
+REAL_TARGETS = [
+    "h22_seasonal_decompose",
+    "h23_sax_symbols",
+    "h24_sax_motifs",
+    "h25_acf",
+    "h26_ljung_box",
+    "v18_spearman_audit",
+    "v19_chi2_independence",
+]
+
+
+def run_real(reps: int, only=None) -> None:
+    from crossfire_spark import get_spark
+    from crossfire_spark.registry import all_queries
+
+    targets = REAL_TARGETS
+    if only:
+        targets = [t for t in targets if t in only]
+    spark = get_spark(app_name="crossfire-scale-curve-real")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    results: dict[str, dict[int, dict]] = {t: {} for t in targets}
+    for mult in REAL_SCALES:
+        sf_dir = REAL_DIRS[mult]
+        for t in targets:
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                qs[t](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.perf_counter() - t0)
+            results[t][mult] = {
+                "median_s": round(statistics.median(times), 3),
+                "rows": qs[t](spark, sf_dir).count(),
+            }
+            print(f"x{mult} {t}: {results[t][mult]}", file=sys.stderr)
+
+    lx = [math.log(m) for m in REAL_SCALES]
+    sx, sxx, n = sum(lx), sum(x * x for x in lx), len(REAL_SCALES)
+
+    def slope(ys):
+        ly = [math.log(max(y, 1e-9)) for y in ys]
+        return (n * sum(x * y for x, y in zip(lx, ly)) - sx * sum(ly)) / (
+            n * sxx - sx * sx
+        )
+
+    lines = [
+        "| query | "
+        + " | ".join(f"x{m} time (s)" for m in REAL_SCALES)
+        + " | alpha (t~n^a) | "
+        + " | ".join(f"x{m} rows" for m in REAL_SCALES)
+        + " |",
+        "|---|" + "---|" * (2 * len(REAL_SCALES) + 1),
+    ]
+    summary = {}
+    for t in targets:
+        ts = [results[t][m]["median_s"] for m in REAL_SCALES]
+        rws = [results[t][m]["rows"] for m in REAL_SCALES]
+        a = slope(ts)
+        summary[t] = {"alpha": round(a, 2), "times": ts, "rows": rws}
+        lines.append(
+            f"| {t} | "
+            + " | ".join(f"{v:.2f}" for v in ts)
+            + f" | {a:.2f} | "
+            + " | ".join(str(r) for r in rws)
+            + " |"
+        )
+    print("\n".join(lines))
+    print(json.dumps({"summary": summary, "basis": "real-sf 1/10/100"}))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("cmd", choices=["gen", "run", "run-real"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--targets", default=None,
                     help="comma-separated subset of the target list")
+    ap.add_argument("--no-candidates", action="store_true",
+                    help="skip the d03/d16 candidate-count passes")
     args = ap.parse_args()
+    only = args.targets.split(",") if args.targets else None
     if args.cmd == "gen":
         gen()
+    elif args.cmd == "run-real":
+        run_real(args.reps, only=only)
     else:
-        run(args.reps, only=args.targets.split(",") if args.targets else None)
+        run(args.reps, only=only, candidates=not args.no_candidates)
 
 
 if __name__ == "__main__":
