@@ -2707,11 +2707,14 @@ def ivf_probe_recall(
     """Recall@k vs nprobe over the s03 IVF index: one row per tier
     (n_probes, n_queries, n_hits, recall).
 
-    Scale shape: the exact top-k (the one O(N·|Q|) pass), the
-    assignment table, and the query→centroid ranking are each
-    materialized ONCE (``localCheckpoint`` — the d26/s23 shared-tier
-    discipline); every tier then reuses them, filtering the probe
-    ranking to rn <= p. Ranking keys identical to ``ivf_topk``
+    Scale shape: the exact top-k (the one O(N·|Q|) pass — the
+    declared price of a recall AUDIT, the d25/d27/d28 cost class:
+    measured alpha ~1.1 on the x1/x3/x10 family because |Q| grows
+    with N), the assignment table, the query→centroid ranking AND
+    the candidate scoring at max(sweep) probes are each materialized
+    ONCE (``localCheckpoint`` — the d26/s23 shared-tier discipline);
+    every tier then costs one prn filter + one per-query rank over
+    the pre-scored rows. Ranking keys identical to ``ivf_topk``
     (dist 6 dp + cid tiebreak, sim 4 dp + vec_id tiebreak)."""
     exact = (
         cosine_topk(embeddings, queries, k=k)
@@ -2746,27 +2749,35 @@ def ivf_probe_recall(
         .select("qid", "qe", "cid", "prn")
         .localCheckpoint()
     )
-    out = None
-    for p in sweep:
-        cand = (
-            assign.join(
-                pranked.where(F.col("prn") <= p), "cid"
-            )
-            .where(F.col("vec_id") != F.col("qid"))
-        )
-        scored = cand.select(
+    # Score ONCE at max(sweep) probes, carrying the probe rank each
+    # candidate entered at (r10: the per-tier loop previously re-ran
+    # the cosine kernel over nested candidate sets — tier p's
+    # candidates are a subset of p_max's, so Σ_p p/p_max of the
+    # scoring was redundant; a tier now costs one filter + one
+    # per-query rank over already-scored rows). sim per (qid, vec_id)
+    # is tier-independent, so results are bit-identical.
+    scored_all = (
+        assign.join(pranked, "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
             "qid",
             "vec_id",
+            "prn",
             F.round(
                 _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")),
                 4,
             ).alias("sim"),
         )
+        .localCheckpoint()  # every tier re-ranks it
+    )
+    rows = []
+    for p in sweep:
         w = Window.partitionBy("qid").orderBy(
             F.col("sim").desc(), F.col("vec_id")
         )
         approx = (
-            scored.withColumn("rn", F.row_number().over(w))
+            scored_all.where(F.col("prn") <= p)
+            .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("qid", "vec_id")
         )
@@ -2775,10 +2786,10 @@ def ivf_probe_recall(
             (F.col("qid") == F.col("eqid"))
             & (F.col("vec_id") == F.col("ev")),
         ).count()
-        row = embeddings.sparkSession.createDataFrame(
-            [(p, n_q, hits)], "n_probes int, n_queries long, n_hits long"
-        )
-        out = row if out is None else out.unionByName(row)
+        rows.append((p, n_q, hits))
+    out = embeddings.sparkSession.createDataFrame(
+        rows, "n_probes int, n_queries long, n_hits long"
+    )
     return out.select(
         "n_probes",
         "n_queries",
