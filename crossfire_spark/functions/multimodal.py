@@ -1292,3 +1292,88 @@ MULTIMODAL_ORACLE_SQL["m12_phash_dct"] = f"""
         FROM documents
         GROUP BY doc_id % {DHASH_PATTERNS}
         ORDER BY cluster_rep, n_members"""
+
+
+# ------------------------------------------------ image statistics
+# m12 clusters on a perceptual hash; the quality-FILTER step that
+# precedes it in a multimodal curation pipeline reads per-image
+# statistics instead: histogram ENTROPY (flat/blank images score
+# near 0 and are dropped), DYNAMIC RANGE and distinct-level count.
+# All three are invariant under a uniform brightness offset with no
+# clipping (the histogram translates; its shape is unchanged), so on
+# the m07 synthetic corpus (pattern + per-doc brightness < 55, bytes
+# never clip) images cluster by BASE PATTERN exactly — the same
+# closed-form oracle family as m12, with the kernel values pinned by
+# a plain-numpy recompute in tests/test_r10_ops.py.
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """(media_id, entropy, variance, dyn_range, n_levels) — REAL
+    decode, gray histogram, Shannon entropy in bits (6 dp), central
+    variance (6 dp — also shift-invariant, and continuous enough to
+    break the rare entropy/range/levels triple collision between two
+    patterns), max-min gray level and distinct-level count.
+    mapInPandas Arrow batches; blobs never shuffle — the corpus
+    reduces to (id, 4 numbers) before any exchange (the m07/m12
+    discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, ents, vars_, rngs, lvls = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                gray = arr.mean(axis=2).astype(np.int64)
+                counts = np.bincount(gray.ravel(), minlength=256)
+                p = counts[counts > 0] / float(gray.size)
+                ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+                vars_.append(round(float(gray.var()), 6))
+                rngs.append(int(gray.max() - gray.min()))
+                lvls.append(int((counts > 0).sum()))
+                mids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "entropy": ents,
+                    "variance": vars_,
+                    "dyn_range": rngs,
+                    "n_levels": lvls,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, entropy double, variance double,"
+        " dyn_range long, n_levels long",
+    )
+
+
+def m13_image_stats(spark, sf_dir):
+    """Image-statistics quality clusters over the m07 synthetic
+    corpus: entropy/variance/range/levels are brightness-invariant
+    (uniform offset, no clipping), so grouping on the stat TUPLE reproduces
+    the base-pattern partition — the cluster report equals GROUP BY
+    ``doc_id % DHASH_PATTERNS`` exactly as m07/m12's (distinctness of
+    all 50 pattern triples pinned in tests alongside the brightness
+    invariance)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stats = image_stats(synthesize_gradient_images(docs))
+    return (
+        stats.groupBy("entropy", "variance", "dyn_range", "n_levels")
+        .agg(
+            F.min("media_id").alias("cluster_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cluster_rep", "n_members")
+        .orderBy("cluster_rep", "n_members")
+    )
+
+
+MULTIMODAL_QUERIES["m13_image_stats"] = m13_image_stats
+
+MULTIMODAL_ORACLE_SQL["m13_image_stats"] = f"""
+        SELECT MIN(doc_id) cluster_rep, COUNT(*) n_members
+        FROM documents
+        GROUP BY doc_id % {DHASH_PATTERNS}
+        ORDER BY cluster_rep, n_members"""

@@ -3951,3 +3951,92 @@ EXTENDED_ORACLE_SQL["v20_token_gini"] = """
                      / CAST(n_docs AS DOUBLE)
                    ELSE 0.0 END, 9) + 1e-12, 6) + 0.0 gini
         FROM agg ORDER BY source, n_docs, total_tokens, gini"""
+
+
+# --------------------------------------------------- peak detection
+# h08 flags rolling-z anomalies and h14 finds the best single mean
+# shift; neither reports local MAXIMA — the "when does each series
+# peak, and by how much over its neighborhood" question a capacity
+# planner asks of the hourly load curve. A strict local-max scan
+# with a +/- PEAK_HALF_WINDOW neighborhood over the hourly rollup;
+# plateaus are excluded by the strict inequality (declared — a flat
+# top has no unique peak hour).
+
+PEAK_HALF_WINDOW = 3
+
+
+def peak_report(e: DataFrame) -> DataFrame:
+    """Per event-type hourly peaks: rows whose integer-cents hourly
+    level STRICTLY exceeds every neighbor within PEAK_HALF_WINDOW
+    observed hours on each side (edge rows with a truncated
+    neighborhood still qualify — max over an empty frame is NULL,
+    treated as -inf via coalesce). Exact BIGINT arithmetic only;
+    ``over_neighbors`` = cents - max(neighborhood) is the
+    prominence-lite margin.
+
+    Scale shape: one map-side-combinable shuffle to hourly grain,
+    ONE window over the COLLAPSED series (the declared h-family
+    low-cardinality exemption: hourly rows, never raw events)."""
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("skey").orderBy("b")
+    lo = F.max("cents").over(w.rowsBetween(-PEAK_HALF_WINDOW, -1))
+    hi = F.max("cents").over(w.rowsBetween(1, PEAK_HALF_WINDOW))
+    neigh = F.greatest(
+        F.coalesce(lo, F.lit(-(1 << 62))), F.coalesce(hi, F.lit(-(1 << 62)))
+    )
+    return (
+        hourly.select(
+            "skey",
+            "b",
+            "cents",
+            neigh.alias("neighbor_max"),
+        )
+        .where(F.col("cents") > F.col("neighbor_max"))
+        .select(
+            "skey",
+            "b",
+            "cents",
+            "neighbor_max",
+            (F.col("cents") - F.col("neighbor_max")).alias("over_neighbors"),
+        )
+    )
+
+
+def h27_peak_detection(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return peak_report(e).orderBy(
+        "skey", "b", "cents", "neighbor_max", "over_neighbors"
+    )
+
+
+EXTENDED_QUERIES["h27_peak_detection"] = h27_peak_detection
+
+EXTENDED_ORACLE_SQL["h27_peak_detection"] = f"""
+        WITH hourly AS (
+            SELECT event_type skey,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                        AS BIGINT) cents
+            FROM events GROUP BY 1, 2),
+        framed AS (
+            SELECT skey, b, cents,
+                   GREATEST(
+                       COALESCE(MAX(cents) OVER (PARTITION BY skey ORDER BY b
+                           ROWS BETWEEN {PEAK_HALF_WINDOW} PRECEDING
+                                    AND 1 PRECEDING), {-(1 << 62)}),
+                       COALESCE(MAX(cents) OVER (PARTITION BY skey ORDER BY b
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND {PEAK_HALF_WINDOW} FOLLOWING),
+                           {-(1 << 62)})) neighbor_max
+            FROM hourly)
+        SELECT skey, b, cents, CAST(neighbor_max AS BIGINT) neighbor_max,
+               CAST(cents - neighbor_max AS BIGINT) over_neighbors
+        FROM framed WHERE cents > neighbor_max
+        ORDER BY skey, b, cents, neighbor_max, over_neighbors"""

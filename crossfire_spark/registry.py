@@ -61,10 +61,12 @@ _DRIVER_SAMPLE_PREFIX = (
     "d17_hashed_decontam",
     "d19_dedup_keep_best", "d22_anchor_positives",
     "d31_shard_leakage_audit", "d09_semdedup",
-    # time-series — h22/h23/h24 continuity; h14 never hashed;
-    # h25/h26 ship this round
-    "h22_seasonal_decompose", "h23_sax_symbols", "h24_sax_motifs",
+    # time-series — h22/h24 continuity; h14 never hashed;
+    # h25/h26/h27 ship this round (h27 displaces h23: single r9 hash,
+    # code unchanged)
+    "h22_seasonal_decompose", "h24_sax_motifs",
     "h14_changepoint", "h25_acf", "h26_ljung_box",
+    "h27_peak_detection",
     # graph — g10/g11/g14 continuity; g03 never hashed; g15 ships
     # this round
     "g10_assortativity", "g11_clustering_coefficient",
@@ -82,9 +84,10 @@ _DRIVER_SAMPLE_PREFIX = (
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
     "s25_pq_distortion", "s24_probe_recall_curve",
     "s06_ivf_index", "s13_mmr_rerank", "s26_silhouette",
-    # multimodal — m08/m09/m11/m12 continuity; m01 never hashed
-    "m08_audio_neardup", "m09_audio_vad_trim", "m11_goertzel_bands",
-    "m12_phash_dct", "m01_media_features",
+    # multimodal — m09/m11/m12 continuity; m01 never hashed; m13
+    # ships this round (displaces m08: single r9 hash, unchanged)
+    "m09_audio_vad_trim", "m11_goertzel_bands",
+    "m12_phash_dct", "m01_media_features", "m13_image_stats",
     # placement — p05 never hashed
     "p05_rebalance_plan",
     # streaming — st11/st16/st18 continuity; st10 never hashed

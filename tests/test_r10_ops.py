@@ -242,3 +242,78 @@ def test_d16_shuffle_sig_join_equals_broadcast(spark, sf_dir):
     assert bc == sh and len(bc) > 0
     with pytest.raises(ValueError):
         weighted_srp_pairs(docs, sig_join="bogus")
+
+
+def test_h27_peak_recompute(spark, sf_dir):
+    """Plain-Python strict-local-max recompute over the hourly cents
+    series (truncated edge neighborhoods included)."""
+    from crossfire_spark.operators.extended import (
+        PEAK_HALF_WINDOW,
+        h27_peak_detection,
+    )
+
+    got = {
+        (r["skey"], r["b"]): (r["neighbor_max"], r["over_neighbors"])
+        for r in h27_peak_detection(spark, sf_dir).collect()
+    }
+    pdf = _events_pdf(sf_dir).copy()
+    pdf["b"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = np.floor(pdf["value"] * 100).astype("int64")
+    want = {}
+    g = pdf.groupby(["event_type", "b"])["cents"].sum().reset_index()
+    for skey, sub in g.groupby("event_type"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        cents = sub["cents"].tolist()
+        for i, c in enumerate(cents):
+            lo = max(0, i - PEAK_HALF_WINDOW)
+            neigh = cents[lo:i] + cents[i + 1 : i + 1 + PEAK_HALF_WINDOW]
+            nmax = max(neigh) if neigh else -(1 << 62)
+            if c > nmax:
+                want[(skey, sub["b"][i].to_pydatetime())] = (nmax, c - nmax)
+    assert got == want and len(got) > 0
+
+
+def test_m13_stats_invariance_and_recompute(spark):
+    """The m13 kernel's construction properties, asserted directly:
+    (a) brightness invariance — every brightness variant of a pattern
+    produces the identical (entropy, variance, dyn_range, n_levels)
+    tuple; (b) all 50 base patterns produce DISTINCT tuples (the
+    property the GROUP BY doc_id % 50 oracle relies on); (c) the
+    values match a plain-numpy recompute sharing no kernel code."""
+    from crossfire_spark.functions.multimodal import (
+        image_stats,
+        synthesize_gradient_images,
+    )
+
+    ids = [p + 50 * b for p in range(50) for b in (0, 11, 37)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {
+        r["media_id"]: (
+            r["entropy"],
+            r["variance"],
+            r["dyn_range"],
+            r["n_levels"],
+        )
+        for r in image_stats(synthesize_gradient_images(docs)).collect()
+    }
+    by_pattern: dict[int, set] = {}
+    for mid, tup in rows.items():
+        by_pattern.setdefault(mid % 50, set()).add(tup)
+    for p, tups in by_pattern.items():
+        assert len(tups) == 1, f"pattern {p} split across brightness"
+    all_t = [next(iter(t)) for t in by_pattern.values()]
+    assert len(set(all_t)) == 50
+    # independent numpy recompute for a handful of images
+    for mid in sorted(rows)[:5]:
+        p, bright = mid % 50, (mid // 50) % 55
+        base = np.random.RandomState(int(p)).randint(0, 200, size=(12, 16))
+        gray = (base + bright).astype(np.int64)  # 3-channel mean == channel
+        counts = np.bincount(gray.ravel(), minlength=256)
+        pr = counts[counts > 0] / float(gray.size)
+        want = (
+            round(float(-(pr * np.log2(pr)).sum()), 6),
+            round(float(gray.var()), 6),
+            int(gray.max() - gray.min()),
+            int((counts > 0).sum()),
+        )
+        assert rows[mid] == pytest.approx(want), mid
