@@ -1307,7 +1307,7 @@ MULTIMODAL_ORACLE_SQL["m12_phash_dct"] = f"""
 # a plain-numpy recompute in tests/test_r10_ops.py.
 
 
-def image_stats(media: DataFrame) -> DataFrame:
+def image_gray_stats(media: DataFrame) -> DataFrame:
     """(media_id, entropy, variance, dyn_range, n_levels) — REAL
     decode, gray histogram, Shannon entropy in bits (6 dp), central
     variance (6 dp — also shift-invariant, and continuous enough to
@@ -1358,7 +1358,7 @@ def m13_image_stats(spark, sf_dir):
     all 50 pattern triples pinned in tests alongside the brightness
     invariance)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    stats = image_stats(synthesize_gradient_images(docs))
+    stats = image_gray_stats(synthesize_gradient_images(docs))
     return (
         stats.groupBy("entropy", "variance", "dyn_range", "n_levels")
         .agg(

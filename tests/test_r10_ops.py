@@ -281,7 +281,7 @@ def test_m13_stats_invariance_and_recompute(spark):
     property the GROUP BY doc_id % 50 oracle relies on); (c) the
     values match a plain-numpy recompute sharing no kernel code."""
     from crossfire_spark.functions.multimodal import (
-        image_stats,
+        image_gray_stats,
         synthesize_gradient_images,
     )
 
@@ -294,7 +294,7 @@ def test_m13_stats_invariance_and_recompute(spark):
             r["dyn_range"],
             r["n_levels"],
         )
-        for r in image_stats(synthesize_gradient_images(docs)).collect()
+        for r in image_gray_stats(synthesize_gradient_images(docs)).collect()
     }
     by_pattern: dict[int, set] = {}
     for mid, tup in rows.items():
