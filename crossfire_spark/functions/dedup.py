@@ -2787,3 +2787,67 @@ def _d31_oracle() -> str:
 
 
 DEDUP_ORACLE_SQL["d31_shard_leakage_audit"] = _d31_oracle()
+
+
+# ------------------------------------------- d32 template dedup
+# d01 groups on the order-invariant bag fingerprint; the templated-
+# page family it misses — machine-generated docs identical up to the
+# NUMBERS substituted into a fixed frame ("order #123 shipped" /
+# "order #456 shipped") — collapses under digit-masked whitespace
+# normalization. The standard web-corpus template-collapse pass.
+
+
+def template_clusters(docs: DataFrame) -> DataFrame:
+    """Template dedup clusters: lower-case, mask digit runs to '#',
+    collapse whitespace runs, trim, md5 the normalized frame, group.
+    Emits clusters with >1 member: (cluster_rep = min doc_id,
+    n_members, n_sources) — exact integer counts on a 16-byte key.
+
+    Scale shape: the d01 discipline — the shuffle key is the fixed-
+    width digest of the normalized text, never the text itself; one
+    map-side-combinable shuffle, no pair explosion anywhere."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.encode(norm, "UTF-8")).alias("template"),
+        )
+        .groupBy("template")
+        .agg(
+            F.min("doc_id").alias("cluster_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_members") > 1)
+        .select("cluster_rep", "n_members", "n_sources")
+    )
+
+
+def d32_template_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return template_clusters(d).orderBy(
+        "cluster_rep", "n_members", "n_sources"
+    )
+
+
+DEDUP_QUERIES["d32_template_dedup"] = d32_template_dedup
+
+DEDUP_ORACLE_SQL["d32_template_dedup"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                       '\\s+', ' ', 'g'))) AS tpl
+            FROM documents)
+        SELECT MIN(doc_id) cluster_rep,
+               COUNT(*) n_members,
+               COUNT(DISTINCT source) n_sources
+        FROM t GROUP BY tpl HAVING COUNT(*) > 1
+        ORDER BY cluster_rep, n_members, n_sources"""

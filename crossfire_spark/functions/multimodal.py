@@ -1377,3 +1377,89 @@ MULTIMODAL_ORACLE_SQL["m13_image_stats"] = f"""
         FROM documents
         GROUP BY doc_id % {DHASH_PATTERNS}
         ORDER BY cluster_rep, n_members"""
+
+
+# ------------------------------------------- m14 windowed loudness
+# m05 reports ONE number per clip; segmentation pipelines need the
+# loudness PROFILE — per fixed-size window RMS energy / peak /
+# zero-crossings — to cut clips at quiet points and drop silent
+# spans (the metric m09's VAD thresholds on, here surfaced per
+# window instead of consumed). Closed-form PCM keeps every output
+# a function of (doc_id, i) -> full DuckDB oracle.
+
+AUDIO_LOUD_WIN = 100  # samples per loudness window
+
+
+def audio_loudness_windows(media: DataFrame) -> DataFrame:
+    """REAL decode -> per-window waveform energy over a binary audio
+    column: stdlib WAV codec, then per AUDIO_LOUD_WIN-sample window
+    (last window partial) the sample count, exact integer energy
+    sum(c^2) with c centered at the 8-bit midpoint, peak |c|, and
+    strict sign-change count BETWEEN CONSECUTIVE SAMPLES OF THE SAME
+    WINDOW (cross-boundary pairs belong to no window — declared).
+
+    Scale shape: mapInPandas Arrow batches; blobs never shuffle —
+    each clip reduces to ~n/AUDIO_LOUD_WIN rows of 6 integers before
+    any exchange (the m05/m11 discipline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, wins, ns, sqs, pks, zcs = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _sr = decode_wav(bytes(content))
+                c = samples.astype(np.int64) - 128
+                for w0 in range(0, len(c), AUDIO_LOUD_WIN):
+                    wc = c[w0 : w0 + AUDIO_LOUD_WIN]
+                    mids.append(mid)
+                    wins.append(w0 // AUDIO_LOUD_WIN)
+                    ns.append(len(wc))
+                    sqs.append(int((wc * wc).sum()))
+                    pks.append(int(np.abs(wc).max()))
+                    zcs.append(int(((wc[:-1] * wc[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "win": wins,
+                    "n": ns,
+                    "sumsq": sqs,
+                    "peak": pks,
+                    "zc": zcs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        schema="media_id long, win long, n long, sumsq long,"
+        " peak long, zc long",
+    )
+
+
+def m14_audio_loudness(spark, sf_dir):
+    """Windowed loudness profile over real RIFF/WAV clips: synthesize
+    -> stdlib decode -> per-window integer energy report. The audio
+    twin of m10's patch grid."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_loudness_windows(synthesize_wav_audio(docs)).orderBy(
+        "media_id", "win", "n", "sumsq", "peak", "zc"
+    )
+
+
+MULTIMODAL_QUERIES["m14_audio_loudness"] = m14_audio_loudness
+
+MULTIMODAL_ORACLE_SQL["m14_audio_loudness"] = f"""
+        WITH d AS (SELECT doc_id, LEAST(n_chars, {AUDIO_MAX_SAMPLES}) n
+                   FROM documents WHERE doc_id % 3 = 1),
+        s AS (SELECT d.doc_id, t.i,
+                     (d.doc_id * (t.i + 1)) % 251 - 128 c
+              FROM d, unnest(range(0, d.n)) t(i)),
+        x AS (SELECT doc_id, i, i // {AUDIO_LOUD_WIN} win, c,
+                     lead(c) OVER (PARTITION BY doc_id ORDER BY i) nx
+              FROM s)
+        SELECT doc_id media_id, win, COUNT(*) n,
+               CAST(SUM(c * c) AS BIGINT) sumsq, MAX(ABS(c)) peak,
+               CAST(COUNT(*) FILTER (c * nx < 0
+                    AND (i + 1) % {AUDIO_LOUD_WIN} != 0) AS BIGINT) zc
+        FROM x GROUP BY doc_id, win
+        ORDER BY media_id, win, n, sumsq, peak, zc"""

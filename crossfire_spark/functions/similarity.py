@@ -3109,3 +3109,72 @@ def _s26_oracle(n_iter: int = 3) -> str:
 
 
 SIMILARITY_ORACLE_SQL["s26_silhouette"] = _s26_oracle()
+
+
+# ------------------------------------------- s27 similarity histogram
+# Every s-tier ranks; none DESCRIBES. The corpus-similarity
+# distribution — how the query-to-corpus cosine mass spreads across
+# [-1, 1] — is the audit a retrieval pipeline reads to catch
+# embedding collapse (mass piling at ~1) or an unnormalized mixture
+# (bimodal lobes) before any top-k number means anything.
+
+SIM_HIST_BINS = 20  # 0.1-wide bins over [-1, 1]
+
+
+def sim_histogram(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """Histogram of query-to-corpus cosine similarities: bin b covers
+    [b/10 - 1, b/10 - 0.9), top bin closed at 1.0. The cosine is the
+    s01 strict left-fold ``_dot`` rounded to 4 dp (bit-identical to
+    DuckDB), so every pair lands in the same bin in both engines —
+    binning an IEEE-identical double is exact, no boundary drift.
+
+    Scale shape: queries broadcast (the s01 BNLJ discipline — one
+    corpus scan regardless of corpus size), corpus collapses to a
+    <= SIM_HIST_BINS-row report through one map-side-combinable
+    aggregate; nothing downstream grows with SF."""
+    corpus = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("nrm")
+    )
+    q = queries.select("qid", "qe", _norm("qe").alias("qn"))
+    sim = F.round(
+        _dot("embedding", "qe") / (F.col("nrm") * F.col("qn")), 4
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((sim + F.lit(1.0)) * F.lit(10.0)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(SIM_HIST_BINS - 1).cast("long"),
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * F.lit(0.1) - F.lit(1.0)).alias(
+                "lo"
+            ),
+            "n_pairs",
+        )
+    )
+
+
+def s27_sim_histogram(spark, sf_dir):
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    return sim_histogram(em, _query_set(em)).orderBy("bin", "lo", "n_pairs")
+
+
+SIMILARITY_QUERIES["s27_sim_histogram"] = s27_sim_histogram
+
+SIMILARITY_ORACLE_SQL["s27_sim_histogram"] = f"""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe
+                   FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        s AS (SELECT ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) sim
+              FROM embeddings, q WHERE vec_id != qid),
+        b AS (SELECT LEAST(GREATEST(CAST(FLOOR((sim + 1.0) * 10.0) AS BIGINT),
+                                    0), {SIM_HIST_BINS - 1}) bin
+              FROM s)
+        SELECT bin, CAST(bin AS DOUBLE) * 0.1 - 1.0 lo, COUNT(*) n_pairs
+        FROM b GROUP BY bin ORDER BY bin, lo, n_pairs"""

@@ -2986,3 +2986,118 @@ TEXT_ORACLE_SQL["t38_stupid_backoff"] = """
                ROUND(ROUND(AVG(lp), 6) + 1e-9, 2) lp
         FROM scored GROUP BY doc_id
         ORDER BY doc_id, n_tri, tri_hits, bi_hits, uni_hits, oov, lp"""
+
+
+# ------------------------------------------------ t39 langid audit
+# t01 predicts a language; the `lang` column is the label. The
+# classification audit between them — confusion matrix with per-cell
+# recall/precision shares — is the report a curation pipeline reads
+# before TRUSTING the cheap heuristic to route documents (a language
+# whose recall share collapses gets the expensive classifier instead).
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the t01 marker-vote language heuristic
+    against the labeled ``lang`` column: one row per (lang, predicted)
+    cell with exact BIGINT counts and the cell's share of its label
+    row (recall) and prediction column (precision), each ONE fixed
+    IEEE division stabilized 9 -> 6 dp.
+
+    Scale shape: one map-side-combinable shuffle collapses the corpus
+    to the |langs| x |langs| cell table (bounded by the fixed language
+    model, NOT by data); label/prediction totals re-aggregate the
+    collapsed cells and join back broadcast — the fact table is
+    scanned exactly once and nothing downstream grows with SF."""
+    scored = docs.select(
+        "lang",
+        *[
+            _marker_count("text", LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in ("en", "fr", "es", "de")
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")),
+            F.lit("fr"),
+        )
+        .when(F.col("s_es") >= F.col("s_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    cm = (
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lt = cm.groupBy("lang").agg(F.sum("n").alias("label_total"))
+    pt = cm.groupBy("predicted").agg(F.sum("n").alias("pred_total"))
+    share = lambda num, den: (  # noqa: E731 — fixed stabilized form
+        F.round(
+            F.round(
+                F.col(num).cast("double") / F.col(den).cast("double"), 9
+            )
+            + F.lit(1e-12),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        cm.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(pt), "predicted")
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            "label_total",
+            "pred_total",
+            share("n", "label_total").alias("recall_share"),
+            share("n", "pred_total").alias("precision_share"),
+        )
+    )
+
+
+def t39_langid_confusion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return langid_confusion(d).orderBy(
+        "lang", "predicted", "n", "label_total", "pred_total",
+        "recall_share", "precision_share",
+    )
+
+
+TEXT_QUERIES["t39_langid_confusion"] = t39_langid_confusion
+
+
+def _t39_oracle() -> str:
+    cases = {k: _markers_sql(LANG_MARKERS[k]) for k in ("en", "fr", "es", "de")}
+    return f"""
+        WITH p AS (
+            SELECT lang,
+                   CASE WHEN {cases['en']} >= {cases['fr']}
+                         AND {cases['en']} >= {cases['es']}
+                         AND {cases['en']} >= {cases['de']} THEN 'en'
+                        WHEN {cases['fr']} >= {cases['es']}
+                         AND {cases['fr']} >= {cases['de']} THEN 'fr'
+                        WHEN {cases['es']} >= {cases['de']} THEN 'es'
+                        ELSE 'de' END predicted
+            FROM documents),
+        cm AS (SELECT lang, predicted, COUNT(*) n FROM p GROUP BY 1, 2),
+        lt AS (SELECT lang, SUM(n) label_total FROM cm GROUP BY 1),
+        pt AS (SELECT predicted, SUM(n) pred_total FROM cm GROUP BY 1)
+        SELECT lang, predicted, n,
+               CAST(label_total AS BIGINT) label_total,
+               CAST(pred_total AS BIGINT) pred_total,
+               ROUND(ROUND(CAST(n AS DOUBLE) / CAST(label_total AS DOUBLE), 9)
+                     + 1e-12, 6) + 0.0 recall_share,
+               ROUND(ROUND(CAST(n AS DOUBLE) / CAST(pred_total AS DOUBLE), 9)
+                     + 1e-12, 6) + 0.0 precision_share
+        FROM cm JOIN lt USING (lang) JOIN pt USING (predicted)
+        ORDER BY lang, predicted, n, label_total, pred_total,
+                 recall_share, precision_share"""
+
+
+TEXT_ORACLE_SQL["t39_langid_confusion"] = _t39_oracle()

@@ -4040,3 +4040,98 @@ EXTENDED_ORACLE_SQL["h27_peak_detection"] = f"""
                CAST(cents - neighbor_max AS BIGINT) over_neighbors
         FROM framed WHERE cents > neighbor_max
         ORDER BY skey, b, cents, neighbor_max, over_neighbors"""
+
+
+# ------------------------------------------- h28 band breakouts
+# h08 z-scores single events per user; the series-level question —
+# "which HOURS broke out of their own trailing band?" — is the
+# Bollinger test over the hourly rollup. All-integer decision: with
+# trailing-window count n, sum s, sum-of-squares ss and level x,
+#   |x - s/n| > K * sigma  <=>  (n*x - s)^2 > K^2 * (n*ss - s^2)
+# so the breakout set is decided in exact BIGINT arithmetic — no
+# float boundary can flip a row between engines. (At 100 TB hourly
+# cents reach ~1e9 and (n*x - s)^2 needs DECIMAL(38,0); the widening
+# is one cast here, called out so the overflow is a documented cliff.)
+
+BOLL_WINDOW = 24  # trailing hours
+BOLL_K2 = 9  # K = 3 sigma
+BOLL_MIN_N = 12  # minimum trailing observations before the band exists
+
+
+def bollinger_breakouts(e: DataFrame) -> DataFrame:
+    """Hourly levels strictly outside their trailing BOLL_WINDOW-hour
+    3-sigma band, per event_type: (skey, b, cents, n, s, dev_sq,
+    band_sq) — dev_sq = (n*x - s)^2, band_sq = K^2*(n*ss - s^2), all
+    exact BIGINT; a row is emitted iff dev_sq > band_sq with at least
+    BOLL_MIN_N trailing hours.
+
+    Scale shape: one map-side-combinable shuffle to hourly grain,
+    ONE window over the COLLAPSED series (the declared h-family
+    low-cardinality exemption: hourly rows, never raw events)."""
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        F.col("event_type").alias("skey"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("skey")
+        .orderBy("b")
+        .rowsBetween(-BOLL_WINDOW, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cents").over(w)
+    ss = F.sum(F.col("cents") * F.col("cents")).over(w)
+    x = F.col("cents")
+    dev_sq = (n * x - s) * (n * x - s)
+    band_sq = F.lit(BOLL_K2) * (n * ss - s * s)
+    return (
+        hourly.select(
+            "skey",
+            "b",
+            "cents",
+            n.alias("n"),
+            s.alias("s"),
+            dev_sq.alias("dev_sq"),
+            band_sq.alias("band_sq"),
+        )
+        .where(
+            (F.col("n") >= BOLL_MIN_N) & (F.col("dev_sq") > F.col("band_sq"))
+        )
+    )
+
+
+def h28_bollinger_breakout(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return bollinger_breakouts(e).orderBy(
+        "skey", "b", "cents", "n", "s", "dev_sq", "band_sq"
+    )
+
+
+EXTENDED_QUERIES["h28_bollinger_breakout"] = h28_bollinger_breakout
+
+EXTENDED_ORACLE_SQL["h28_bollinger_breakout"] = f"""
+        WITH hourly AS (
+            SELECT event_type skey,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) b,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                        AS BIGINT) cents
+            FROM events GROUP BY 1, 2),
+        framed AS (
+            SELECT skey, b, cents,
+                   COUNT(*) OVER tw n,
+                   SUM(cents) OVER tw s,
+                   SUM(cents * cents) OVER tw ss
+            FROM hourly
+            WINDOW tw AS (PARTITION BY skey ORDER BY b
+                          ROWS BETWEEN {BOLL_WINDOW} PRECEDING
+                                   AND 1 PRECEDING))
+        SELECT skey, b, cents, CAST(n AS BIGINT) n, CAST(s AS BIGINT) s,
+               CAST((n * cents - s) * (n * cents - s) AS BIGINT) dev_sq,
+               CAST({BOLL_K2} * (n * ss - s * s) AS BIGINT) band_sq
+        FROM framed
+        WHERE n >= {BOLL_MIN_N}
+          AND (n * cents - s) * (n * cents - s) > {BOLL_K2} * (n * ss - s * s)
+        ORDER BY skey, b, cents, n, s, dev_sq, band_sq"""

@@ -57,22 +57,24 @@ _DRIVER_SAMPLE_PREFIX = (
     "q28", "q29", "q30", "q31",
     # as-of — a04 never hashed (a02 rotates out with 2 hashes)
     "a04_asof_interpolate",
-    # dedup — d17/d19/d22/d31 keep r9 continuity; d09 never hashed
-    "d17_hashed_decontam",
+    # dedup — d19/d22/d31 keep r9 continuity; d09 never hashed;
+    # d32 ships this round (displaces d17: single r9 hash, unchanged)
     "d19_dedup_keep_best", "d22_anchor_positives",
-    "d31_shard_leakage_audit", "d09_semdedup",
+    "d31_shard_leakage_audit", "d09_semdedup", "d32_template_dedup",
     # time-series — h22/h24 continuity; h14 never hashed;
     # h25/h26/h27 ship this round (h27 displaces h23: single r9 hash,
     # code unchanged)
-    "h22_seasonal_decompose", "h24_sax_motifs",
+    # h28 ships this round (displaces h22: single r9 hash, unchanged)
+    "h24_sax_motifs",
     "h14_changepoint", "h25_acf", "h26_ljung_box",
-    "h27_peak_detection",
+    "h27_peak_detection", "h28_bollinger_breakout",
     # graph — g10/g11/g14 continuity; g03 never hashed; g15 ships
     # this round
     "g10_assortativity", "g11_clustering_coefficient",
     "g14_modularity", "g03_triangle_count", "g15_edge_embeddedness",
     # text — t25/t27/t28/t37/t38 continuity; t31 rewritten this round
-    "t25_heavy_hitters", "t27_zipf_fit", "t28_readability",
+    # t39 ships this round (displaces t28: single r9 hash, unchanged)
+    "t25_heavy_hitters", "t27_zipf_fit", "t39_langid_confusion",
     "t37_vocab_coverage", "t38_stupid_backoff", "t31_ccnet_bucket",
     # validation — v14/v19 continuity; v18 rewritten this round;
     # v20 ships this round
@@ -80,13 +82,15 @@ _DRIVER_SAMPLE_PREFIX = (
     "v18_spearman_audit", "v19_chi2_independence", "v20_token_gini",
     # similarity / ANN — s12/s18/s20/s21/s24 continuity; s25 kernel
     # rounding changed this round; s06/s13 never hashed
-    "s12_range_search", "s18_density_clusters",
+    # s27 ships this round (displaces s12: single r9 hash, unchanged)
+    "s27_sim_histogram", "s18_density_clusters",
     "s20_ivf_pq_topk", "s21_ivf_pq_index",
     "s25_pq_distortion", "s24_probe_recall_curve",
     "s06_ivf_index", "s13_mmr_rerank", "s26_silhouette",
     # multimodal — m09/m11/m12 continuity; m01 never hashed; m13
     # ships this round (displaces m08: single r9 hash, unchanged)
-    "m09_audio_vad_trim", "m11_goertzel_bands",
+    # m14 ships this round (displaces m09: single r9 hash, unchanged)
+    "m14_audio_loudness", "m11_goertzel_bands",
     "m12_phash_dct", "m01_media_features", "m13_image_stats",
     # placement — p05 never hashed
     "p05_rebalance_plan",

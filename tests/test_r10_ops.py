@@ -317,3 +317,186 @@ def test_m13_stats_invariance_and_recompute(spark):
             int((counts > 0).sum()),
         )
         assert rows[mid] == pytest.approx(want), mid
+
+
+# ---------------------------------------------------------------- r10 batch 2
+
+
+def test_h28_bollinger_recompute(spark, sf_dir):
+    """h28 must equal a dict-arithmetic trailing-band recompute from
+    the raw parquet (shares no code with the engine's window path)."""
+    from crossfire_spark.operators.extended import (
+        BOLL_K2,
+        BOLL_MIN_N,
+        BOLL_WINDOW,
+        h28_bollinger_breakout,
+    )
+
+    got = {
+        (r["skey"], r["b"]): (r["n"], r["s"], r["dev_sq"], r["band_sq"])
+        for r in h28_bollinger_breakout(spark, sf_dir).collect()
+    }
+    pdf = _events_pdf(sf_dir)
+    pdf["b"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = np.floor(pdf["value"] * 100).astype("int64")
+    g = pdf.groupby(["event_type", "b"])["cents"].sum().reset_index()
+    want = {}
+    for skey, sub in g.groupby("event_type"):
+        rows = sub.sort_values("b")[["b", "cents"]].values.tolist()
+        for i, (b, x) in enumerate(rows):
+            trail = [int(c) for _, c in rows[max(0, i - BOLL_WINDOW) : i]]
+            n = len(trail)
+            if n < BOLL_MIN_N:
+                continue
+            s, ss = sum(trail), sum(c * c for c in trail)
+            dev_sq = (n * int(x) - s) ** 2
+            band_sq = BOLL_K2 * (n * ss - s * s)
+            if dev_sq > band_sq:
+                want[(skey, b.to_pydatetime())] = (n, s, dev_sq, band_sq)
+    assert got == want and len(got) > 0
+
+
+def test_d32_template_clusters(spark):
+    """Digit/whitespace-masked near-copies collapse; distinct frames
+    do not; singletons are dropped."""
+    from crossfire_spark.functions.dedup import template_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Order #123 shipped  to warehouse 9.", "src0"),
+            (2, "order #9981 SHIPPED to warehouse 4.", "src1"),
+            (3, "ORDER #7 shipped\tto   warehouse 77.", "src1"),
+            (4, "Totally different frame.", "src0"),
+            (5, "Totally different frame.", "src0"),
+            (6, "a singleton document", "src2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["cluster_rep"]: (r["n_members"], r["n_sources"])
+        for r in template_clusters(docs).collect()
+    }
+    assert rows == {1: (3, 2), 4: (2, 1)}
+
+
+def test_s27_histogram_mass_and_bins(spark, sf_dir):
+    """Total histogram mass == |Q| * (N - 1), and every bin index is
+    in range with lo = bin/10 - 1."""
+    from crossfire_spark.functions.similarity import (
+        QUERY_STRIDE,
+        SIM_HIST_BINS,
+        s27_sim_histogram,
+    )
+
+    em = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = len(em)
+    nq = int((em["vec_id"] % QUERY_STRIDE == 0).sum())
+    rows = s27_sim_histogram(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == nq * (n - 1)
+    for r in rows:
+        assert 0 <= r["bin"] < SIM_HIST_BINS
+        assert r["lo"] == r["bin"] * 0.1 - 1.0
+
+
+def test_s27_planted_bins(spark):
+    """Three hand-built vectors with known cosines land in the known
+    bins: cos=1 -> bin 19 (top bin closed), cos=0 -> bin 10,
+    cos=-1 -> bin 0."""
+    from crossfire_spark.functions.similarity import sim_histogram
+
+    em = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = em.where("vec_id = 0").selectExpr(
+        "vec_id qid", "embedding qe"
+    )
+    rows = {r["bin"]: r["n_pairs"] for r in sim_histogram(em, q).collect()}
+    assert rows == {19: 1, 10: 1, 0: 1}
+
+
+def test_m14_windows_recompute(spark, sf_dir):
+    """m14 must equal the closed-form PCM recompute: windows of 100,
+    last partial, zc pairs never cross a window boundary."""
+    from crossfire_spark.functions.multimodal import (
+        AUDIO_LOUD_WIN,
+        AUDIO_MAX_SAMPLES,
+        m14_audio_loudness,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = {}
+    for did, nch in docs[docs["doc_id"] % 3 == 1][
+        ["doc_id", "n_chars"]
+    ].values.tolist():
+        nn = min(int(nch), AUDIO_MAX_SAMPLES)
+        c = [(did * (i + 1)) % 251 - 128 for i in range(nn)]
+        for w0 in range(0, nn, AUDIO_LOUD_WIN):
+            wc = c[w0 : w0 + AUDIO_LOUD_WIN]
+            want[(did, w0 // AUDIO_LOUD_WIN)] = (
+                len(wc),
+                sum(v * v for v in wc),
+                max(abs(v) for v in wc),
+                sum(1 for a, b in zip(wc, wc[1:]) if a * b < 0),
+            )
+    got = {
+        (r["media_id"], r["win"]): (r["n"], r["sumsq"], r["peak"], r["zc"])
+        for r in m14_audio_loudness(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_t39_confusion_recompute(spark, sf_dir):
+    """t39 cells must equal a plain-Python marker-vote recompute."""
+    from crossfire_spark.functions.text import (
+        LANG_MARKERS,
+        t39_langid_confusion,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cells: dict[tuple[str, str], int] = defaultdict(int)
+    for lang, text in docs[["lang", "text"]].values.tolist():
+        words = text.lower().split(" ")
+        sc = {
+            k: sum(1 for w in words if w in LANG_MARKERS[k])
+            for k in ("en", "fr", "es", "de")
+        }
+        if sc["en"] >= sc["fr"] and sc["en"] >= sc["es"] and sc["en"] >= sc["de"]:
+            p = "en"
+        elif sc["fr"] >= sc["es"] and sc["fr"] >= sc["de"]:
+            p = "fr"
+        elif sc["es"] >= sc["de"]:
+            p = "es"
+        else:
+            p = "de"
+        cells[(lang, p)] += 1
+    lt: dict[str, int] = defaultdict(int)
+    pt: dict[str, int] = defaultdict(int)
+    for (lang, p), n in cells.items():
+        lt[lang] += n
+        pt[p] += n
+    got = {}
+    for r in t39_langid_confusion(spark, sf_dir).collect():
+        got[(r["lang"], r["predicted"])] = (
+            r["n"],
+            r["label_total"],
+            r["pred_total"],
+            r["recall_share"],
+            r["precision_share"],
+        )
+    want = {
+        k: (
+            n,
+            lt[k[0]],
+            pt[k[1]],
+            round(round(n / lt[k[0]], 9) + 1e-12, 6) + 0.0,
+            round(round(n / pt[k[1]], 9) + 1e-12, 6) + 0.0,
+        )
+        for k, n in cells.items()
+    }
+    assert got == want and len(got) > 0
