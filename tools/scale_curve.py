@@ -220,6 +220,12 @@ def run(reps: int, scales=SCALES, only=None, candidates=True) -> None:
         "s26_silhouette",
         "v20_token_gini",
         "g15_edge_embeddedness",
+        # round-10 batch 2 (doc/vec-fixture riders; h28 rides events
+        # via run-real)
+        "t39_langid_confusion",
+        "d32_template_dedup",
+        "s27_sim_histogram",
+        "m14_audio_loudness",
     ]
     if only:
         targets = [t for t in targets if t in only]
@@ -312,6 +318,7 @@ REAL_DIRS = {
 # row counts), so the three real SFs are a held-generator n-scaling
 # family for them spanning two decades.
 REAL_TARGETS = [
+    "h28_bollinger_breakout",
     "h22_seasonal_decompose",
     "h23_sax_symbols",
     "h24_sax_motifs",
