@@ -59,7 +59,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "a04_asof_interpolate",
     # dedup — d19/d22/d31 keep r9 continuity; d09 never hashed;
     # d32 ships this round (displaces d17: single r9 hash, unchanged)
-    "d19_dedup_keep_best", "d22_anchor_positives",
+    "s28_ivf_pq_adaptive", "d22_anchor_positives",
     "d31_shard_leakage_audit", "d09_semdedup", "d32_template_dedup",
     # time-series — h22/h24 continuity; h14 never hashed;
     # h25/h26/h27 ship this round (h27 displaces h23: single r9 hash,

@@ -116,7 +116,7 @@ def test_registry_contract_consistency():
         "v06_column_profile_approx",
         "v09_sketch_cardinality",
     ]
-    assert len(qs) == 279 and len(osql) == 262
+    assert len(qs) == 280 and len(osql) == 263
 
 
 def test_q56_lateral_decorrelates_to_window(spark, sf_dir):

@@ -500,3 +500,87 @@ def test_t39_confusion_recompute(spark, sf_dir):
         for k, n in cells.items()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------- s28 corpus-adaptive IVF-PQ
+
+
+def test_s28_sizing_formula_cross_engine():
+    """The (nlist, nprobe) pair must be IDENTICAL between the Spark
+    path (Python math on a count) and the DuckDB oracle (SQL CEIL/
+    SQRT/GREATEST), or the two engines probe different buckets and
+    the bit-exact sweep becomes corpus-luck. Pin the formula pair
+    across two decades of N including every perfect square (the only
+    values where ceil sits on an exact-integer boundary)."""
+    import duckdb
+
+    from crossfire_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_PROBES,
+    )
+
+    ns = sorted(
+        set(range(1, 300))
+        | {i * i for i in range(1, 400)}
+        | {17, 20, 200, 2000, 20000, 60000, 123457}
+    )
+    con = duckdb.connect()
+    for n in ns:
+        nlist_py = max(IVF_CENTROIDS, math.ceil(4.0 * math.sqrt(float(n))))
+        nprobe_py = max(IVF_PROBES, math.ceil(math.sqrt(float(nlist_py))))
+        row = con.execute(
+            f"""SELECT GREATEST({IVF_CENTROIDS},
+                         CAST(CEIL(4.0 * SQRT({n})) AS BIGINT)) nl,
+                       GREATEST({IVF_PROBES},
+                         CAST(CEIL(SQRT(CAST(GREATEST({IVF_CENTROIDS},
+                           CAST(CEIL(4.0 * SQRT({n})) AS BIGINT)) AS DOUBLE)))
+                           AS BIGINT)) np"""
+        ).fetchone()
+        assert (nlist_py, nprobe_py) == (row[0], row[1]), n
+
+
+def test_s28_adapts_and_shrinks_scan(spark):
+    """Structural pin for the adaptive rule on a corpus big enough to
+    leave the max() floors (sf0.1: N=2000 -> nlist=179, nprobe=14):
+    s28 must equal ivf_pq_topk at the closed-form pair (wiring), the
+    probed fraction must be well under the fixed shape's
+    IVF_PROBES/IVF_CENTROIDS = 25%, and recall@5 vs the exact s01
+    top-k must clear a floor (measured 0.44 on this corpus; random
+    unit vectors are IVF's worst case)."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_PROBES,
+        _query_set,
+        cosine_topk,
+        ivf_pq_adaptive_topk,
+        ivf_pq_topk,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    em = spread(load_table(spark, sf, "embeddings"))
+    n = em.count()
+    nlist = max(IVF_CENTROIDS, math.ceil(4.0 * math.sqrt(float(n))))
+    nprobe = max(IVF_PROBES, math.ceil(math.sqrt(float(nlist))))
+    assert nlist > IVF_CENTROIDS and nprobe > IVF_PROBES
+    frac = nprobe / nlist
+    assert frac < 0.5 * (IVF_PROBES / IVF_CENTROIDS)
+
+    q = _query_set(em)
+    ad = [
+        (r.qid, r.vec_id, r.sim)
+        for r in ivf_pq_adaptive_topk(em, q).orderBy("qid", "vec_id").collect()
+    ]
+    closed = [
+        (r.qid, r.vec_id, r.sim)
+        for r in ivf_pq_topk(em, q, n_centroids=nlist, n_probes=nprobe)
+        .orderBy("qid", "vec_id")
+        .collect()
+    ]
+    assert ad == closed and len(ad) > 0
+
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(em, q).collect()
+    }
+    got = {(a, b) for a, b, _ in ad}
+    assert len(got & exact) / len(exact) >= 0.35

@@ -226,6 +226,8 @@ def run(reps: int, scales=SCALES, only=None, candidates=True) -> None:
         "d32_template_dedup",
         "s27_sim_histogram",
         "m14_audio_loudness",
+        # round-10 batch 3 (the nlist-scaling answer to the x30 run)
+        "s28_ivf_pq_adaptive",
     ]
     if only:
         targets = [t for t in targets if t in only]
