@@ -228,6 +228,9 @@ def run(reps: int, scales=SCALES, only=None, candidates=True) -> None:
         "m14_audio_loudness",
         # round-10 batch 3 (the nlist-scaling answer to the x30 run)
         "s28_ivf_pq_adaptive",
+        # round-10 batch 1.5 stragglers (m13 rides the doc fixture;
+        # h27 is in REAL_TARGETS)
+        "m13_image_stats",
     ]
     if only:
         targets = [t for t in targets if t in only]
@@ -320,6 +323,7 @@ REAL_DIRS = {
 # row counts), so the three real SFs are a held-generator n-scaling
 # family for them spanning two decades.
 REAL_TARGETS = [
+    "h27_peak_detection",
     "h28_bollinger_breakout",
     "h22_seasonal_decompose",
     "h23_sax_symbols",
