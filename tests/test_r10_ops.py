@@ -584,3 +584,134 @@ def test_s28_adapts_and_shrinks_scan(spark):
     }
     got = {(a, b) for a, b, _ in ad}
     assert len(got & exact) / len(exact) >= 0.35
+
+
+def test_s28_numpy_full_recompute(spark):
+    """Third, fully independent implementation of the adaptive IVF-PQ
+    composite (pandas/NumPy from the raw parquet — no engine code, no
+    DuckDB): sizing -> deterministic centroids -> round-6 assignment
+    and probes -> first-K codebooks -> round-9 encode -> ADC tables ->
+    left-fold candidate distances -> round-9 rank -> round-4 exact
+    cosine rerank. Every accumulation is an explicit sequential
+    left-fold over dims/subspaces so the float path matches the
+    engine's aggregate()/element_at chains bit-for-bit. Localizes a
+    future sweep failure to a stage, which the end-to-end DuckDB
+    oracle cannot."""
+    from crossfire_spark.catalog import load_table, spread
+    from crossfire_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_PROBES,
+        PQ_CAND_MULT,
+        PQ_K,
+        PQ_M,
+        TOPK,
+        QUERY_STRIDE,
+        _query_set,
+        ivf_pq_adaptive_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n, dim = V.shape
+
+    def seq_fold(prod_rows):
+        # explicit left-to-right accumulation over the last axis
+        acc = np.zeros(prod_rows.shape[:-1], dtype=np.float64)
+        for j in range(prod_rows.shape[-1]):
+            acc = acc + prod_rows[..., j]
+        return acc
+
+    nlist = max(IVF_CENTROIDS, math.ceil(4.0 * math.sqrt(float(n))))
+    nprobe = max(IVF_PROBES, math.ceil(math.sqrt(float(nlist))))
+
+    cent_mask = ids < nlist
+    cids = ids[cent_mask]
+    C = V[cent_mask]
+
+    def sqd(A, B_):
+        # (a, b) pairwise sequential-fold squared distances
+        diff = A[:, None, :] - B_[None, :, :]
+        return seq_fold(diff * diff)
+
+    # assignment: argmin over (round-6 dist, cid)
+    ad = np.round(sqd(V, C), 6)
+    order = np.lexsort((cids[None, :].repeat(n, 0), ad), axis=-1)
+    assign = {int(ids[i]): int(cids[order[i, 0]]) for i in range(n)}
+
+    qmask = ids % QUERY_STRIDE == 0
+    qids = ids[qmask]
+    Q = V[qmask]
+    qd = np.round(sqd(Q, C), 6)
+    qorder = np.lexsort((cids[None, :].repeat(len(qids), 0), qd), axis=-1)
+    probes = {
+        int(qids[i]): {int(cids[c]) for c in qorder[i, :nprobe]}
+        for i in range(len(qids))
+    }
+
+    # codebooks: first PQ_K vectors by vec_id, split into M subspaces
+    kk = min(PQ_K, n)
+    d = dim // PQ_M
+    B = V[:kk].reshape(kk, PQ_M, d).transpose(1, 0, 2)  # (M, kk, d)
+
+    # encode: per subspace argmin of round-9 distance, lowest code
+    Vs = V.reshape(n, PQ_M, d)
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    for s in range(PQ_M):
+        diff = Vs[:, s, None, :] - B[s][None, :, :]
+        ds = np.round(seq_fold(diff * diff), 9)
+        codes[:, s] = ds.argmin(axis=1)  # argmin takes lowest index
+
+    # ADC tables (NOT rounded), per query
+    Qs = Q.reshape(len(qids), PQ_M, d)
+    adc = np.empty((len(qids), PQ_M, kk), dtype=np.float64)
+    for s in range(PQ_M):
+        diff = Qs[:, s, None, :] - B[s][None, :, :]
+        adc[:, s, :] = seq_fold(diff * diff)
+
+    id2row = {int(v): i for i, v in enumerate(ids)}
+    expected = []
+    for qi, qv in enumerate(qids):
+        cand = [
+            int(v)
+            for v in ids
+            if v != qv and assign[int(v)] in probes[int(qv)]
+        ]
+        scored = []
+        for v in cand:
+            r = id2row[v]
+            acc = 0.0
+            for s in range(PQ_M):  # left-to-right subspace sum
+                acc = acc + adc[qi, s, codes[r, s]]
+            # Python round is half-even vs F.round's half-up — a
+            # divergence only at an exact decimal half at 9 dp, which
+            # a left-fold of binary doubles essentially never lands on
+            # (the s25 ADVICE argument); the rank key is otherwise
+            # identical
+            scored.append((round(acc, 9), v))
+        scored.sort()
+        survivors = [v for _, v in scored[: PQ_CAND_MULT * TOPK]]
+        rer = []
+        for v in survivors:
+            r = id2row[v]
+            dot = 0.0
+            na = 0.0
+            nq = 0.0
+            for j in range(dim):  # strict left folds
+                dot = dot + V[r, j] * Q[qi, j]
+                na = na + V[r, j] * V[r, j]
+                nq = nq + Q[qi, j] * Q[qi, j]
+            sim = round(dot / (math.sqrt(na) * math.sqrt(nq)), 4)
+            rer.append((-sim, v))
+        rer.sort()
+        for negs, v in rer[:TOPK]:
+            expected.append((int(qv), v, -negs))
+    expected.sort()
+
+    em = spread(load_table(spark, sf, "embeddings"))
+    got = sorted(
+        (r.qid, r.vec_id, r.sim)
+        for r in ivf_pq_adaptive_topk(em, _query_set(em)).collect()
+    )
+    assert got == expected
