@@ -1238,14 +1238,19 @@ def _srp_margin(threshold: float, n_longs: int) -> float:
 
 
 def _per_doc_vectors(w: DataFrame) -> DataFrame:
-    """(doc_id, wv array<struct<word,wt>>) — each document's sparse
-    TF-IDF vector as one row (collect_list rides the shuffle the TF
-    aggregate already paid). Materialized once per run and shared by
-    the signature pass AND the pair verify — documents are short
-    vectors, so this is the natural unit both Arrow kernels batch
-    over."""
+    """(doc_id, words array<string>, wts array<double>) — each
+    document's sparse TF-IDF vector as one row (collect_list rides
+    the shuffle the TF aggregate already paid). Two index-aligned
+    PRIMITIVE arrays rather than one array<struct>: both
+    ``collect_list`` buffers append per input row of the same
+    aggregate, so words[i] pairs with wts[i], and primitive lists
+    cross the Arrow boundary as flat buffers — the array<struct> form
+    materialized one Python dict per (doc, word) entry inside the
+    signature kernel (r10 optimization: guide §4.2, move the
+    boundary's cost off per-entry objects)."""
     return w.groupBy("doc_id").agg(
-        F.collect_list(F.struct("word", "wt")).alias("wv")
+        F.collect_list("word").alias("words"),
+        F.collect_list("wt").alias("wts"),
     )
 
 
@@ -1271,7 +1276,7 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
     nbits = 64 * n_longs
 
     @pandas_udf("array<long>")
-    def _sig(wv: pd.Series) -> pd.Series:
+    def _sig(words: pd.Series, wts: pd.Series) -> pd.Series:
         # Per-Arrow-batch memo of word -> ±1 sign vector. Each entry
         # is nbits doubles (~16 KiB at the default 2048 bits), so the memo is
         # CAPPED: an open-vocabulary batch (100k+ distinct words)
@@ -1298,6 +1303,23 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
             bits = (np.round(sums, 6) > 0).astype(np.uint8)
             return np.packbits(bits, bitorder="little").view("<i8")
 
+        if len(words) == 0:  # Arrow may deliver a zero-row batch
+            return pd.Series([], dtype=object)
+        # Flatten the batch ONCE into primitive arrays (r10: the
+        # array<struct> form paid one Python dict per (doc, word)
+        # entry, twice — vocab pass + matrix fill). doc boundaries
+        # ride along as lengths; pd.factorize yields vocab codes in
+        # FIRST-APPEARANCE order over the same flattened stream the
+        # old per-entry loop walked, so the dense matrices below are
+        # cell-for-cell identical to the previous construction and the
+        # packed signatures stay bit-exact (pinned by
+        # test_srp_signature_recompute).
+        lens = np.fromiter((len(x) for x in words), dtype=np.int64, count=len(words))
+        flat_w = np.concatenate([np.asarray(x, dtype=object) for x in words])
+        flat_t = np.concatenate([np.asarray(x, dtype=np.float64) for x in wts])
+        doc_idx = np.repeat(np.arange(len(words)), lens)
+        codes, uniq = pd.factorize(flat_w)
+
         # Batch-dense fast path: when this batch's vocabulary is
         # small (vocab-bounded corpora — stopword-heavy tokenization,
         # hashed features), gather each word's sign row once and
@@ -1308,26 +1330,24 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
         # = 16 MiB at 2048 bits); an open-vocabulary batch falls back to the
         # per-doc accumulation below, which never materializes a
         # vocab-wide matrix.
-        vocab: dict = {}
-        for entries in wv:
-            for e in entries:
-                if e["word"] not in vocab:
-                    vocab[e["word"]] = len(vocab)
-        if len(vocab) <= 1024:
-            gmat = np.empty((len(vocab), nbits), dtype=np.float64)
-            for word, i in vocab.items():
+        if len(uniq) <= 1024:
+            gmat = np.empty((len(uniq), nbits), dtype=np.float64)
+            for i, word in enumerate(uniq):
                 gmat[i] = signs_for(word)
-            wmat = np.zeros((len(wv), len(vocab)), dtype=np.float64)
-            for r, entries in enumerate(wv):
-                for e in entries:
-                    wmat[r, vocab[e["word"]]] += e["wt"]
+            wmat = np.zeros((len(words), len(uniq)), dtype=np.float64)
+            # (doc, word) is unique coming out of the TF aggregate,
+            # but accumulate (add.at) rather than assign so a repeated
+            # entry would still sum exactly as the old += loop did
+            np.add.at(wmat, (doc_idx, codes), flat_t)
             return pd.Series([pack(s) for s in wmat @ gmat])
 
         out = []
-        for entries in wv:
+        pos = 0
+        for n in lens:
             sums = np.zeros(nbits, dtype=np.float64)
-            for e in entries:
-                sums += e["wt"] * signs_for(e["word"])
+            for j in range(pos, pos + n):
+                sums += flat_t[j] * signs_for(flat_w[j])
+            pos += n
             out.append(pack(sums))
         return pd.Series(out)
 
@@ -1337,7 +1357,7 @@ def _srp_signatures(per_doc: DataFrame, n_longs: int = SRP_LONGS) -> DataFrame:
     # codegen and copy as fixed-width fields, where array element
     # access on join output rows measured ~5x slower (the same
     # wide-vs-narrow lesson minhash_signatures_wide documents).
-    return per_doc.select("doc_id", _sig("wv").alias("sig")).select(
+    return per_doc.select("doc_id", _sig("words", "wts").alias("sig")).select(
         "doc_id",
         *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_longs)],
     )

@@ -259,7 +259,7 @@ def test_srp_signature_recompute(spark, sample_docs):
         return [1 if b else -1 for b in bits]
 
     for r in per_doc.collect():
-        contribs = [(e["wt"], signs_for(e["word"])) for e in r.wv]
+        contribs = [(wt, signs_for(word)) for word, wt in zip(r.words, r.wts)]
         sig = []
         for blk in range(SRP_LONGS):
             v = 0
